@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.bfr.BFR
+import graft.eval.Nmi
+import graft.functions.VectorFunctions._
+import graft.kmeans.KMeans
+import graft.sources.PointSource
+
+/** The ML layer (SURVEY.md §2.11) and similarity-search operators over the
+  * `embeddings` table: deterministic distributed k-means (M1/M2), the full
+  * BFR pipeline (M4-M9), NMI evaluation (M10), brute-force and IVF
+  * approximate nearest-neighbor search, SimHash and embedding-cosine
+  * near-dup detection.
+  *
+  * Oracle policy: the clustering queries are deterministic (pinned
+  * seeding, first-min tie-breaks) but not SQL-expressible → rows-only
+  * checks; NMI arithmetic, SimHash, and brute-force ANN are replicated in
+  * closed-form SQL and fully oracle-checked.
+  */
+object MlQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    PointSource.fromEmbeddings(s, dir)
+
+  private def embWithLabel(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"), col("label"))
+
+  private val D = 64
+
+  // ---------------------------------------------------------------------
+  // K-Means (M1 seeding + M2 Lloyd) and BFR (M4-M9)
+  // ---------------------------------------------------------------------
+
+  val kmeansAssign = Q("q_kmeans_assign",
+    (s, dir) => {
+      val points = emb(s, dir)
+      val model = KMeans.fit(points, k = 10, iters = 5)
+      model.assign(points, "features")
+        .select(col("id"), col("label").as("cluster"))
+    },
+    None)
+
+  val kmeansCenters = Q("q_kmeans_centers",
+    (s, dir) => {
+      import s.implicits._
+      val points = emb(s, dir)
+      val model = KMeans.fit(points, k = 10, iters = 5)
+      model.centers.zipWithIndex.toSeq
+        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
+          (i, p, math.rint(v * 1e6) / 1e6) } }
+        .toDF("cluster", "pos", "c")
+    },
+    None)
+
+  val bfrAssign = Q("q_bfr_assign",
+    (s, dir) => {
+      val points = emb(s, dir)
+      val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
+      BFR.run(s, chunks, BFR.Config(k = 10, rsClusterThreshold = 50)).assignments
+        .select(col("id"), col("cluster"))
+    },
+    None)
+
+  val bfrStats = Q("q_bfr_stats",
+    (s, dir) => {
+      import s.implicits._
+      val points = emb(s, dir)
+      val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
+      BFR.run(s, chunks, BFR.Config(k = 10, rsClusterThreshold = 50)).stats.toDF()
+    },
+    None)
+
+  /** NMI of the engine's k-means clustering vs the testdata ground-truth
+    * labels — the reference's end-to-end quality gate (NMI > 0.8,
+    * HW4.pdf §4.3).
+    */
+  val kmeansNmi = Q("q_kmeans_nmi",
+    (s, dir) => {
+      import s.implicits._
+      val points = embWithLabel(s, dir)
+      val model = KMeans.fit(points.select(col("vec_id").as("id"), col("e").as("features")), 10, 5)
+      val pred = model.assign(points.select(col("vec_id").as("id"), col("e").as("features")), "features")
+        .select(col("id"), col("label"))
+      val truth = points.select(col("vec_id"), col("label"))
+      Seq(math.rint(Nmi.score(pred, truth) * 1e6) / 1e6).toDF("nmi")
+    },
+    None)
+
+  /** M10 arithmetic oracle-checked: NMI between two categorical columns of
+    * `documents`, replicated in closed-form SQL.
+    */
+  val nmiLangSource = Q("q_nmi_lang_source",
+    (s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val v = Nmi.score(d.select(col("doc_id"), col("lang")),
+        d.select(col("doc_id"), col("source")))
+      Seq(math.rint(v * 1e6) / 1e6).toDF("nmi")
+    },
+    Some("""WITH cont AS (
+           |  SELECT lang AS yp, source AS yt, count(*) AS c FROM documents GROUP BY lang, source),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cont),
+           |pp AS (SELECT yp, CAST(sum(c) AS DOUBLE) AS cp FROM cont GROUP BY yp),
+           |tt AS (SELECT yt, CAST(sum(c) AS DOUBLE) AS ct FROM cont GROUP BY yt),
+           |mi AS (SELECT sum((cont.c / tot.n) * ln(cont.c * tot.n / (pp.cp * tt.ct))) AS v
+           |       FROM cont, tot, pp, tt WHERE cont.yp = pp.yp AND cont.yt = tt.yt),
+           |hp AS (SELECT -sum((cp / n) * ln(cp / n)) AS v FROM pp, tot),
+           |ht AS (SELECT -sum((ct / n) * ln(ct / n)) AS v FROM tt, tot)
+           |SELECT round(mi.v / ((hp.v + ht.v) / 2), 6) AS nmi FROM mi, hp, ht""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Similarity search (ANN)
+  // ---------------------------------------------------------------------
+
+  /** Brute-force cosine top-k: queries (vec_id < 5) × candidates, exact
+    * top-3 per query. The query side is broadcast; candidates stream
+    * map-side — the baseline ANN the scale path is measured against.
+    */
+  val annBruteForce = Q("q_ann_brute_force",
+    (s, dir) => {
+      val e = embWithLabel(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("ce"), col("qe")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+            |d AS (SELECT qid, cid,
+            |        sum(CAST(qe[t.i] AS DOUBLE) * CAST(ce[t.i] AS DOUBLE)) AS dot,
+            |        sum(CAST(qe[t.i] AS DOUBLE) * CAST(qe[t.i] AS DOUBLE)) AS nq,
+            |        sum(CAST(ce[t.i] AS DOUBLE) * CAST(ce[t.i] AS DOUBLE)) AS nc
+            |      FROM q, c, generate_series(1, $D) AS t(i) GROUP BY qid, cid),
+            |r AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
+            |        row_number() OVER (PARTITION BY qid
+            |                           ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
+            |      FROM d)
+            |SELECT qid, cid, round(cos, 6) AS cos_sim, rn FROM r WHERE rn <= 3""".stripMargin))
+
+  /** IVF-style ANN (the 100 TB scale path): partition candidates into
+    * k-means cells, probe only the 2 cells nearest each query. Recall<1
+    * by design → rows-only check; correctness of the underlying math is
+    * covered by q_ann_brute_force.
+    */
+  val annIvf = Q("q_ann_ivf",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = KMeans.fit(e, k = 8, iters = 3)
+      val cells = model.assign(e, "features")
+        .select(col("id").as("cid"), col("features").as("ce"), col("label").as("cell"))
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("features").as("qe"))
+      // exclude self-matches before ranking
+
+      // 2 nearest cells per query (centers are a tiny literal)
+      val dists = model.distances(col("qe"))
+      val probes = q.withColumn("cells",
+          slice(array_sort(zip_with(dists, sequence(lit(0), lit(model.k - 1)),
+            (d0, i) => struct(d0.as("d"), i.as("cell")))), 1, 2))
+        .select(col("qid"), col("qe"), explode(col("cells.cell")).as("cell"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      cells.join(broadcast(probes), Seq("cell"))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", cosine(col("ce"), col("qe")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"))
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs (brute force at test scale;
+    * the LSH/IVF variants are the scale path).
+    */
+  val embeddingNearDup = Q("q_embedding_near_dup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val l = e.select(col("id").as("ida"), col("features").as("ea"))
+      val r = e.select(col("id").as("idb"), col("features").as("eb"))
+      l.join(r, col("ida") < col("idb"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") > 0.9)
+        .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH a AS (SELECT vec_id AS ida, embedding AS ea FROM embeddings),
+            |b AS (SELECT vec_id AS idb, embedding AS eb FROM embeddings),
+            |d AS (SELECT ida, idb,
+            |        sum(CAST(ea[t.i] AS DOUBLE) * CAST(eb[t.i] AS DOUBLE)) AS dot,
+            |        sum(CAST(ea[t.i] AS DOUBLE) * CAST(ea[t.i] AS DOUBLE)) AS na,
+            |        sum(CAST(eb[t.i] AS DOUBLE) * CAST(eb[t.i] AS DOUBLE)) AS nb
+            |      FROM a, b, generate_series(1, $D) AS t(i)
+            |      WHERE ida < idb GROUP BY ida, idb)
+            |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+            |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.9""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // SimHash near-dup (documents)
+  // ---------------------------------------------------------------------
+
+  /** 32-bit SimHash over word hashes (md5-derived, identical in both
+    * engines): bit b of the fingerprint is 1 iff more words have bit b
+    * set than not. Map-side only — one expression per document.
+    */
+  val simhash = Q("q_simhash",
+    (s, dir) => {
+      val words = split(trim(col("text")), "\\s+")
+      val wordHashes = transform(words,
+        w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+      val nWords = size(words)
+      val sig = (0 until 32).foldLeft[Column](lit(0L)) { (acc, b) =>
+        acc + when(
+          size(filter(wordHashes, h => shiftright(h, b).bitwiseAND(1) === 1)) * 2 > nWords,
+          lit(1L << b)).otherwise(lit(0L))
+      }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), sig.as("simhash"))
+    },
+    Some("""WITH wh AS (
+           |  SELECT doc_id,
+           |    ('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT AS h
+           |  FROM documents),
+           |wc AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+           |bits AS (
+           |  SELECT wh.doc_id, t.b,
+           |    CASE WHEN 2 * sum(CASE WHEN (wh.h >> t.b) & 1 = 1 THEN 1 ELSE 0 END)
+           |              > max(wc.n) THEN (1::BIGINT << t.b) ELSE 0 END AS bit
+           |  FROM wh JOIN wc ON wh.doc_id = wc.doc_id, generate_series(0, 31) AS t(b)
+           |  GROUP BY wh.doc_id, t.b)
+           |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    kmeansAssign, kmeansCenters, bfrAssign, bfrStats, kmeansNmi,
+    nmiLangSource, annBruteForce, annIvf, embeddingNearDup, simhash)
+}

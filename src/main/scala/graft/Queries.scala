@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.SummaryAggregator
+
+/** The engine's operator inventory (SURVEY.md §2), each entry exercising
+  * one operator family on the driver's testdata and paired with an ANSI
+  * SQL oracle for DuckDB where the semantics are SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *  - every computed/aggregate column is aliased identically on both
+  *    sides (the driver sorts columns by name before hashing);
+  *  - floating-point aggregates are `round`ed on both sides so sum-order
+  *    nondeterminism cannot flip the hash;
+  *  - float vectors are cast to double BEFORE arithmetic on both sides;
+  *  - timestamps are rendered as 'yyyy-MM-dd HH:mm:ss' strings.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader rejects; read nanos as long and convert to a
+    * microsecond timestamp (integer DIV — ns epochs overflow double).
+    */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** embeddings with the float vector cast to array<double>. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"), col("label"))
+
+  private val D = 64 // embedding dimensionality (driver testdata)
+
+  // ---------------------------------------------------------------------
+  // Scans / projections / filters (S2, P1, P5, F3-F7)
+  // ---------------------------------------------------------------------
+
+  val scanProject = Q("q_scan_project",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // prices/discounts are 2-decimal: the product has exactly 4
+        // decimals, so rounding at 4 never lands on a half-way boundary
+        // (Spark HALF_UP vs DuckDB's scaled-rint would disagree there)
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           | round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+           |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'""".stripMargin))
+
+  val prefixLimit = Q("q_prefix_limit",
+    (s, dir) => t(s, dir, "orders")
+      .orderBy(col("o_orderkey")).limit(100)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+    Some("SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_orderkey LIMIT 100"))
+
+  // ---------------------------------------------------------------------
+  // Aggregations (A1, A2, A7, A8)
+  // ---------------------------------------------------------------------
+
+  val aggSum = Q("q_agg_sum",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("cnt")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           | round(sum(l_quantity), 2) AS sum_qty,
+           | round(sum(l_extendedprice), 2) AS sum_price,
+           | round(avg(l_discount), 6) AS avg_disc,
+           | count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  val labelHistogram = Q("q_label_histogram",
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt")),
+    Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"))
+
+  val singletons = Q("q_singletons",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 1),
+    Some("SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey HAVING count(*) = 1"))
+
+  val topkByCount = Q("q_topk_by_count",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("l_partkey")).limit(5),
+    Some("""SELECT l_partkey, count(*) AS cnt FROM lineitem
+           |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 5""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Joins (J1, J3), semi/anti (P3, U2), set ops (U1), distinct
+  // ---------------------------------------------------------------------
+
+  val joinBroadcast = Q("q_join_broadcast",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("cnt")),
+    Some("""SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin))
+
+  val joinMulti = Q("q_join_multi",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders")),
+    Some("""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name""".stripMargin))
+
+  val semiJoin = Q("q_semi_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name")),
+    Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)"))
+
+  val antiJoin = Q("q_anti_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal")),
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
+  val unionAll = Q("q_union",
+    (s, dir) => t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("key"), round(col("c_acctbal"), 2).as("bal"))
+      .union(t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 9000)
+        .select(col("s_suppkey").as("key"), round(col("s_acctbal"), 2).as("bal"))),
+    Some("""SELECT c_custkey AS key, round(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal > 9000
+           |UNION ALL
+           |SELECT s_suppkey AS key, round(s_acctbal, 2) AS bal FROM supplier WHERE s_acctbal > 9000""".stripMargin))
+
+  val distinctPairs = Q("q_distinct",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  val crossJoinSmall = Q("q_cross_join",
+    (s, dir) => t(s, dir, "nation")
+      .crossJoin(broadcast(t(s, dir, "region").select(col("r_name")))),
+    Some("SELECT n_nationkey, n_name, n_regionkey, r_name FROM nation CROSS JOIN (SELECT r_name FROM region) r"))
+
+  // ---------------------------------------------------------------------
+  // Argmin / windows (O4, §2.5)
+  // ---------------------------------------------------------------------
+
+  val argminPerGroup = Q("q_argmin",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_extendedprice"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("min_price"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS min_price
+           |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+           |        row_number() OVER (PARTITION BY l_orderkey
+           |                           ORDER BY l_extendedprice, l_linenumber) AS rn
+           |      FROM lineitem) t
+           |WHERE rn = 1""".stripMargin))
+
+  val windowRank = Q("q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, rn
+           |FROM (SELECT o_custkey, o_orderkey,
+           |        row_number() OVER (PARTITION BY o_custkey
+           |                           ORDER BY o_orderdate, o_orderkey) AS rn
+           |      FROM orders) t
+           |WHERE rn <= 3""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Vector math over embeddings (F1, A1, A2, A3, A6)
+  // ---------------------------------------------------------------------
+
+  /** DuckDB-side: cross join embeddings × generate_series(1..64). */
+  private val gs = s"generate_series(1, $D) AS t(i)"
+  private val ei = "CAST(embedding[i] AS DOUBLE)"
+
+  val l2Norm = Q("q_l2_norm",
+    (s, dir) => emb(s, dir)
+      .select(col("vec_id"), round(norm2(col("e")), 4).as("l2norm")),
+    Some(s"""SELECT vec_id, round(sqrt(sum($ei * $ei)), 4) AS l2norm
+            |FROM embeddings, $gs GROUP BY vec_id""".stripMargin))
+
+  val vectorSumByLabel = Q("q_vector_sum_by_label",
+    (s, dir) => emb(s, dir)
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("v")), 4).as("s")),
+    Some(s"""SELECT label, i - 1 AS pos, round(sum($ei), 4) AS s
+            |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
+
+  val centroids = Q("q_centroids",
+    (s, dir) => emb(s, dir)
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c")),
+    Some(s"""SELECT label, i - 1 AS pos, round(avg($ei), 6) AS c
+            |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
+
+  /** A3/A6 through the engine's SummaryAggregator: per-label N and per-dim
+    * std derived from the N/SUM/SUMSQ triple — the BFR core, oracle-checked
+    * against closed-form SQL.
+    */
+  val summaryStd = Q("q_summary_std",
+    (s, dir) => emb(s, dir)
+      .groupBy(col("label"))
+      .agg(SummaryAggregator.summarize(col("e")).as("s"))
+      .select(col("label"), col("s.n").as("n"),
+        posexplode(zip_with(col("s.sum"), col("s.sumsq"),
+          (su, sq) => struct(su.as("su"), sq.as("sq")))).as(Seq("pos", "z")))
+      .select(col("label"), col("n"), col("pos"),
+        round(sqrt(greatest(col("z.sq") / col("n") - pow(col("z.su") / col("n"), 2), lit(0.0))), 6).as("sd")),
+    Some(s"""SELECT label, count(*) AS n, i - 1 AS pos,
+            | round(sqrt(greatest(sum($ei * $ei) / count(*)
+            |   - pow(sum($ei) / count(*), 2), 0.0)), 6) AS sd
+            |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Events: tumbling-window aggregation (§2.9 batch equivalent)
+  // ---------------------------------------------------------------------
+
+  val eventsWindow = Q("q_events_window",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"), col("sum_value")),
+    Some("""SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Assembly
+  // ---------------------------------------------------------------------
+
+  def relational: Seq[Q] = Seq(
+    scanProject, prefixLimit, aggSum, labelHistogram, singletons, topkByCount,
+    joinBroadcast, joinMulti, semiJoin, antiJoin, unionAll, distinctPairs,
+    crossJoinSmall, argminPerGroup, windowRank,
+    l2Norm, vectorSumByLabel, centroids, summaryStd, eventsWindow)
+
+  def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
+}

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * deduplication (exact / MinHash-LSH / n-gram fingerprints), language
+  * stats, quality scoring, token counting. All hash-based ops use md5 —
+  * identical hex output in Spark and DuckDB — so even the MinHash
+  * signatures are oracle-checkable: `min(md5(seed || shingle))` is a
+  * valid order-statistic MinHash under the md5 order.
+  *
+  * Scale posture: every op here is a map-side projection + a groupBy on a
+  * bounded-cardinality key (hash / band / lang) — no crossJoin of the
+  * corpus; LSH candidate generation is the band-bucket self-join, which
+  * shuffles only (doc_id, band) pairs, never text.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace tokenization, trimmed — same on both engines. */
+  private def wordsCol: Column = split(trim(col("text")), "\\s+")
+  private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
+
+  // ---------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // ---------------------------------------------------------------------
+
+  val dedupExact = Q("q_dedup_exact",
+    (s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canonical")),
+    Some("SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS canonical FROM documents GROUP BY md5(text)"))
+
+  // ---------------------------------------------------------------------
+  // Token counting / quality scoring / language stats
+  // ---------------------------------------------------------------------
+
+  val tokenCount = Q("q_token_count",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), size(wordsCol).as("n_tokens"),
+        length(col("text")).as("n_chars_txt")),
+    Some(s"""SELECT doc_id, len($wordsSql) AS n_tokens,
+            | length(text) AS n_chars_txt FROM documents""".stripMargin))
+
+  private val stopLits = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  val qualityScore = Q("q_quality_score",
+    (s, dir) => {
+      val words = wordsCol
+      val stopArr = array(stopLits.map(lit): _*)
+      val nWords = size(words)
+      val nStop = size(filter(words, w => array_contains(stopArr, w)))
+      docs(s, dir).select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nStop.as("n_stop"),
+        round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
+        round(length(col("text")).cast("double") / nWords, 6).as("avg_token_len"))
+    },
+    Some(s"""SELECT doc_id,
+            | len($wordsSql) AS n_words,
+            | len(list_filter($wordsSql, w -> list_contains(['the','a','and','of','to','in','is','on'], w))) AS n_stop,
+            | round(len(list_filter($wordsSql, w -> list_contains(['the','a','and','of','to','in','is','on'], w)))
+            |   / CAST(len($wordsSql) AS DOUBLE), 6) AS stop_ratio,
+            | round(length(text) / CAST(len($wordsSql) AS DOUBLE), 6) AS avg_token_len
+            |FROM documents""".stripMargin))
+
+  val langHistogram = Q("q_lang_histogram",
+    (s, dir) => docs(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 4).as("avg_chars")),
+    Some("""SELECT lang, source, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars
+           |FROM documents GROUP BY lang, source""".stripMargin))
+
+  /** Heuristic language-ID from stopword evidence (n-gram heuristic):
+    * argmax over per-language marker-word hit counts, deterministic
+    * tie-break by language order. Oracle = identical CASE cascade.
+    */
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "la", "et"))
+
+  val langId = Q("q_lang_id",
+    (s, dir) => {
+      val words = wordsCol
+      def hits(ms: Seq[String]): Column =
+        size(filter(words, w => array_contains(array(ms.map(lit): _*), w)))
+      val cols = langMarkers.map { case (l, ms) => l -> hits(ms) }
+      val best = greatest(cols.map(_._2): _*)
+      val pred = cols.reverse.foldLeft[Column](lit("unk")) { case (acc, (l, h)) =>
+        when(h === best && best > 0, lit(l)).otherwise(acc)
+      }
+      docs(s, dir).select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+    }, {
+      def hitsSql(ms: Seq[String]): String =
+        s"len(list_filter($wordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
+      val hs = langMarkers.map { case (l, ms) => l -> hitsSql(ms) }
+      val bestSql = s"greatest(${hs.map(_._2).mkString(", ")})"
+      val caseSql = hs.map { case (l, h) =>
+        s"WHEN $h = $bestSql AND $bestSql > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"SELECT doc_id, lang, CASE $caseSql ELSE 'unk' END AS pred_lang FROM documents")
+    })
+
+  // ---------------------------------------------------------------------
+  // Shingles, fingerprints, MinHash-LSH near-dup
+  // ---------------------------------------------------------------------
+
+  /** Word 3-gram shingles: positions 1..max(n-2, 1), 1-based slice of 3. */
+  private def shinglesCol: Column = {
+    val words = wordsCol
+    transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(3))))
+  }
+  private val shinglesSql =
+    s"""list_transform(generate_series(1, greatest(len($wordsSql) - 2, 1)),
+       | i -> array_to_string(list_slice($wordsSql, i, i + 2), ' '))""".stripMargin
+
+  /** Rolling-window document fingerprint: the minimum shingle hash — a
+    * 1-permutation MinHash under md5 order.
+    */
+  val docFingerprint = Q("q_doc_fingerprint",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        array_min(transform(shinglesCol, sh => md5(sh))).as("fingerprint")),
+    Some(s"""SELECT doc_id, list_min(list_transform($shinglesSql, sh -> md5(sh))) AS fingerprint
+            |FROM documents""".stripMargin))
+
+  private val minhashSeeds = Seq("s0:", "s1:", "s2:", "s3:")
+
+  /** 4-permutation MinHash signature via seeded md5 min-order statistics. */
+  private def sigCols: Seq[(String, Column)] = minhashSeeds.zipWithIndex.map {
+    case (seed, i) =>
+      s"mh$i" -> array_min(transform(shinglesCol, sh => md5(concat(lit(seed), sh))))
+  }
+  private def sigSql: Seq[(String, String)] = minhashSeeds.zipWithIndex.map {
+    case (seed, i) =>
+      s"mh$i" -> s"list_min(list_transform($shinglesSql, sh -> md5(concat('$seed', sh))))"
+  }
+
+  val minhashSignature = Q("q_minhash_signature",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*),
+    Some(s"SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")} FROM documents"))
+
+  /** MinHash-LSH near-dup candidates: 2 bands × 2 rows; docs sharing a
+    * band bucket are candidate pairs. Only (doc_id, band) shuffles.
+    */
+  val minhashLshPairs = Q("q_minhash_lsh_pairs",
+    (s, dir) => {
+      val sig = docs(s, dir)
+        .select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+        .select(col("doc_id"),
+          md5(concat(col("mh0"), col("mh1"))).as("b0"),
+          md5(concat(col("mh2"), col("mh3"))).as("b1"))
+      val bands = sig.select(col("doc_id"), lit(0).as("band"), col("b0").as("bucket"))
+        .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bucket")))
+      val l = bands.as("l"); val r = bands.as("r")
+      l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
+    },
+    Some(s"""WITH sig AS (
+            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
+            |  FROM documents),
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig)
+            |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |FROM bands l JOIN bands r
+            |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing: opaque binary column + typed metadata
+  // ---------------------------------------------------------------------
+
+  /** Binary-column plumbing: treat text bytes as an opaque blob, extract
+    * deterministic metadata (byte length + a fake "decoded" width/height
+    * derived from the blob hash — the real decoder is environment-bound
+    * and stubbed per the build contract; the Spark-side schema, casting
+    * and partition shape are real).
+    */
+  val multimodalMeta = Q("q_multimodal_meta",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1920).as("fake_width"),
+        (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1080).as("fake_height")),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           | CAST(('0x' || substring(md5(text), 1, 4))::BIGINT % 1920 AS BIGINT) AS fake_width,
+           | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
+           |FROM documents""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    dedupExact, tokenCount, qualityScore, langHistogram, langId,
+    docFingerprint, minhashSignature, minhashLshPairs, multimodalMeta)
+}

@@ -1,0 +1,304 @@
+package graft.bfr
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{ClusterSummary, RoundStats}
+import graft.functions.VectorFunctions._
+import graft.kmeans.KMeans
+import graft.operators.SummaryAggregator
+
+/** Bradley–Fayyad–Reina streaming clustering, re-expressed as Spark
+  * dataflow. The reference (code/bfr.py:431-468) holds DS/CS/RS state on
+  * the driver and loops one chunk per round; we keep the same round
+  * structure (BFR is inherently order-dependent) but make every per-chunk
+  * step a distributed plan:
+  *
+  *  - assignment = map-side expression against broadcast-small DS/CS
+  *    summaries (K..5K rows of (center, std) — folded in as literals);
+  *    the point side never shuffles (SURVEY.md §4.1);
+  *  - summary construction = partial+final aggregation (SummaryAggregator);
+  *  - RS is a Dataset, re-clustered into CS when it exceeds a threshold
+  *    (reference M6, code/bfr.py:259-288 — defined but never called; we
+  *    wire it live, fixing the dead-code path);
+  *  - CS pairwise merge is a driver-side greedy loop over ≤5K summaries
+  *    (code/bfr.py:290-320, with the center-vs-object bug fixed —
+  *    code/bfr.py:304 passes SummarizedSet objects where vectors are
+  *    expected);
+  *  - assignments are accumulated as DataFrames (id, cluster), not a
+  *    driver dict, so the output path scales with the data.
+  *
+  * Reference quirks deliberately fixed (SURVEY.md §7.2): the `if label:`
+  * truthiness bug that sent points nearest cluster 0 to RS
+  * (code/bfr.py:386) uses a proper null test here.
+  */
+object BFR {
+
+  final case class Config(
+      k: Int,
+      alphaAssign: Double = 3.0,   // code/bfr.py:382 (α=3 default)
+      alphaRs: Double = 4.0,       // code/bfr.py:326,339 (α=4)
+      kmeansIters: Int = 5,        // code/bfr.py:87-90
+      initSampleFraction: Double = 0.2, // code/bfr.py:396-398
+      seedKMult: Int = 3,          // init clusters = 3K (code/bfr.py:400)
+      csKMult: Int = 5,            // RS re-cluster into 5K (code/bfr.py:264)
+      rsClusterThreshold: Int = 500 // re-cluster RS when it exceeds this
+  )
+
+  final case class Result(
+      assignments: DataFrame,       // (id: long, cluster: int), -1 = outlier
+      stats: Seq[RoundStats],
+      ds: IndexedSeq[ClusterSummary]
+  )
+
+  /** Mahalanobis distance of `features` to each summary, as array<double>
+    * in summary order. Summaries are broadcast-small (K..5K × d) and folded
+    * in as literals — assignment is purely map-side.
+    */
+  private def mahaDistances(features: Column, summaries: IndexedSeq[ClusterSummary]): Column =
+    array(summaries.map(s => mahalanobis(features, lit(s.center), lit(s.std))): _*)
+
+  /** Nearest summary under `dist < alpha * sqrt(d)`: returns (labelCol,
+    * keepCol). First minimum wins on ties (code/bfr.py:367-374 strict <).
+    */
+  private def nearestUnder(features: Column, summaries: IndexedSeq[ClusterSummary],
+                           alpha: Double): (Column, Column) = {
+    val d = summaries.head.d
+    val dists = mahaDistances(features, summaries)
+    val best = array_min(dists)
+    val label = (array_position(dists, best) - 1).cast("int")
+    (label, best < lit(alpha * math.sqrt(d.toDouble)))
+  }
+
+  private def summariesByLabel(assigned: DataFrame, featCol: String): Map[Int, ClusterSummary] =
+    assigned.groupBy(col("label"))
+      .agg(SummaryAggregator.summarize(col(featCol)).as("s"))
+      .collect()
+      .map { row =>
+        val s = row.getStruct(1)
+        row.getInt(0) -> ClusterSummary(s.getLong(0), s.getSeq[Double](1).toArray, s.getSeq[Double](2).toArray)
+      }.toMap
+
+  /** Run BFR over an ordered sequence of chunk DataFrames, each with
+    * columns (id: long, features: array<double>). Mirrors
+    * `Runner.run` (code/bfr.py:431-468).
+    */
+  def run(spark: SparkSession, chunks: Seq[DataFrame], cfg: Config): Result = {
+    require(chunks.nonEmpty, "BFR needs at least one chunk")
+
+    var ds = IndexedSeq.empty[ClusterSummary]            // discard sets
+    var cs = IndexedSeq.empty[ClusterSummary]            // compression sets
+    var csMembers: DataFrame = emptyAssignments(spark, "cs_id") // (id, cs_id)
+    var rs: DataFrame = null                             // retained points
+    var assigned: DataFrame = emptyAssignments(spark, "cluster")
+    val stats = scala.collection.mutable.ArrayBuffer[RoundStats]()
+    var discardedSoFar = 0L
+
+    val nRounds = chunks.size
+    for ((chunkRaw, idx) <- chunks.zipWithIndex) {
+      val round = idx + 1
+      val chunk = chunkRaw.select(col("id").cast("long").as("id"), col("features"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      chunk.count()
+
+      if (round == 1) {
+        // --- init (M4, code/bfr.py:393-429) ---
+        val n = chunk.count()
+        val sampleN = math.ceil(cfg.initSampleFraction * n).toInt
+        val sample = chunk.orderBy(col("id")).limit(sampleN)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // cluster sample into 3K; singleton labels -> RS (A7 + P3)
+        val coarse = KMeans.fit(sample, math.min(cfg.seedKMult * cfg.k, sampleN), cfg.kmeansIters)
+        val coarseAssigned = coarse.assign(sample, "features")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val singletons = coarseAssigned.groupBy(col("label")).count()
+          .filter(col("count") === 1).select("label")
+        val rsInit0 = coarseAssigned.join(broadcast(singletons), Seq("label"), "left_semi")
+          .select("id", "features")
+        val inliers0 = coarseAssigned.join(broadcast(singletons), Seq("label"), "left_anti")
+          .select("id", "features")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // degenerate guard: if outlier removal left fewer than K points
+        // (tiny samples), keep the whole sample as inliers
+        val (inliers, rsInit) =
+          if (inliers0.count() < cfg.k)
+            (sample.select("id", "features").persist(StorageLevel.MEMORY_AND_DISK),
+              sample.select("id", "features").limit(0))
+          else (inliers0, rsInit0)
+        // re-cluster inliers into K -> DS
+        val fine = KMeans.fit(inliers, cfg.k, cfg.kmeansIters)
+        val fineAssigned = fine.assign(inliers, "features")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val byLabel = summariesByLabel(fineAssigned, "features")
+        val dim = dimOf(sample)
+        ds = (0 until cfg.k).map(l => byLabel.getOrElse(l, ClusterSummary.zero(dim)))
+        assigned = unionAssign(assigned,
+          fineAssigned.select(col("id"), col("label").cast("int").as("cluster")))
+        rs = rsInit
+        // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429)
+        val rest = chunk.join(sample.select("id"), Seq("id"), "left_anti")
+        val (a2, r2) = assignToDs(rest, ds, cfg.alphaAssign)
+        assigned = unionAssign(assigned, a2)
+        rs = rs.union(r2)
+        sample.unpersist(false); coarseAssigned.unpersist(false)
+        inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
+      } else {
+        // --- per-chunk step (M5, code/bfr.py:382-391) ---
+        val (a, r) = assignToDs(chunk, ds, cfg.alphaAssign)
+        assigned = unionAssign(assigned, a)
+        rs = rs.union(r)
+      }
+
+      rs = rs.persist(StorageLevel.MEMORY_AND_DISK)
+      var rsCount = rs.count()
+
+      // --- RS -> CS re-clustering (M6, code/bfr.py:259-288) ---
+      if (rsCount > cfg.rsClusterThreshold) {
+        val kCs = math.min(cfg.csKMult * cfg.k, (rsCount / 2).toInt max 1)
+        val model = KMeans.fit(rs, kCs, cfg.kmeansIters)
+        val rsAssigned = model.assign(rs, "features").persist(StorageLevel.MEMORY_AND_DISK)
+        val singles = rsAssigned.groupBy(col("label")).count()
+          .filter(col("count") === 1).select("label")
+        val newRs = rsAssigned.join(broadcast(singles), Seq("label"), "left_semi")
+          .select("id", "features")
+        val toCs = rsAssigned.join(broadcast(singles), Seq("label"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val base = cs.size
+        val byLabel = summariesByLabel(toCs, "features")
+        val labels = byLabel.keys.toSeq.sorted
+        val labelToCs = labels.zipWithIndex.map { case (l, i) => (l, base + i) }.toMap
+        cs = cs ++ labels.map(byLabel)
+        val mapExpr = map(labelToCs.toSeq.flatMap { case (l, c) => Seq(lit(l), lit(c)) }: _*)
+        csMembers = csMembers.union(
+          toCs.select(col("id"), element_at(mapExpr, col("label")).cast("int").as("cs_id")))
+        rs = newRs.persist(StorageLevel.MEMORY_AND_DISK)
+        rsCount = rs.count()
+        // --- CS pairwise merge (M7, code/bfr.py:290-320, bug fixed) ---
+        val (mergedCs, remap) = mergeCs(cs)
+        if (remap.nonEmpty) {
+          cs = mergedCs
+          val remapExpr = map(remap.toSeq.flatMap { case (o, n2) => Seq(lit(o), lit(n2)) }: _*)
+          csMembers = csMembers.select(col("id"),
+            coalesce(element_at(remapExpr, col("cs_id")), col("cs_id")).cast("int").as("cs_id"))
+        }
+      }
+
+      // --- mid-stream RS -> DS spill (M8, code/bfr.py:322-334), not last round ---
+      if (round < nRounds && rsCount > 0) {
+        val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
+        // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
+        ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+        assigned = unionAssign(assigned, a)
+        rs = r.persist(StorageLevel.MEMORY_AND_DISK)
+        rsCount = rs.count()
+      }
+
+      // --- finalize on the last round (M9, code/bfr.py:336-355) ---
+      if (round == nRounds) {
+        if (rsCount > 0) {
+          val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
+          ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+          assigned = unionAssign(assigned, a)
+          assigned = unionAssign(assigned,
+            r.select(col("id"), lit(-1).cast("int").as("cluster")))
+          rs = r // retained count reported below
+        }
+        // force-merge every CS into its nearest DS (α=10^18, code/bfr.py:350)
+        if (cs.nonEmpty) {
+          val csToDs = cs.zipWithIndex.map { case (c, i) =>
+            val dists = ds.map(s => s.mahalanobis(c.center))
+            val best = dists.zipWithIndex.minBy(_._1)._2
+            i -> best
+          }.toMap
+          ds = ds.zipWithIndex.map { case (s, di) =>
+            csToDs.filter(_._2 == di).keys.foldLeft(s)((acc, ci) => acc.merge(cs(ci)))
+          }
+          val csMap = map(csToDs.toSeq.flatMap { case (c, d0) => Seq(lit(c), lit(d0)) }: _*)
+          assigned = unionAssign(assigned,
+            csMembers.select(col("id"), element_at(csMap, col("cs_id")).cast("int").as("cluster")))
+          cs = IndexedSeq.empty
+        }
+      }
+
+      assigned = assigned.localCheckpoint(true)
+      csMembers = csMembers.localCheckpoint(true)
+      discardedSoFar = assigned.filter(col("cluster") >= 0).count()
+      val csPoints = csMembers.count()
+      stats += RoundStats(round, ds.size, discardedSoFar, cs.size, csPoints,
+        if (round == nRounds) assigned.filter(col("cluster") === -1).count() else rsCount)
+      chunk.unpersist(false)
+    }
+
+    Result(assigned, stats.toSeq, ds)
+  }
+
+  /** J2/M5: nearest DS summary under α√d; returns (assigned(id,cluster),
+    * leftover(id,features)).
+    */
+  def assignToDs(points: DataFrame, ds: IndexedSeq[ClusterSummary], alpha: Double): (DataFrame, DataFrame) = {
+    if (ds.isEmpty) return (emptyAssignments(points.sparkSession, "cluster"), points.select("id", "features"))
+    val (label, keep) = nearestUnder(col("features"), ds, alpha)
+    val tagged = points.withColumn("__label", label).withColumn("__keep", keep)
+    val a = tagged.filter(col("__keep")).select(col("id"), col("__label").cast("int").as("cluster"))
+    val r = tagged.filter(!col("__keep")).select("id", "features")
+    (a, r)
+  }
+
+  /** Fold newly matched points into their DS summaries (A4). */
+  private def absorb(ds: IndexedSeq[ClusterSummary], labeled: DataFrame): IndexedSeq[ClusterSummary] = {
+    val deltas = summariesByLabel(labeled, "features")
+    ds.zipWithIndex.map { case (s, i) => deltas.get(i).map(s.merge).getOrElse(s) }
+  }
+
+  /** Greedy CS pairwise merge: any pair with center-to-summary Mahalanobis
+    * < 3√d merges (code/bfr.py:290-320; the reference's version compares
+    * objects, not centers — fixed here). Returns (new summaries, old-index
+    * → new-index remap for indices that changed).
+    */
+  def mergeCs(cs: IndexedSeq[ClusterSummary]): (IndexedSeq[ClusterSummary], Map[Int, Int]) = {
+    if (cs.size < 2) return (cs, Map.empty)
+    val d = cs.head.d
+    val thr = 3.0 * math.sqrt(d.toDouble)
+    val parent = Array.tabulate(cs.size)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    val work = scala.collection.mutable.ArrayBuffer(cs: _*)
+    var merged = true
+    while (merged) {
+      merged = false
+      var i = 0
+      while (i < work.size && !merged) {
+        var j = i + 1
+        while (j < work.size && !merged) {
+          val ri = find(i); val rj = find(j)
+          if (ri != rj && work(ri).n > 0 && work(rj).n > 0 &&
+              work(ri).mahalanobis(work(rj).center) < thr) {
+            work(ri) = work(ri).merge(work(rj))
+            work(rj) = ClusterSummary.zero(d)
+            parent(rj) = ri
+            merged = true
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val roots = (0 until cs.size).map(find)
+    val alive = roots.distinct.sorted
+    val newIdx = alive.zipWithIndex.toMap
+    val out = alive.map(work(_)).toIndexedSeq
+    val remap = (0 until cs.size).map(i => i -> newIdx(roots(i))).filter(p => p._1 != p._2).toMap
+    (out, remap)
+  }
+
+  private def unionAssign(a: DataFrame, b: DataFrame): DataFrame = a.union(b)
+
+  private def emptyAssignments(spark: SparkSession, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField(valueCol, IntegerType))))
+  }
+
+  private def dimOf(df: DataFrame): Int =
+    df.select(size(col("features"))).head().getInt(0)
+}

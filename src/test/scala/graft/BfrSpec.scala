@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bfr.BFR
+import graft.eval.Nmi
+import graft.kmeans.KMeans
+import graft.sources.PointSource
+
+class BfrSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  lazy val blobs = TestBlobs.generate(spark, n = 2000, k = 5, d = 4, outliers = 20)
+    .cache()
+
+  test("kmeans recovers blob clusters with NMI above the reference pass bar") {
+    val inliers = blobs.filter(col("trueLabel") >= 0)
+    val model = KMeans.fit(inliers.select("id", "features"), k = 5, iters = 5)
+    assert(model.centers.length == 5)
+    val pred = model.assign(inliers, "features").select(col("id"), col("label"))
+    val nmi = Nmi.score(pred, blobs.select(col("id"), col("trueLabel")))
+    // HW4.pdf §4.3: NMI > 0.8 pass bar; clean blobs should be ~1.0
+    assert(nmi > 0.95, s"NMI $nmi below expected")
+  }
+
+  test("kmeans model assigns deterministically (argmin first-min tie-break)") {
+    val inliers = blobs.filter(col("trueLabel") >= 0)
+    val m1 = KMeans.fit(inliers.select("id", "features"), k = 5, iters = 5)
+    val m2 = KMeans.fit(inliers.select("id", "features"), k = 5, iters = 5)
+    assert(m1.centers.map(_.toSeq).toSeq == m2.centers.map(_.toSeq).toSeq)
+  }
+
+  test("bfr end-to-end on chunked blobs: coverage, stats invariants, NMI") {
+    val nChunks = 4
+    val chunks = (0 until nChunks).map(i =>
+      blobs.filter(pmod(col("id"), lit(nChunks)) === i).select("id", "features"))
+    val res = BFR.run(spark, chunks, BFR.Config(k = 5, rsClusterThreshold = 100))
+    val total = 2020L
+    val n = res.assignments.count()
+    assert(n == total, s"expected $total assignments, got $n")
+    assert(res.assignments.select("id").distinct().count() == total,
+      "every point labeled exactly once")
+    assert(res.stats.size == nChunks)
+    val discards = res.stats.map(_.nof_point_discard)
+    assert(discards.zip(discards.tail).forall { case (a, b) => a <= b },
+      s"nof_point_discard not monotone: $discards")
+    val nmi = Nmi.score(
+      res.assignments,
+      blobs.select(col("id"), col("trueLabel")))
+    assert(nmi > 0.8, s"BFR NMI $nmi below pass bar")
+  }
+
+  test("bfr on structureless embeddings terminates and labels every point") {
+    val points = PointSource.fromEmbeddings(spark, "/root/testdata/sf0.001")
+    val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
+    val res = BFR.run(spark, chunks, BFR.Config(k = 10, rsClusterThreshold = 50))
+    assert(res.assignments.count() == 500)
+    assert(res.assignments.select("id").distinct().count() == 500)
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate: for each query
+dumped by graft.Verify, run the oracle SQL in DuckDB over the same parquet
+tables, sort columns by name and rows by value, and diff."""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails, passes, rows_only = [], [], []
+for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
+    name = qdir.split("/")[-1]
+    got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{qdir}/*.parquet")],
+                    ignore_index=True)
+    if name not in oracles:
+        rows_only.append((name, len(got)))
+        continue
+    try:
+        exp = con.sql(oracles[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    g, e = canon(got), canon(exp)
+    if list(g.columns) != list(e.columns):
+        fails.append((name, f"columns differ: spark={list(g.columns)} duckdb={list(e.columns)}"))
+        continue
+    if len(g) != len(e):
+        fails.append((name, f"row count differs: spark={len(g)} duckdb={len(e)}"))
+        continue
+    mismatch = None
+    for c in g.columns:
+        a, b = g[c], e[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+            aa = pd.to_numeric(a, errors="coerce")
+            bb = pd.to_numeric(b, errors="coerce")
+            bad = ~(np.isclose(aa, bb, rtol=0, atol=0, equal_nan=True))
+            # exact compare (driver hashes); report near-misses distinctly
+            if bad.any():
+                close = np.isclose(aa, bb, rtol=1e-9, atol=1e-9, equal_nan=True)
+                kind = "EXACT-mismatch-but-close" if close[bad].all() else "value mismatch"
+                i = int(np.argmax(bad))
+                mismatch = f"{kind} col={c} row={i}: spark={a[i]!r} duckdb={b[i]!r}"
+                break
+        else:
+            if not a.astype(str).equals(b.astype(str)):
+                i = (a.astype(str) != b.astype(str)).idxmax()
+                mismatch = f"value mismatch col={c} row={i}: spark={a[i]!r} duckdb={b[i]!r}"
+                break
+    if mismatch:
+        fails.append((name, mismatch))
+    else:
+        passes.append(name)
+
+print(f"PASS ({len(passes)}):", " ".join(passes))
+print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))
+print(f"FAIL ({len(fails)}):")
+for n, m in fails:
+    print(f"  {n}: {m}")
+sys.exit(1 if fails else 0)
