@@ -150,7 +150,10 @@ object BFR {
         rs = rs.union(r)
       }
 
-      rs = rs.persist(StorageLevel.MEMORY_AND_DISK)
+      // eager localCheckpoint truncates the round-over-round lineage —
+      // the plan otherwise compounds each round (embedded center literals
+      // included) until even stringifying it OOMs the driver
+      rs = rs.localCheckpoint(true)
       var rsCount = rs.count()
 
       // --- RS -> CS re-clustering (M6, code/bfr.py:259-288) ---
@@ -172,7 +175,7 @@ object BFR {
         val mapExpr = map(labelToCs.toSeq.flatMap { case (l, c) => Seq(lit(l), lit(c)) }: _*)
         csMembers = csMembers.union(
           toCs.select(col("id"), element_at(mapExpr, col("label")).cast("int").as("cs_id")))
-        rs = newRs.persist(StorageLevel.MEMORY_AND_DISK)
+        rs = newRs.localCheckpoint(true)
         rsCount = rs.count()
         // --- CS pairwise merge (M7, code/bfr.py:290-320, bug fixed) ---
         val (mergedCs, remap) = mergeCs(cs)
@@ -190,7 +193,7 @@ object BFR {
         // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
         ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
         assigned = unionAssign(assigned, a)
-        rs = r.persist(StorageLevel.MEMORY_AND_DISK)
+        rs = r.localCheckpoint(true)
         rsCount = rs.count()
       }
 

@@ -31,7 +31,9 @@ object PointSource {
       .filter(length(trim(col("value"))) > 0)
       .select(
         element_at(parts, 1).cast("long").as("id"),
-        transform(slice(parts, 2, Int.MaxValue), _.cast("double")).as("features"))
+        // slice length must be computed, not Int.MaxValue (start+length
+        // overflows inside slice and yields an empty array)
+        transform(slice(parts, lit(2), size(parts) - 1), _.cast("double")).as("features"))
   }
 
   /** All chunks of a dataset, in round order (S1 + S2). */

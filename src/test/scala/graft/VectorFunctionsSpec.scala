@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ClusterSummary
+import graft.functions.VectorFunctions._
+
+/** Column-expression distance functions vs closed-form scalar math
+  * (FIXTURES.md §4; reference code/bfr.py:109-126).
+  */
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  val rnd = new scala.util.Random(11L)
+  val dim = 6
+  def vec(): Array[Double] = Array.fill(dim)(rnd.nextDouble() * 20.0 - 10.0)
+
+  def scalarEuclid(a: Array[Double], b: Array[Double]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+  def scalarDot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("euclidean/dot/cosine expressions match scalar math") {
+    val pairs = Seq.fill(50)((vec(), vec()))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      euclidean(col("a"), col("b")).as("eu"),
+      dot(col("a"), col("b")).as("dp"),
+      cosine(col("a"), col("b")).as("cs")).collect()
+    pairs.zip(rows).foreach { case ((a, b), r) =>
+      assert(math.abs(r.getDouble(0) - scalarEuclid(a, b)) < 1e-9)
+      assert(math.abs(r.getDouble(1) - scalarDot(a, b)) < 1e-9)
+      val expCos = scalarDot(a, b) /
+        (math.sqrt(scalarDot(a, a)) * math.sqrt(scalarDot(b, b)))
+      assert(math.abs(r.getDouble(2) - expCos) < 1e-9)
+    }
+  }
+
+  test("cosine returns 0 for zero-norm input") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("mahalanobis expression matches ClusterSummary.mahalanobis incl zero-std skip") {
+    val pts = Seq.fill(30)(vec())
+    val s = pts.foldLeft(ClusterSummary.zero(dim))((acc, p) => acc.add(p))
+    // force a zero-std dimension
+    val szero = {
+      val flat = pts.map(p => { val q = p.clone(); q(2) = 42.0; q })
+      flat.foldLeft(ClusterSummary.zero(dim))((acc, p) => acc.add(p))
+    }
+    for (summ <- Seq(s, szero)) {
+      val probes = Seq.fill(20)(vec())
+      val df = probes.toDF("p")
+      val got = df.select(
+        mahalanobis(col("p"), lit(summ.center), lit(summ.std)).as("m")).collect()
+      probes.zip(got).foreach { case (p, r) =>
+        assert(math.abs(r.getDouble(0) - summ.mahalanobis(p)) < 1e-6,
+          s"expr=${r.getDouble(0)} scalar=${summ.mahalanobis(p)}")
+      }
+    }
+  }
+}
