@@ -252,6 +252,54 @@ object Queries {
             |   - pow(sum($ei) / count(*), 2), 0.0)), 6) AS sd
             |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
 
+  /** F2/J2-shape oracle-checked: Mahalanobis distance of every point to
+    * its own label's (center, diagonal-σ) summary — the BFR threshold
+    * test's distance kernel, with summaries built by SummaryAggregator
+    * and broadcast-joined back onto the fact side.
+    */
+  val mahalanobisToLabel = Q("q_mahalanobis",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val summ = e.groupBy(col("label"))
+        .agg(SummaryAggregator.summarize(col("e")).as("s"))
+        .select(col("label"),
+          transform(col("s.sum"), x => x / col("s.n")).as("ctr"),
+          zip_with(col("s.sumsq"), col("s.sum"), (sq, su) =>
+            sqrt(greatest(sq / col("s.n") - (su / col("s.n")) * (su / col("s.n")), lit(0.0)))).as("sd"))
+      e.join(broadcast(summ), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(mahalanobis(col("e"), col("ctr"), col("sd")), 6).as("mdist"))
+    },
+    Some(s"""WITH st AS (
+            |  SELECT label, t.i AS i, avg($ei) AS m,
+            |    sqrt(greatest(avg($ei * $ei) - avg($ei) * avg($ei), 0.0)) AS sd
+            |  FROM embeddings, $gs GROUP BY label, t.i)
+            |SELECT e.vec_id, e.label,
+            |  round(sqrt(sum(CASE WHEN st.sd = 0 THEN 0.0
+            |    ELSE pow((CAST(e.embedding[st.i] AS DOUBLE) - st.m) / st.sd, 2) END)), 6) AS mdist
+            |FROM embeddings e JOIN st ON st.label = e.label
+            |GROUP BY e.vec_id, e.label""".stripMargin))
+
+  /** A9 (inertia/SSE) shape oracle-checked: Σ‖p − centroid(label)‖² per
+    * label, centroids derived from the same summary aggregation.
+    */
+  val ssePerLabel = Q("q_sse_per_label",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val ctr = e.groupBy(col("label"))
+        .agg(SummaryAggregator.summarize(col("e")).as("s"))
+        .select(col("label"), transform(col("s.sum"), x => x / col("s.n")).as("ctr"))
+      e.join(broadcast(ctr), Seq("label"))
+        .groupBy(col("label"))
+        .agg(round(sum(sqDist(col("e"), col("ctr"))), 4).as("sse"))
+    },
+    Some(s"""WITH c AS (
+            |  SELECT label, t.i AS i, avg($ei) AS m FROM embeddings, $gs GROUP BY label, t.i)
+            |SELECT e.label,
+            |  round(sum(pow(CAST(e.embedding[c.i] AS DOUBLE) - c.m, 2)), 4) AS sse
+            |FROM embeddings e JOIN c ON c.label = e.label
+            |GROUP BY e.label""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Events: tumbling-window aggregation (§2.9 batch equivalent)
   // ---------------------------------------------------------------------
@@ -274,7 +322,8 @@ object Queries {
     scanProject, prefixLimit, aggSum, labelHistogram, singletons, topkByCount,
     joinBroadcast, joinMulti, semiJoin, antiJoin, unionAll, distinctPairs,
     crossJoinSmall, argminPerGroup, windowRank,
-    l2Norm, vectorSumByLabel, centroids, summaryStd, eventsWindow)
+    l2Norm, vectorSumByLabel, centroids, summaryStd,
+    mahalanobisToLabel, ssePerLabel, eventsWindow)
 
   def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
 }

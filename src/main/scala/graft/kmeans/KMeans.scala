@@ -61,15 +61,37 @@ object KMeans {
         .head().getDouble(0)
   }
 
+  /** Multi-seed restart (M3, code/test_sklearn.py:114-129): run
+    * seed+Lloyd `numSeeds` times from distinct deterministic starting
+    * points (the s-th smallest id seeds restart s) and keep the model
+    * with the lowest inertia.
+    */
+  def fitMultiSeed(points: DataFrame, k: Int, numSeeds: Int, iters: Int = 5,
+                   featCol: String = "features", idCol: String = "id"): Model = {
+    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val models = (0 until numSeeds).map { s =>
+        val m = fit(cached, k, iters, featCol, idCol, firstSeedRank = s)
+        m -> m.inertia(cached, featCol)
+      }
+      models.minBy(_._2)._1
+    } finally cached.unpersist(false)
+  }
+
   /** Farthest-first (maximin) seeding, distributed: maintain per-point
     * min-squared-distance to the chosen seeds and pick the argmax each
     * round. K driver actions over a cached projection of the sample.
+    * `firstSeedRank` picks the (rank+1)-th smallest id as the first seed
+    * (deterministic analog of the reference's random start,
+    * code/bfr.py:21).
     */
-  def seed(points: DataFrame, k: Int, featCol: String, idCol: String): Array[Array[Double]] = {
+  def seed(points: DataFrame, k: Int, featCol: String, idCol: String,
+           firstSeedRank: Int = 0): Array[Array[Double]] = {
     val proj = points.select(col(idCol).cast("long").as("__id"), col(featCol).as("__f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val first = proj.orderBy(col("__id")).select("__f").head()
+      val first = proj.orderBy(col("__id")).select("__f")
+        .limit(firstSeedRank + 1).collect().last
         .getSeq[Double](0).toArray
       val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
       var minD = proj.withColumn("__mind", sqDist(col("__f"), lit(first)))
@@ -97,13 +119,14 @@ object KMeans {
     * (code/bfr.py:52-57).
     */
   def fit(points: DataFrame, k: Int, iters: Int = 5,
-          featCol: String = "features", idCol: String = "id"): Model = {
+          featCol: String = "features", idCol: String = "id",
+          firstSeedRank: Int = 0): Model = {
     val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cached.count()
       require(n > 0, "KMeans.fit on empty input")
       val kEff = math.min(k.toLong, n).toInt
-      var centers = seed(cached, kEff, featCol, idCol)
+      var centers = seed(cached, kEff, featCol, idCol, firstSeedRank)
       var it = 0
       while (it < iters) {
         val model = Model(centers)

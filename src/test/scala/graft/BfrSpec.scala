@@ -52,6 +52,13 @@ class BfrSpec extends AnyFunSuite {
     assert(nmi > 0.8, s"BFR NMI $nmi below pass bar")
   }
 
+  test("multi-seed restart picks the lowest-inertia model (M3)") {
+    val inliers = blobs.filter(col("trueLabel") >= 0).select("id", "features")
+    val best = KMeans.fitMultiSeed(inliers, k = 5, numSeeds = 3, iters = 5)
+    val single = KMeans.fit(inliers, k = 5, iters = 5)
+    assert(best.inertia(inliers, "features") <= single.inertia(inliers, "features") + 1e-6)
+  }
+
   test("bfr on structureless embeddings terminates and labels every point") {
     val points = PointSource.fromEmbeddings(spark, "/root/testdata/sf0.001")
     val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))

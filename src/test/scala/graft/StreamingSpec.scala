@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.bfr.BFR
+import graft.eval.Nmi
+import graft.streaming.Streaming
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  test("bfrStream clusters a chunk-file stream incrementally") {
+    import spark.implicits._
+    // reuse the reference-layout dataset writer from AppAndIoSpec
+    val dir = Files.createTempDirectory("stream_ds").toString
+    val truth = new AppAndIoSpec().writeChunkedDataset(dir, nChunks = 3)
+    val outDir = Files.createTempDirectory("stream_out").toString + "/assign"
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val (q, state) = Streaming.bfrStream(spark, dir, outDir,
+      BFR.Config(k = 4), ckpt)
+    q.awaitTermination(120000)
+    assert(state.rounds == 3, s"expected 3 micro-batches, got ${state.rounds}")
+    assert(state.ds.size == 4)
+    val assigned = spark.read.parquet(outDir)
+    assert(assigned.count() == truth.size)
+    val nmi = Nmi.score(assigned, truth.toSeq.toDF("id", "label"))
+    assert(nmi > 0.8, s"streaming BFR NMI $nmi below pass bar")
+  }
+
+  test("windowed event counts with watermark (memory sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = Streaming.windowedEventCounts(df)
+      .select(col("window.start").as("w"), col("event_type"), col("cnt"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("winagg").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(7), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM winagg").collect()
+    q.stop()
+    val clicks = rows.filter(_.getString(1) == "click")
+    assert(clicks.exists(r => r.getLong(2) == 2 && r.getDouble(3) == 3.0),
+      s"expected clicks window (2, 3.0), got ${rows.mkString(";")}")
+  }
+
+  test("mapGroupsWithState running counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = Streaming.runningCounts(mem.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("running").start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM running").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // state carries across batches: a reaches (3, 6.0)
+    assert(rows.contains(("a", 3L, 6.0)), s"got ${rows.toSeq}")
+    assert(rows.contains(("b", 1L, 10.0)))
+  }
+}
