@@ -135,31 +135,42 @@ object TextQueries {
 
   private val minhashSeeds = Seq("s0:", "s1:", "s2:", "s3:")
 
-  /** 4-permutation MinHash signature via seeded md5 min-order statistics. */
-  private def sigCols: Seq[(String, Column)] = minhashSeeds.zipWithIndex.map {
-    case (seed, i) =>
-      s"mh$i" -> array_min(transform(shinglesCol, sh => md5(concat(lit(seed), sh))))
-  }
+  /** 4-permutation MinHash signature via seeded md5 min-order statistics.
+    * Single pass: explode shingles once, hash each under every seed, and
+    * min-aggregate per doc (map-side partial agg carries 4 strings per
+    * doc per partition — the shingle text itself never shuffles).
+    */
+  private def signatureDf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(shinglesCol).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit(minhashSeeds.head), col("sh")))).as("mh0"),
+        minhashSeeds.tail.zipWithIndex.map { case (seed, i) =>
+          min(md5(concat(lit(seed), col("sh")))).as(s"mh${i + 1}")
+        }: _*)
+
   private def sigSql: Seq[(String, String)] = minhashSeeds.zipWithIndex.map {
     case (seed, i) =>
       s"mh$i" -> s"list_min(list_transform($shinglesSql, sh -> md5(concat('$seed', sh))))"
   }
 
   val minhashSignature = Q("q_minhash_signature",
-    (s, dir) => docs(s, dir)
-      .select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*),
+    (s, dir) => signatureDf(s, dir),
     Some(s"SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")} FROM documents"))
 
   /** MinHash-LSH near-dup candidates: 2 bands × 2 rows; docs sharing a
-    * band bucket are candidate pairs. Only (doc_id, band) shuffles.
+    * band bucket are candidate pairs. The signature is localCheckpointed
+    * so the band union + self-join reuse it instead of re-hashing the
+    * corpus on every branch; only (doc_id, band-bucket) shuffles.
     */
   val minhashLshPairs = Q("q_minhash_lsh_pairs",
     (s, dir) => {
-      val sig = docs(s, dir)
-        .select(col("doc_id") +: sigCols.map { case (n, c) => c.as(n) }: _*)
+      val sig = signatureDf(s, dir)
         .select(col("doc_id"),
           md5(concat(col("mh0"), col("mh1"))).as("b0"),
           md5(concat(col("mh2"), col("mh3"))).as("b1"))
+        .localCheckpoint(true)
       val bands = sig.select(col("doc_id"), lit(0).as("band"), col("b0").as("bucket"))
         .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bucket")))
       val l = bands.as("l"); val r = bands.as("r")

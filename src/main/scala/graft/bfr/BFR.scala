@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{ClusterSummary, RoundStats}
-import graft.functions.VectorFunctions._
+import graft.functions.NativeVectorFunctions.mahalanobisNative
 import graft.kmeans.KMeans
 import graft.operators.SummaryAggregator
 
@@ -57,7 +57,7 @@ object BFR {
     * in as literals — assignment is purely map-side.
     */
   private def mahaDistances(features: Column, summaries: IndexedSeq[ClusterSummary]): Column =
-    array(summaries.map(s => mahalanobis(features, lit(s.center), lit(s.std))): _*)
+    array(summaries.map(s => mahalanobisNative(features, lit(s.center), lit(s.std))): _*)
 
   /** Nearest summary under `dist < alpha * sqrt(d)`: returns (labelCol,
     * keepCol). First minimum wins on ties (code/bfr.py:367-374 strict <).

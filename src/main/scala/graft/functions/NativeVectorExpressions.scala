@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Whole-stage-codegen'd kernels for the hot vector paths. The HOF
+  * compositions in [[VectorFunctions]] are correct and general, but each
+  * evaluation materializes intermediate arrays (`zip_with` output) —
+  * at O(n²) pair volume (near-dup, ANN) that allocation dominates. These
+  * expressions emit a primitive loop over the two ArrayData buffers with
+  * zero allocation per row.
+  */
+abstract class BinaryDoubleArrayFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Java source for the loop body accumulating into `s` given element
+    * expressions `x` and `y`.
+    */
+  protected def accumulate(x: String, y: String): String
+  protected def scalarAccumulate(x: Double, y: Double): Double
+  protected def finish(s: Double): Double = s
+  protected def finishCode(s: String): String = s
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += scalarAccumulate(x.getDouble(i), y.getDouble(i))
+      i += 1
+    }
+    finish(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${accumulate(s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |}
+         |${ev.value} = ${finishCode(s)};
+       """.stripMargin.replace("${s}", s)
+    })
+}
+
+/** Σ a_i·b_i with no per-row allocation. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryDoubleArrayFold {
+  protected def accumulate(x: String, y: String): String = s"$${s} += $x * $y;"
+  protected def scalarAccumulate(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_native"
+}
+
+/** Σ (a_i−b_i)² with no per-row allocation (squared Euclidean). */
+case class SqDistExpr(left: Expression, right: Expression)
+    extends BinaryDoubleArrayFold {
+  protected def accumulate(x: String, y: String): String =
+    s"double __t = $x - $y; $${s} += __t * __t;"
+  protected def scalarAccumulate(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sqdist_native"
+}
+
+/** Diagonal-σ Mahalanobis distance (zero-σ dims skipped,
+  * code/bfr.py:119-126) as one codegen'd ternary kernel — the BFR
+  * assignment hot path evaluates K of these per input row.
+  */
+case class MahalanobisExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(p: Any, c: Any, sd: Any): Any = {
+    val xp = p.asInstanceOf[ArrayData]
+    val xc = c.asInstanceOf[ArrayData]
+    val xs = sd.asInstanceOf[ArrayData]
+    val n = math.min(xp.numElements(), math.min(xc.numElements(), xs.numElements()))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val s = xs.getDouble(i)
+      if (s != 0.0) {
+        val z = (xp.getDouble(i) - xc.getDouble(i)) / s
+        acc += z * z
+      }
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, c, sd) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val sv = ctx.freshName("sv")
+      val z = ctx.freshName("z")
+      s"""
+         |int $n = java.lang.Math.min($p.numElements(),
+         |  java.lang.Math.min($c.numElements(), $sd.numElements()));
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $sv = $sd.getDouble($i);
+         |  if ($sv != 0.0) {
+         |    double $z = ($p.getDouble($i) - $c.getDouble($i)) / $sv;
+         |    $acc += $z * $z;
+         |  }
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "mahalanobis_native"
+}
+
+object NativeVectorFunctions {
+  private def toCol(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Codegen'd Σ a_i·b_i over two array<double> columns. */
+  def dotNative(a: Column, b: Column): Column = toCol(DotProductExpr(expr(a), expr(b)))
+
+  /** Codegen'd squared Euclidean distance over two array<double> columns. */
+  def sqDistNative(a: Column, b: Column): Column = toCol(SqDistExpr(expr(a), expr(b)))
+
+  /** Codegen'd diagonal-σ Mahalanobis distance (zero-σ dims skipped). */
+  def mahalanobisNative(p: Column, c: Column, sd: Column): Column =
+    toCol(MahalanobisExpr(expr(p), expr(c), expr(sd)))
+}

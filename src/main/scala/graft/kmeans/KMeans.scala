@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.ClusterSummary
-import graft.functions.VectorFunctions._
+import graft.functions.NativeVectorFunctions.sqDistNative
+import graft.functions.VectorFunctions.sqDist
 import graft.operators.SummaryAggregator
 
 /** Distributed, deterministic K-Means: farthest-first (maximin) seeding +
@@ -32,12 +33,12 @@ object KMeans {
     def k: Int = centers.length
     def d: Int = centers.headOption.map(_.length).getOrElse(0)
 
-    /** Literal array<array<double>> of the centers. */
-    private def centersLit: Column = array(centers.map(c => lit(c)): _*)
-
-    /** Squared distance of `features` to each center, as array<double>. */
+    /** Squared distance of `features` to each center, as array<double> —
+      * one codegen'd kernel per center (no lambda, stays inside
+      * whole-stage codegen).
+      */
     def distances(features: Column): Column =
-      transform(centersLit, c => sqDist(features, c))
+      array(centers.map(c => sqDistNative(features, lit(c))): _*)
 
     /** Argmin label (first minimum wins — ties to the lowest cluster id). */
     def labelFor(features: Column): Column = {
@@ -115,17 +116,35 @@ object KMeans {
     } finally proj.unpersist(false)
   }
 
+  /** Inputs at or below this many cells (rows × dims) run the identical
+    * algorithm driver-local instead of as ~k + iters Spark jobs. BFR's
+    * design bounds the k-means input to a sample (SURVEY.md §4), so in
+    * the pipeline this path usually wins; big inputs stay distributed.
+    */
+  val LocalFitCells: Long = 4L * 1000 * 1000
+
   /** Fixed-iteration Lloyd. Empty clusters keep their previous center
-    * (code/bfr.py:52-57).
+    * (code/bfr.py:52-57). The local and distributed paths implement the
+    * same deterministic algorithm (same seeding rule, same first-min
+    * tie-breaks); centers agree up to floating-point accumulation order.
     */
   def fit(points: DataFrame, k: Int, iters: Int = 5,
           featCol: String = "features", idCol: String = "id",
-          firstSeedRank: Int = 0): Model = {
+          firstSeedRank: Int = 0, forceDistributed: Boolean = false): Model = {
     val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = cached.count()
       require(n > 0, "KMeans.fit on empty input")
       val kEff = math.min(k.toLong, n).toInt
+      val d = cached.select(org.apache.spark.sql.functions.size(col(featCol)))
+        .head().getInt(0)
+      if (!forceDistributed && n * d <= LocalFitCells) {
+        val rows = cached
+          .select(col(idCol).cast("long").as("__id"), col(featCol).as("__f"))
+          .orderBy(col("__id")).collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        return fitLocal(rows, kEff, iters, firstSeedRank)
+      }
       var centers = seed(cached, kEff, featCol, idCol, firstSeedRank)
       var it = 0
       while (it < iters) {
@@ -149,6 +168,72 @@ object KMeans {
       }
       Model(centers)
     } finally cached.unpersist(false)
+  }
+
+  /** Driver-local twin of the distributed fit: exact maximin seeding
+    * (first seed = point with `firstSeedRank`-th smallest id; rows arrive
+    * id-sorted) + Lloyd with first-min argmin ties, empty clusters keep
+    * their center — semantics of code/bfr.py:18-90.
+    */
+  private[graft] def fitLocal(rows: Array[Array[Double]], k: Int, iters: Int,
+                              firstSeedRank: Int): Model = {
+    val n = rows.length
+    val d = rows.head.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // maximin seeding
+    val centers = new Array[Array[Double]](k)
+    centers(0) = rows(math.min(firstSeedRank, n - 1)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 0
+    while (c + 1 < k) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < n) {
+        val dd = sq(rows(i), centers(c))
+        if (dd < minD(i)) minD(i) = dd
+        // strict > keeps the lowest id on ties (rows are id-sorted)
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      c += 1
+      centers(c) = rows(best).clone()
+    }
+    // Lloyd
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        var bi = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val dd = sq(rows(i), centers(j))
+          if (dd < bd) { bd = dd; bi = j } // strict < = first-min wins
+          j += 1
+        }
+        counts(bi) += 1
+        var x = 0
+        while (x < d) { sums(bi)(x) += rows(i)(x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val nc = new Array[Double](d)
+          var x = 0
+          while (x < d) { nc(x) = sums(j)(x) / counts(j); x += 1 }
+          centers(j) = nc
+        }
+        j += 1
+      }
+      it += 1
+    }
+    Model(centers)
   }
 
   /** Cluster and return per-cluster sufficient statistics keyed by label. */

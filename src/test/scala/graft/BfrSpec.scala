@@ -52,6 +52,17 @@ class BfrSpec extends AnyFunSuite {
     assert(nmi > 0.8, s"BFR NMI $nmi below pass bar")
   }
 
+  test("local and distributed fit paths agree (same algorithm)") {
+    val inliers = blobs.filter(col("trueLabel") >= 0).select("id", "features")
+    val local = KMeans.fit(inliers, k = 5, iters = 5)
+    val dist = KMeans.fit(inliers, k = 5, iters = 5, forceDistributed = true)
+    local.centers.zip(dist.centers).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"center drift: $x vs $y")
+      }
+    }
+  }
+
   test("multi-seed restart picks the lowest-inertia model (M3)") {
     val inliers = blobs.filter(col("trueLabel") >= 0).select("id", "features")
     val best = KMeans.fitMultiSeed(inliers, k = 5, numSeeds = 3, iters = 5)

@@ -38,6 +38,35 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native codegen kernels match the HOF expressions exactly") {
+    import graft.functions.NativeVectorFunctions._
+    val pairs = Seq.fill(100)((vec(), vec()))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      dotNative(col("a"), col("b")).as("dn"),
+      dot(col("a"), col("b")).as("dh"),
+      sqDistNative(col("a"), col("b")).as("sn"),
+      sqDist(col("a"), col("b")).as("sh")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot: native != HOF")
+      assert(r.getDouble(2) == r.getDouble(3), "sqdist: native != HOF")
+    }
+  }
+
+  test("native mahalanobis matches scalar incl zero-std skip") {
+    import graft.functions.NativeVectorFunctions._
+    val pts = Seq.fill(30)(vec())
+    val s0 = pts.map(p => { val q = p.clone(); q(3) = -7.0; q })
+      .foldLeft(ClusterSummary.zero(dim))((acc, p) => acc.add(p))
+    val probes = Seq.fill(20)(vec())
+    val rows = probes.toDF("p")
+      .select(mahalanobisNative(col("p"), lit(s0.center), lit(s0.std)).as("m"))
+      .collect()
+    probes.zip(rows).foreach { case (p, r) =>
+      assert(math.abs(r.getDouble(0) - s0.mahalanobis(p)) < 1e-9)
+    }
+  }
+
   test("cosine returns 0 for zero-norm input") {
     val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
     assert(df.select(cosine(col("a"), col("b"))).head().getDouble(0) == 0.0)
