@@ -164,20 +164,25 @@ object TextQueries {
     * so the band union + self-join reuse it instead of re-hashing the
     * corpus on every branch; only (doc_id, band-bucket) shuffles.
     */
+  /** LSH candidate pairs (shared band bucket), reused by the Jaccard
+    * verification stage.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val sig = signatureDf(s, dir)
+      .select(col("doc_id"),
+        md5(concat(col("mh0"), col("mh1"))).as("b0"),
+        md5(concat(col("mh2"), col("mh3"))).as("b1"))
+      .localCheckpoint(true)
+    val bands = sig.select(col("doc_id"), lit(0).as("band"), col("b0").as("bucket"))
+      .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bucket")))
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+        && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
+  }
+
   val minhashLshPairs = Q("q_minhash_lsh_pairs",
-    (s, dir) => {
-      val sig = signatureDf(s, dir)
-        .select(col("doc_id"),
-          md5(concat(col("mh0"), col("mh1"))).as("b0"),
-          md5(concat(col("mh2"), col("mh3"))).as("b1"))
-        .localCheckpoint(true)
-      val bands = sig.select(col("doc_id"), lit(0).as("band"), col("b0").as("bucket"))
-        .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bucket")))
-      val l = bands.as("l"); val r = bands.as("r")
-      l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
-          && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
-    },
+    (s, dir) => lshCandidates(s, dir),
     Some(s"""WITH sig AS (
             |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
             |  FROM documents),
@@ -188,6 +193,51 @@ object TextQueries {
             |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             |FROM bands l JOIN bands r
             |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin))
+
+  /** Exact n-gram Jaccard over the LSH candidate pairs — the verify stage
+    * of the MinHash pipeline (candidates → true similarity). Set
+    * semantics: distinct shingles; |A∩B| via a shingle equi-join (only
+    * (doc_id, shingle-hash) pairs shuffle), |A∪B| = |A|+|B|−|A∩B|.
+    */
+  val ngramJaccard = Q("q_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(shinglesCol)).as("sh"))
+        .localCheckpoint(true)
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = lshCandidates(s, dir)
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+      val inter = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+    },
+    Some(s"""WITH sig AS (
+            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
+            |  FROM documents),
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
+            |pairs AS (
+            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |  FROM bands l JOIN bands r
+            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            |  GROUP BY p.doc_a, p.doc_b)
+            |SELECT i.doc_a, i.doc_b,
+            |  round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6) AS jaccard
+            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+            |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing: opaque binary column + typed metadata
@@ -210,7 +260,25 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** The typed multimodal pipeline end-to-end (Dataset[MediaRow] →
+    * mapPartitions stub decode → Dataset[ImageFeatures]); the stub codec
+    * is md5-derived, so the whole path oracle-checks against closed-form
+    * SQL on the raw table.
+    */
+  val multimodalFeatures = Q("q_multimodal_features",
+    (s, dir) => graft.multimodal.Multimodal.extractImageFeatures(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+      .toDF(),
+    Some("""SELECT doc_id AS id,
+           | CAST(('0x' || substring(md5(text), 1, 4))::BIGINT % 1920 AS INT) AS width,
+           | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS INT) AS height,
+           | 3 AS channels,
+           | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           | ('0x' || substring(md5(text), 9, 2))::BIGINT / 256.0 AS brightness
+           |FROM documents""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, qualityScore, langHistogram, langId,
-    docFingerprint, minhashSignature, minhashLshPairs, multimodalMeta)
+    docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
+    multimodalMeta, multimodalFeatures)
 }
