@@ -223,6 +223,42 @@ object MlQueries {
             |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
             |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.9""".stripMargin))
 
+  /** Random-hyperplane LSH bucketing — the scale path for embedding
+    * near-dup (candidates share a sign-pattern bucket; verify with the
+    * exact cosine stage). Hyperplanes derive from exact integer
+    * arithmetic (Knuth multiplicative hash mod a prime) so both engines
+    * compute identical planes and the bucketing itself is oracle-checked.
+    */
+  private val LshPlanes = 8
+  private def hyperplane(j: Int): Array[Double] =
+    Array.tabulate(D)(i => ((((j * D + i).toLong * 2654435761L) % 1997L) - 998L) / 998.0)
+
+  val embeddingLshPairs = Q("q_embedding_lsh_pairs",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val bits = (0 until LshPlanes).map(j =>
+        when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0")))
+      val bucketed = e.select(col("id"), concat(bits: _*).as("bucket"))
+        .localCheckpoint(true)
+      val l = bucketed.select(col("id").as("ida"), col("bucket"))
+      val r = bucketed.select(col("id").as("idb"), col("bucket"))
+      l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), col("bucket")).distinct()
+    },
+    Some(s"""WITH p AS (
+            |  SELECT j.j AS j, i.i AS i,
+            |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
+            |  FROM generate_series(0, ${LshPlanes - 1}) j(j), generate_series(0, ${D - 1}) i(i)),
+            |b AS (
+            |  SELECT e.vec_id, p.j,
+            |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
+            |         THEN '1' ELSE '0' END AS bit
+            |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+            |k AS (
+            |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM b GROUP BY vec_id)
+            |SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb, l.bucket
+            |FROM k l JOIN k r ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)
   // ---------------------------------------------------------------------
@@ -265,5 +301,6 @@ object MlQueries {
 
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, bfrAssign, bfrStats, kmeansNmi,
-    nmiLangSource, annBruteForce, annIvf, embeddingNearDup, simhash)
+    nmiLangSource, annBruteForce, annIvf, embeddingNearDup,
+    embeddingLshPairs, simhash)
 }

@@ -314,6 +314,47 @@ object Queries {
            | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Gap-based sessionization over the events stream (30-min inactivity
+    * boundary): lag → new-session marker → running sum → per-session
+    * aggregate. One shuffle on user_id; the window and the session
+    * aggregation share that partitioning.
+    */
+  val sessionize = Q("q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val withPrev = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      val marked = withPrev.withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1L)
+          .otherwise(0L))
+      marked
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"))
+    },
+    Some("""WITH x AS (
+           |  SELECT user_id, event_id, ts,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |y AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN prev_ts IS NULL
+           |           OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS is_new
+           |  FROM x),
+           |z AS (
+           |  SELECT user_id, ts,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                      ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM y)
+           |SELECT user_id, CAST(sess AS BIGINT) AS session_id, count(*) AS n_events,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts
+           |FROM z GROUP BY user_id, sess""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Assembly
   // ---------------------------------------------------------------------
@@ -323,7 +364,7 @@ object Queries {
     joinBroadcast, joinMulti, semiJoin, antiJoin, unionAll, distinctPairs,
     crossJoinSmall, argminPerGroup, windowRank,
     l2Norm, vectorSumByLabel, centroids, summaryStd,
-    mahalanobisToLabel, ssePerLabel, eventsWindow)
+    mahalanobisToLabel, ssePerLabel, eventsWindow, sessionize)
 
   def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
 }

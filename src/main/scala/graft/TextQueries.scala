@@ -47,6 +47,23 @@ object TextQueries {
     Some(s"""SELECT doc_id, len($wordsSql) AS n_tokens,
             | length(text) AS n_chars_txt FROM documents""".stripMargin))
 
+  /** BPE-ish subword tokenization by regex: runs of lowercase, a
+    * capitalized prefix, digit runs, or single punctuation — the
+    * whitespace tokenizer's finer-grained sibling for token accounting.
+    */
+  private val bpePattern = """[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"""
+
+  val tokenBpe = Q("q_token_bpe",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(bpePattern)).as("n_subtokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit(bpePattern), lit(0))))
+          .as("n_distinct_subtokens")),
+    Some(s"""SELECT doc_id,
+            | len(regexp_extract_all(text, '$bpePattern')) AS n_subtokens,
+            | len(list_distinct(regexp_extract_all(text, '$bpePattern'))) AS n_distinct_subtokens
+            |FROM documents""".stripMargin))
+
   private val stopLits = Seq("the", "a", "and", "of", "to", "in", "is", "on")
 
   val qualityScore = Q("q_quality_score",
@@ -278,7 +295,7 @@ object TextQueries {
            |FROM documents""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    dedupExact, tokenCount, qualityScore, langHistogram, langId,
+    dedupExact, tokenCount, tokenBpe, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     multimodalMeta, multimodalFeatures)
 }
