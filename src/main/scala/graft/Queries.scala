@@ -314,6 +314,55 @@ object Queries {
            | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
            |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Exact distinct-count per group (A7-adjacent); the approximate (HLL)
+    * form is the scale alternative but has engine-specific sketches, so
+    * the oracle pins the exact semantics.
+    */
+  val countDistinct_ = Q("q_count_distinct",
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")),
+    Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  /** Sliding windows: each event lands in two 10-minute windows sliding
+    * by 5 — the overlap union replicated in SQL via two bucket offsets.
+    */
+  val eventsSlidingWindow = Q("q_events_sliding",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt")),
+    Some("""WITH b AS (
+           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+           |         event_type FROM events
+           |  UNION ALL
+           |  SELECT strftime(time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+           |                  '%Y-%m-%d %H:%M:%S') AS w_start,
+           |         event_type FROM events)
+           |SELECT w_start, event_type, count(*) AS cnt FROM b GROUP BY w_start, event_type""".stripMargin))
+
+  /** Skew-resilient salted join: the dim side replicates over `salts`
+    * buckets, the fact side salts deterministically, and the join keys
+    * become (key, salt) — same result set as the plain join (the oracle),
+    * but a skewed key's rows spread over `salts` reducers instead of one.
+    */
+  val saltedJoin = Q("q_salted_join",
+    (s, dir) => {
+      val salts = 8
+      val fact = t(s, dir, "lineitem")
+        .withColumn("__salt", pmod(crc32(col("l_orderkey").cast("string")), lit(salts)).cast("int"))
+      val dim = t(s, dir, "supplier")
+        .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim, fact("l_suppkey") === dim("s_suppkey") && fact("__salt") === dim("__salt"))
+        .groupBy(col("s_name"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("cnt"))
+    },
+    Some("""SELECT s_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
+           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name""".stripMargin))
+
   /** Gap-based sessionization over the events stream (30-min inactivity
     * boundary): lag → new-session marker → running sum → per-session
     * aggregate. One shuffle on user_id; the window and the session
@@ -364,7 +413,8 @@ object Queries {
     joinBroadcast, joinMulti, semiJoin, antiJoin, unionAll, distinctPairs,
     crossJoinSmall, argminPerGroup, windowRank,
     l2Norm, vectorSumByLabel, centroids, summaryStd,
-    mahalanobisToLabel, ssePerLabel, eventsWindow, sessionize)
+    mahalanobisToLabel, ssePerLabel, eventsWindow, sessionize,
+    countDistinct_, eventsSlidingWindow, saltedJoin)
 
   def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
 }
