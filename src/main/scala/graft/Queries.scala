@@ -363,6 +363,26 @@ object Queries {
     Some("""SELECT s_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name""".stripMargin))
 
+  /** Exact interpolated quantiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear interpolation). The approximate sketch
+    * (`percentile_approx`) is the 100 TB alternative; the oracle pins the
+    * exact form.
+    */
+  val quantiles = Q("q_quantiles",
+    (s, dir) => events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(min(col("value")), 6).as("vmin"),
+        round(max(col("value")), 6).as("vmax")),
+    Some("""SELECT event_type,
+           | round(quantile_cont(value, 0.5), 6) AS p50,
+           | round(quantile_cont(value, 0.9), 6) AS p90,
+           | round(min(value), 6) AS vmin,
+           | round(max(value), 6) AS vmax
+           |FROM events GROUP BY event_type""".stripMargin))
+
   /** Gap-based sessionization over the events stream (30-min inactivity
     * boundary): lag → new-session marker → running sum → per-session
     * aggregate. One shuffle on user_id; the window and the session
@@ -414,7 +434,7 @@ object Queries {
     crossJoinSmall, argminPerGroup, windowRank,
     l2Norm, vectorSumByLabel, centroids, summaryStd,
     mahalanobisToLabel, ssePerLabel, eventsWindow, sessionize,
-    countDistinct_, eventsSlidingWindow, saltedJoin)
+    countDistinct_, eventsSlidingWindow, saltedJoin, quantiles)
 
   def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
 }

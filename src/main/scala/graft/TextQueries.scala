@@ -47,6 +47,25 @@ object TextQueries {
     Some(s"""SELECT doc_id, len($wordsSql) AS n_tokens,
             | length(text) AS n_chars_txt FROM documents""".stripMargin))
 
+  /** Text normalization — the cleanup stage of a training-data pipeline:
+    * lowercase, strip non-alphanumerics, collapse whitespace. Output is
+    * the md5 of the normalized form (compact + order-insensitive to
+    * verify) plus its length.
+    */
+  val textNormalize = Q("q_text_normalize",
+    (s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      docs(s, dir).select(col("doc_id"),
+        md5(norm).as("norm_hash"), length(norm).as("norm_len"))
+    },
+    Some("""SELECT doc_id,
+           | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           |                         ' +', ' ', 'g'))) AS norm_hash,
+           | length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           |                            ' +', ' ', 'g'))) AS norm_len
+           |FROM documents""".stripMargin))
+
   /** BPE-ish subword tokenization by regex: runs of lowercase, a
     * capitalized prefix, digit runs, or single punctuation — the
     * whitespace tokenizer's finer-grained sibling for token accounting.
@@ -277,6 +296,33 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** Dedup end-to-end: LSH candidate pairs → connected components → each
+    * doc mapped to its canonical (minimum-id) group representative.
+    * Oracle = transitive closure via recursive CTE.
+    */
+  val dedupGroups = Q("q_dedup_groups",
+    (s, dir) => graft.operators.ConnectedComponents
+      .canonicalize(lshCandidates(s, dir)),
+    Some(s"""WITH RECURSIVE sig AS (
+            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
+            |  FROM documents),
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
+            |pairs AS (
+            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |  FROM bands l JOIN bands r
+            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            |SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |FROM reach GROUP BY s""".stripMargin))
+
   /** The typed multimodal pipeline end-to-end (Dataset[MediaRow] →
     * mapPartitions stub decode → Dataset[ImageFeatures]); the stub codec
     * is md5-derived, so the whole path oracle-checks against closed-form
@@ -295,7 +341,7 @@ object TextQueries {
            |FROM documents""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    dedupExact, tokenCount, tokenBpe, qualityScore, langHistogram, langId,
+    dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
-    multimodalMeta, multimodalFeatures)
+    dedupGroups, multimodalMeta, multimodalFeatures)
 }

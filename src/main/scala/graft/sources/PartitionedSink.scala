@@ -1,0 +1,25 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Partition-aware parquet sink: the layout choices that decide whether a
+  * 100 TB read prunes or scans everything.
+  *
+  *  - `writePartitioned` — hive-style directory partitioning on a
+  *    low-cardinality column: filters on that column become
+  *    PartitionFilters (whole directories skipped, no footer reads).
+  *  - `writeClustered` — within-file ordering (repartition + sortWithin
+  *    Partitions) on a high-cardinality column so parquet min/max row-
+  *    group stats prune selective point/range predicates.
+  */
+object PartitionedSink {
+
+  def writePartitioned(df: DataFrame, partitionCol: String, outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
+
+  def writeClustered(df: DataFrame, clusterCol: String, outDir: String,
+                     numFiles: Int = 8): Unit =
+    df.repartition(numFiles, org.apache.spark.sql.functions.col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(outDir)
+}

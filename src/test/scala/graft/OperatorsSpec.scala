@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ConnectedComponents
+import graft.sources.PartitionedSink
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+
+  test("connected components: chains, triangles, and isolated pairs") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converge on a long path (worst-case diameter)") {
+    import spark.implicits._
+    val edges = (0L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = ConnectedComponents.run(edges, maxIter = 50).collect()
+    assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("dedup canonicalize groups LSH pairs by min doc id") {
+    import spark.implicits._
+    val pairs = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("doc_a", "doc_b")
+    val got = ConnectedComponents.canonicalize(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
+  }
+
+  test("partitioned write prunes partitions; clustered write prunes row groups") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir1 = Files.createTempDirectory("part").toString
+    PartitionedSink.writePartitioned(li, "l_returnflag", dir1)
+    val pruned = spark.read.parquet(dir1).filter(col("l_returnflag") === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"no partition filter:\n${plan.take(2000)}")
+    val all = spark.read.parquet(dir1).count()
+    assert(pruned.count() > 0 && pruned.count() < all)
+
+    val dir2 = Files.createTempDirectory("clus").toString
+    PartitionedSink.writeClustered(li, "l_orderkey", dir2, numFiles = 4)
+    val point = spark.read.parquet(dir2).filter(col("l_orderkey") === 1L)
+    val plan2 = point.queryExecution.executedPlan.toString
+    assert(plan2.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)"),
+      s"no pushed filter:\n${plan2.take(2000)}")
+    assert(point.count() == li.filter(col("l_orderkey") === 1L).count())
+  }
+}
