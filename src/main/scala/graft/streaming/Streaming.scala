@@ -96,6 +96,16 @@ object Streaming {
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Streaming exact dedup: watermarked dropDuplicates on the id column —
+    * duplicates arriving within the watermark horizon are suppressed,
+    * state for ids older than the watermark is evicted (bounded state at
+    * 100 TB ingest; exactly the shape a streaming training-data dedup
+    * stage needs).
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
+
   /** Custom arbitrary state: running per-key counts via
     * mapGroupsWithState (KeyValueGroupedDataset surface).
     */

@@ -51,6 +51,24 @@ class StreamingSpec extends AnyFunSuite {
       s"expected clicks window (2, 3.0), got ${rows.mkString(";")}")
   }
 
+  test("streaming dedup suppresses duplicate ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = Streaming.dedupStream(df, "event_id", "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    mem.addData((1L, ts(1), 1.0), (2L, ts(1), 2.0), (1L, ts(1), 99.0)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData((1L, ts(1), 77.0), (3L, ts(2), 3.0)) // cross-batch dup
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("mapGroupsWithState running counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
