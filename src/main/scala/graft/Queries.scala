@@ -363,6 +363,47 @@ object Queries {
     Some("""SELECT s_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name""".stripMargin))
 
+  /** As-of join — for each event, the latest order (o_orderdate ≤ ts) of
+    * the same customer. Spark lacks the operator; composed scalably as a
+    * tagged union + one running-last window: ONE shuffle on the key, no
+    * per-row subqueries, no range crossJoin. Orders sort before events at
+    * equal timestamps (≤ semantics).
+    */
+  val asofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        col("o_custkey").as("key"), col("o_orderdate").as("t"),
+        lit(1).as("is_order"), col("o_orderdate").as("od"),
+        lit(null).cast("long").as("event_id"))
+      val ev = events(s, dir).select(
+        col("user_id").as("key"), col("ts").as("t"),
+        lit(0).as("is_order"), lit(null).cast("timestamp").as("od"),
+        col("event_id"))
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("t"), col("is_order").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      orders.union(ev)
+        .withColumn("last_od", last(col("od"), ignoreNulls = true).over(w))
+        .filter(col("is_order") === 0)
+        .select(col("event_id"), col("key").as("user_id"),
+          date_format(col("last_od"), "yyyy-MM-dd").as("last_order_date"))
+    },
+    Some("""SELECT e.event_id, e.user_id,
+           | strftime((SELECT max(o.o_orderdate) FROM orders o
+           |           WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts),
+           |          '%Y-%m-%d') AS last_order_date
+           |FROM events e""".stripMargin))
+
+  /** Fixed-width value bucketing (histogram) — floor buckets, portable
+    * across engines.
+    */
+  val valueHistogram = Q("q_value_histogram",
+    (s, dir) => events(s, dir)
+      .groupBy(floor(col("value") / 10.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt")),
+    Some("""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS cnt
+           |FROM events GROUP BY 1""".stripMargin))
+
   /** Exact interpolated quantiles per group (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, both linear interpolation). The approximate sketch
     * (`percentile_approx`) is the 100 TB alternative; the oracle pins the
@@ -434,7 +475,8 @@ object Queries {
     crossJoinSmall, argminPerGroup, windowRank,
     l2Norm, vectorSumByLabel, centroids, summaryStd,
     mahalanobisToLabel, ssePerLabel, eventsWindow, sessionize,
-    countDistinct_, eventsSlidingWindow, saltedJoin, quantiles)
+    countDistinct_, eventsSlidingWindow, saltedJoin, quantiles,
+    asofJoin, valueHistogram)
 
   def all: Seq[Q] = relational ++ TextQueries.all ++ MlQueries.all
 }

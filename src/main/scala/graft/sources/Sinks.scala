@@ -21,6 +21,11 @@ object Sinks {
     val rows = assignments
       .select(col(assignments.columns(0)).cast("long").as("id"),
         col(assignments.columns(1)).cast("int").as("cluster"))
+      // duplicate input ids (the reference's own micro-fixture has them,
+      // FIXTURES.md §1) would emit duplicate JSON keys; keep the real
+      // cluster over -1, then max — mirrors the reference dict's
+      // last-write-wins collapse while staying deterministic
+      .groupBy(col("id")).agg(max(col("cluster")).as("cluster"))
       .orderBy("id").collect()
     val sb = new StringBuilder("{")
     var first = true
