@@ -242,13 +242,20 @@ object TextQueries {
         .localCheckpoint(true)
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = lshCandidates(s, dir)
+      // candidate pairs are tiny: broadcast them so the corpus-sized
+      // shingle stream is joined map-side on both hops (the only shuffle
+      // left is the per-doc shingle count)
       val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
       val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val inter = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b", "sh"))
+      val aShingles = a.join(broadcast(pairs), Seq("doc_a"))     // (doc_a, sh, doc_b), |pairs|·|shingles/doc|
+      val inter = b.join(broadcast(aShingles), Seq("doc_b", "sh"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-      inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      // inter is the small side (one row per candidate pair) — broadcast
+      // it against the corpus-sized count table, never the reverse
+      val withNa = cnt.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .join(broadcast(inter), Seq("doc_a"))
+      cnt.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .join(broadcast(withNa), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
     },

@@ -106,6 +106,23 @@ object Streaming {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
 
+  /** Stream-stream inner join with a time bound: pair each left event
+    * with right events for the same key within `boundSeconds` after it.
+    * Watermarks on both sides bound the join state.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String,
+                       boundSeconds: Int = 300,
+                       watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("k"), col(tsCol).as("lts"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("rk"), col(tsCol).as("rts"))
+    l.join(r, col("k") === col("rk") &&
+      col("rts") >= col("lts") &&
+      col("rts") <= col("lts") + expr(s"INTERVAL $boundSeconds SECONDS"))
+  }
+
   /** Custom arbitrary state: running per-key counts via
     * mapGroupsWithState (KeyValueGroupedDataset surface).
     */

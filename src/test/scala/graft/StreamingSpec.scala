@@ -69,6 +69,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("stream-stream join pairs events within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lmem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val joined = Streaming.streamStreamJoin(
+      lmem.toDF().toDF("user_id", "ts"), rmem.toDF().toDF("user_id", "ts"),
+      "user_id", "ts", boundSeconds = 300)
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssj").start()
+    lmem.addData((1L, ts(0)), (2L, ts(0)))
+    rmem.addData((1L, ts(3)), (1L, ts(9)), (2L, ts(2)), (3L, ts(1)))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, rts FROM ssj").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).sorted
+    q.stop()
+    // key 1: only the +3min right event is within 5 min; +9min excluded;
+    // key 2: +2min matches; key 3: no left side
+    assert(rows.toSeq == Seq((1L, "2026-01-01 10:03:00.0"), (2L, "2026-01-01 10:02:00.0")),
+      s"got ${rows.toSeq}")
+  }
+
   test("mapGroupsWithState running counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
