@@ -135,11 +135,13 @@ object BFR {
         ds = (0 until cfg.k).map(l => byLabel.getOrElse(l, ClusterSummary.zero(dim)))
         assigned = unionAssign(assigned,
           fineAssigned.select(col("id"), col("label").cast("int").as("cluster")))
+        discardedSoFar += byLabel.values.map(_.n).sum // sample inliers
         rs = rsInit
         // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429)
         val rest = chunk.join(sample.select("id"), Seq("id"), "left_anti")
         val (a2, r2) = assignToDs(rest, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a2)
+        discardedSoFar += a2.count()
         rs = rs.union(r2)
         sample.unpersist(false); coarseAssigned.unpersist(false)
         inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
@@ -147,6 +149,7 @@ object BFR {
         // --- per-chunk step (M5, code/bfr.py:382-391) ---
         val (a, r) = assignToDs(chunk, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a)
+        discardedSoFar += a.count()
         rs = rs.union(r)
       }
 
@@ -193,19 +196,24 @@ object BFR {
         // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
         ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
         assigned = unionAssign(assigned, a)
+        discardedSoFar += a.count()
         rs = r.localCheckpoint(true)
         rsCount = rs.count()
       }
 
       // --- finalize on the last round (M9, code/bfr.py:336-355) ---
+      var retained = 0L
       if (round == nRounds) {
         if (rsCount > 0) {
           val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
           ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
           assigned = unionAssign(assigned, a)
+          val aCount = a.count()
+          discardedSoFar += aCount
+          retained = rsCount - aCount
           assigned = unionAssign(assigned,
             r.select(col("id"), lit(-1).cast("int").as("cluster")))
-          rs = r // retained count reported below
+          rs = r
         }
         // force-merge every CS into its nearest DS (α=10^18, code/bfr.py:350)
         if (cs.nonEmpty) {
@@ -220,16 +228,18 @@ object BFR {
           val csMap = map(csToDs.toSeq.flatMap { case (c, d0) => Seq(lit(c), lit(d0)) }: _*)
           assigned = unionAssign(assigned,
             csMembers.select(col("id"), element_at(csMap, col("cs_id")).cast("int").as("cluster")))
+          discardedSoFar += csMembers.count()
           cs = IndexedSeq.empty
         }
       }
 
+      // incremental accounting: each round counts only its delta batches,
+      // never the accumulated assignments (an O(rounds^2) rescan at scale)
       assigned = assigned.localCheckpoint(true)
       csMembers = csMembers.localCheckpoint(true)
-      discardedSoFar = assigned.filter(col("cluster") >= 0).count()
       val csPoints = csMembers.count()
       stats += RoundStats(round, ds.size, discardedSoFar, cs.size, csPoints,
-        if (round == nRounds) assigned.filter(col("cluster") === -1).count() else rsCount)
+        if (round == nRounds) retained else rsCount)
       chunk.unpersist(false)
     }
 
