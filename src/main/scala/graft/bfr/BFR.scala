@@ -43,7 +43,14 @@ object BFR {
       initSampleFraction: Double = 0.2, // code/bfr.py:396-398
       seedKMult: Int = 3,          // init clusters = 3K (code/bfr.py:400)
       csKMult: Int = 5,            // RS re-cluster into 5K (code/bfr.py:264)
-      rsClusterThreshold: Int = 500 // re-cluster RS when it exceeds this
+      rsClusterThreshold: Int = 500, // re-cluster RS when it exceeds this
+      /** Scale-safety valve (beyond the reference): if RS still exceeds
+        * this after re-clustering, force-assign the overflow to the
+        * nearest DS unconditionally (alpha = ∞) rather than letting
+        * driver-adjacent state grow without bound on adversarial data.
+        * None = reference-faithful unbounded RS.
+        */
+      rsHardCap: Option[Int] = None
   )
 
   final case class Result(
@@ -142,6 +149,9 @@ object BFR {
         val (a2, r2) = assignToDs(rest, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a2)
         discardedSoFar += a2.count()
+        // A4: assigned points fold into their DS summaries (the reference
+        // updates per point at code/bfr.py:389; we fold the chunk's delta)
+        ds = absorb(ds, a2.join(rest, Seq("id")).select(col("cluster").as("label"), col("features")))
         rs = rs.union(r2)
         sample.unpersist(false); coarseAssigned.unpersist(false)
         inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
@@ -150,6 +160,7 @@ object BFR {
         val (a, r) = assignToDs(chunk, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a)
         discardedSoFar += a.count()
+        ds = absorb(ds, a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
         rs = rs.union(r)
       }
 
@@ -188,6 +199,18 @@ object BFR {
           csMembers = csMembers.select(col("id"),
             coalesce(element_at(remapExpr, col("cs_id")), col("cs_id")).cast("int").as("cs_id"))
         }
+      }
+
+      // --- RS hard cap (engine extension): force-spill overflow to DS ---
+      for (cap <- cfg.rsHardCap if rsCount > cap && ds.nonEmpty) {
+        val overflow = rs.orderBy(col("id")).limit((rsCount - cap).toInt)
+          .localCheckpoint(true)
+        val (a, _) = assignToDs(overflow, ds, Double.MaxValue)
+        ds = absorb(ds, a.join(overflow, Seq("id")).select(col("cluster").as("label"), col("features")))
+        assigned = unionAssign(assigned, a)
+        discardedSoFar += a.count()
+        rs = rs.join(overflow.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
+        rsCount = rs.count()
       }
 
       // --- mid-stream RS -> DS spill (M8, code/bfr.py:322-334), not last round ---

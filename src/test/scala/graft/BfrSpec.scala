@@ -70,6 +70,20 @@ class BfrSpec extends AnyFunSuite {
     assert(best.inertia(inliers, "features") <= single.inertia(inliers, "features") + 1e-6)
   }
 
+  test("rs hard cap bounds retained-set size on adversarial data") {
+    // structureless embeddings: most points miss the DS threshold -> RS
+    // would balloon; the cap must keep it bounded and still label all
+    val points = PointSource.fromEmbeddings(spark, "/root/testdata/sf0.001")
+    val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
+    val res = BFR.run(spark, chunks,
+      BFR.Config(k = 10, rsClusterThreshold = 1000, rsHardCap = Some(60)))
+    assert(res.assignments.count() == 500)
+    assert(res.assignments.select("id").distinct().count() == 500)
+    // every non-final round's retained count obeys the cap
+    res.stats.dropRight(1).foreach(s =>
+      assert(s.nof_point_retained <= 60, s"cap violated: $s"))
+  }
+
   test("bfr on structureless embeddings terminates and labels every point") {
     val points = PointSource.fromEmbeddings(spark, "/root/testdata/sf0.001")
     val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
