@@ -23,7 +23,7 @@ object TextQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Whitespace tokenization, trimmed — same on both engines. */
-  private def wordsCol: Column = split(trim(col("text")), "\\s+")
+  private[graft] def wordsCol: Column = split(trim(col("text")), "\\s+")
   private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   // ---------------------------------------------------------------------
@@ -150,7 +150,7 @@ object TextQueries {
   // ---------------------------------------------------------------------
 
   /** Word 3-gram shingles: positions 1..max(n-2, 1), 1-based slice of 3. */
-  private def shinglesCol: Column = {
+  private[graft] def shinglesCol: Column = {
     val words = wordsCol
     transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
       i => concat_ws(" ", slice(words, i, lit(3))))
@@ -203,7 +203,7 @@ object TextQueries {
   /** LSH candidate pairs (shared band bucket), reused by the Jaccard
     * verification stage.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
     val sig = signatureDf(s, dir)
       .select(col("doc_id"),
         md5(concat(col("mh0"), col("mh1"))).as("b0"),
