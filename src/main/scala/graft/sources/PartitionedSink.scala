@@ -22,4 +22,17 @@ object PartitionedSink {
     df.repartition(numFiles, org.apache.spark.sql.functions.col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(outDir)
+
+  /** Bucketed catalog table: pre-shuffles once at write so repeated joins
+    * and aggregations on the bucket key run with NO exchange — the
+    * co-located-join layout for fact tables that are joined on the same
+    * key at every query (SURVEY.md §4 posture).
+    */
+  def writeBucketed(df: DataFrame, bucketCol: String, table: String,
+                    numBuckets: Int = 8): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

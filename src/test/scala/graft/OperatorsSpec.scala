@@ -37,6 +37,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
   }
 
+  test("bucketed tables join without a shuffle (co-located layout)") {
+    // warehouse dir pinned to /tmp via build.sbt (static conf)
+    // disable broadcast so the join would otherwise need an exchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val or = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      PartitionedSink.writeBucketed(li.select("l_orderkey", "l_extendedprice"),
+        "l_orderkey", "li_b", 8)
+      PartitionedSink.writeBucketed(or.select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "or_b", 8)
+      val j = spark.table("li_b").join(spark.table("or_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(j.count() == li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS or_b")
+    }
+  }
+
   test("partitioned write prunes partitions; clustered write prunes row groups") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val dir1 = Files.createTempDirectory("part").toString
