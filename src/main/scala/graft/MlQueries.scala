@@ -34,9 +34,9 @@ object MlQueries {
     * DataFrames.
     */
   private val bfrCache =
-    new scala.collection.concurrent.TrieMap[(Int, String), BFR.Result]()
+    new scala.collection.concurrent.TrieMap[(String, String), BFR.Result]()
   private def bfrResult(s: SparkSession, dir: String): BFR.Result =
-    bfrCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    bfrCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val points = emb(s, dir)
       val chunks = (0 until 4).map(i => points.filter(pmod(col("id"), lit(4)) === i))
       // production RS threshold: re-clustering fires on real overflow, not
@@ -45,9 +45,9 @@ object MlQueries {
     })
 
   private val kmeansCache =
-    new scala.collection.concurrent.TrieMap[(Int, String), KMeans.Model]()
+    new scala.collection.concurrent.TrieMap[(String, String), KMeans.Model]()
   private def kmeansModel(s: SparkSession, dir: String): KMeans.Model =
-    kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
+    kmeansCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       KMeans.fit(emb(s, dir), k = 10, iters = 5))
 
   private def embWithLabel(s: SparkSession, dir: String): DataFrame =
@@ -202,8 +202,8 @@ object MlQueries {
       // pre-normalize each side once so the O(n^2) pair loop does a
       // single dot product instead of dot + two norms (3x less work)
       val e = emb(s, dir)
-      val unit = e.select(col("id"),
-        transform(col("features"), x => x / norm2(col("features"))).as("u"))
+      val unit = e.select(col("id"), col("features"), norm2(col("features")).as("nrm"))
+        .select(col("id"), transform(col("features"), x => x / col("nrm")).as("u"))
         .localCheckpoint(true) // materialize once; both self-join sides reuse
       val l = unit.select(col("id").as("ida"), col("u").as("ua"))
       val r = unit.select(col("id").as("idb"), col("u").as("ub"))

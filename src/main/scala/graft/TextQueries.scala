@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
+import graft.functions.TextOps
 
 /** Training-data-pipeline text operators over the `documents` table:
   * deduplication (exact / MinHash-LSH / n-gram fingerprints), language
@@ -23,7 +24,7 @@ object TextQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Whitespace tokenization, trimmed — same on both engines. */
-  private[graft] def wordsCol: Column = split(trim(col("text")), "\\s+")
+  private[graft] def wordsCol: Column = TextOps.words(col("text"))
   private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   // ---------------------------------------------------------------------
@@ -117,24 +118,11 @@ object TextQueries {
     * argmax over per-language marker-word hit counts, deterministic
     * tie-break by language order. Oracle = identical CASE cascade.
     */
-  private val langMarkers = Seq(
-    "en" -> Seq("the", "and", "of"),
-    "es" -> Seq("el", "la", "de"),
-    "de" -> Seq("der", "und", "die"),
-    "fr" -> Seq("le", "la", "et"))
+  private def langMarkers = TextOps.langMarkers
 
   val langId = Q("q_lang_id",
-    (s, dir) => {
-      val words = wordsCol
-      def hits(ms: Seq[String]): Column =
-        size(filter(words, w => array_contains(array(ms.map(lit): _*), w)))
-      val cols = langMarkers.map { case (l, ms) => l -> hits(ms) }
-      val best = greatest(cols.map(_._2): _*)
-      val pred = cols.reverse.foldLeft[Column](lit("unk")) { case (acc, (l, h)) =>
-        when(h === best && best > 0, lit(l)).otherwise(acc)
-      }
-      docs(s, dir).select(col("doc_id"), col("lang"), pred.as("pred_lang"))
-    }, {
+    (s, dir) => docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.langIdExpr(col("text")).as("pred_lang")), {
       def hitsSql(ms: Seq[String]): String =
         s"len(list_filter($wordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
       val hs = langMarkers.map { case (l, ms) => l -> hitsSql(ms) }
@@ -150,11 +138,7 @@ object TextQueries {
   // ---------------------------------------------------------------------
 
   /** Word 3-gram shingles: positions 1..max(n-2, 1), 1-based slice of 3. */
-  private[graft] def shinglesCol: Column = {
-    val words = wordsCol
-    transform(sequence(lit(1), greatest(size(words) - 2, lit(1))),
-      i => concat_ws(" ", slice(words, i, lit(3))))
-  }
+  private[graft] def shinglesCol: Column = TextOps.shingles(col("text"))
   private val shinglesSql =
     s"""list_transform(generate_series(1, greatest(len($wordsSql) - 2, 1)),
        | i -> array_to_string(list_slice($wordsSql, i, i + 2), ' '))""".stripMargin
@@ -169,7 +153,7 @@ object TextQueries {
     Some(s"""SELECT doc_id, list_min(list_transform($shinglesSql, sh -> md5(sh))) AS fingerprint
             |FROM documents""".stripMargin))
 
-  private val minhashSeeds = Seq("s0:", "s1:", "s2:", "s3:")
+  private def minhashSeeds = TextOps.minhashSeeds
 
   /** 4-permutation MinHash signature via seeded md5 min-order statistics.
     * Single pass: explode shingles once, hash each under every seed, and
@@ -177,14 +161,8 @@ object TextQueries {
     * doc per partition — the shingle text itself never shuffles).
     */
   private def signatureDf(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(shinglesCol).as("sh"))
-      .groupBy(col("doc_id"))
-      .agg(
-        min(md5(concat(lit(minhashSeeds.head), col("sh")))).as("mh0"),
-        minhashSeeds.tail.zipWithIndex.map { case (seed, i) =>
-          min(md5(concat(lit(seed), col("sh")))).as(s"mh${i + 1}")
-        }: _*)
+    TextOps.signatureFromShingles(
+      TextOps.explodedShingles(docs(s, dir), "doc_id", col("text")), "doc_id")
 
   private def sigSql: Seq[(String, String)] = minhashSeeds.zipWithIndex.map {
     case (seed, i) =>
@@ -203,19 +181,10 @@ object TextQueries {
   /** LSH candidate pairs (shared band bucket), reused by the Jaccard
     * verification stage.
     */
-  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val sig = signatureDf(s, dir)
-      .select(col("doc_id"),
-        md5(concat(col("mh0"), col("mh1"))).as("b0"),
-        md5(concat(col("mh2"), col("mh3"))).as("b1"))
-      .localCheckpoint(true)
-    val bands = sig.select(col("doc_id"), lit(0).as("band"), col("b0").as("bucket"))
-      .union(sig.select(col("doc_id"), lit(1).as("band"), col("b1").as("bucket")))
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
-        && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b")).distinct()
-  }
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    TextOps.candidatePairs(
+      TextOps.lshBands(signatureDf(s, dir).localCheckpoint(true), "doc_id"),
+      "doc_id")
 
   val minhashLshPairs = Q("q_minhash_lsh_pairs",
     (s, dir) => lshCandidates(s, dir),
@@ -237,27 +206,10 @@ object TextQueries {
     */
   val ngramJaccard = Q("q_ngram_jaccard",
     (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), explode(array_distinct(shinglesCol)).as("sh"))
+      val sh = TextOps.explodedShingles(docs(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = lshCandidates(s, dir)
-      // candidate pairs are tiny: broadcast them so the corpus-sized
-      // shingle stream is joined map-side on both hops (the only shuffle
-      // left is the per-doc shingle count)
-      val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-      val aShingles = a.join(broadcast(pairs), Seq("doc_a"))     // (doc_a, sh, doc_b), |pairs|·|shingles/doc|
-      val inter = b.join(broadcast(aShingles), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-      // inter is the small side (one row per candidate pair) — broadcast
-      // it against the corpus-sized count table, never the reverse
-      val withNa = cnt.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        .join(broadcast(inter), Seq("doc_a"))
-      cnt.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        .join(broadcast(withNa), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+      TextOps.jaccardOverPairs(sh, "doc_id", lshCandidates(s, dir))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
     Some(s"""WITH sig AS (
             |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}

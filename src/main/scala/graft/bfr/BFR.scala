@@ -78,7 +78,7 @@ object BFR {
     (label, best < lit(alpha * math.sqrt(d.toDouble)))
   }
 
-  private def summariesByLabel(assigned: DataFrame, featCol: String): Map[Int, ClusterSummary] =
+  private[graft] def summariesByLabel(assigned: DataFrame, featCol: String): Map[Int, ClusterSummary] =
     assigned.groupBy(col("label"))
       .agg(SummaryAggregator.summarize(col(featCol)).as("s"))
       .collect()
@@ -138,10 +138,18 @@ object BFR {
         val fineAssigned = fine.assign(inliers, "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val byLabel = summariesByLabel(fineAssigned, "features")
-        val dim = dimOf(sample)
-        ds = (0 until cfg.k).map(l => byLabel.getOrElse(l, ClusterSummary.zero(dim)))
+        // drop empty clusters instead of padding with zero summaries: a
+        // zero summary has NaN center and all-zero std, which makes its
+        // Mahalanobis distance 0.0 to EVERY point — a phantom cluster
+        // that would absorb the rest of the stream. Cluster ids are the
+        // (compacted) ds indices.
+        val present = (0 until cfg.k).filter(byLabel.contains)
+        val relabel = present.zipWithIndex.toMap
+        ds = present.map(byLabel).toIndexedSeq
+        val relabelExpr = map(relabel.toSeq.flatMap { case (o, n2) => Seq(lit(o), lit(n2)) }: _*)
         assigned = unionAssign(assigned,
-          fineAssigned.select(col("id"), col("label").cast("int").as("cluster")))
+          fineAssigned.select(col("id"),
+            element_at(relabelExpr, col("label")).cast("int").as("cluster")))
         discardedSoFar += byLabel.values.map(_.n).sum // sample inliers
         rs = rsInit
         // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429)
@@ -191,6 +199,7 @@ object BFR {
           toCs.select(col("id"), element_at(mapExpr, col("label")).cast("int").as("cs_id")))
         rs = newRs.localCheckpoint(true)
         rsCount = rs.count()
+        rsAssigned.unpersist(false); toCs.unpersist(false)
         // --- CS pairwise merge (M7, code/bfr.py:290-320, bug fixed) ---
         val (mergedCs, remap) = mergeCs(cs)
         if (remap.nonEmpty) {
@@ -253,6 +262,7 @@ object BFR {
             csMembers.select(col("id"), element_at(csMap, col("cs_id")).cast("int").as("cluster")))
           discardedSoFar += csMembers.count()
           cs = IndexedSeq.empty
+          csMembers = emptyAssignments(spark, "cs_id") // merged -> now discard
         }
       }
 
@@ -282,7 +292,7 @@ object BFR {
   }
 
   /** Fold newly matched points into their DS summaries (A4). */
-  private def absorb(ds: IndexedSeq[ClusterSummary], labeled: DataFrame): IndexedSeq[ClusterSummary] = {
+  private[graft] def absorb(ds: IndexedSeq[ClusterSummary], labeled: DataFrame): IndexedSeq[ClusterSummary] = {
     val deltas = summariesByLabel(labeled, "features")
     ds.zipWithIndex.map { case (s, i) => deltas.get(i).map(s.merge).getOrElse(s) }
   }

@@ -14,53 +14,63 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * at O(n²) pair volume (near-dup, ANN) that allocation dominates. These
   * expressions emit a primitive loop over the two ArrayData buffers with
   * zero allocation per row.
+  *
+  * NULL semantics mirror the HOF folds exactly (so the optimizer rewrite
+  * in graft.plans is a pure substitution): unequal array lengths or a
+  * null element yield NULL, just as `zip_with` null-padding propagates
+  * through `aggregate`.
   */
 abstract class BinaryDoubleArrayFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
-  /** Java source for the loop body accumulating into `s` given element
-    * expressions `x` and `y`.
-    */
-  protected def accumulate(x: String, y: String): String
   protected def scalarAccumulate(x: Double, y: Double): Double
-  protected def finish(s: Double): Double = s
-  protected def finishCode(s: String): String = s
+
+  /** Java source accumulating into `acc` from element vars `x`,`y`. */
+  protected def accumulateCode(acc: String, x: String, y: String): String
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += scalarAccumulate(x.getDouble(i), y.getDouble(i))
       i += 1
     }
-    finish(s)
+    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${accumulate(s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    ${accumulateCode(acc, s"$a.getDouble($i)", s"$b.getDouble($i)")}
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = ${finishCode(s)};
-       """.stripMargin.replace("${s}", s)
+       """.stripMargin
     })
 }
 
 /** Σ a_i·b_i with no per-row allocation. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryDoubleArrayFold {
-  protected def accumulate(x: String, y: String): String = s"$${s} += $x * $y;"
   protected def scalarAccumulate(x: Double, y: Double): Double = x * y
+  protected def accumulateCode(acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "dot_native"
@@ -69,9 +79,9 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Σ (a_i−b_i)² with no per-row allocation (squared Euclidean). */
 case class SqDistExpr(left: Expression, right: Expression)
     extends BinaryDoubleArrayFold {
-  protected def accumulate(x: String, y: String): String =
-    s"double __t = $x - $y; $${s} += __t * __t;"
   protected def scalarAccumulate(x: Double, y: Double): Double = (x - y) * (x - y)
+  protected def accumulateCode(acc: String, x: String, y: String): String =
+    s"double __t = $x - $y; $acc += __t * __t;"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "sqdist_native"
@@ -79,21 +89,27 @@ case class SqDistExpr(left: Expression, right: Expression)
 
 /** Diagonal-σ Mahalanobis distance (zero-σ dims skipped,
   * code/bfr.py:119-126) as one codegen'd ternary kernel — the BFR
-  * assignment hot path evaluates K of these per input row.
+  * assignment hot path evaluates K of these per input row. Array
+  * lengths are expected to agree (the engine always pairs a point with
+  * same-d center/std literals); mismatches yield NULL like the binary
+  * kernels.
   */
 case class MahalanobisExpr(first: Expression, second: Expression, third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
 
   override def nullSafeEval(p: Any, c: Any, sd: Any): Any = {
     val xp = p.asInstanceOf[ArrayData]
     val xc = c.asInstanceOf[ArrayData]
     val xs = sd.asInstanceOf[ArrayData]
-    val n = math.min(xp.numElements(), math.min(xc.numElements(), xs.numElements()))
+    val n = xp.numElements()
+    if (n != xc.numElements() || n != xs.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xp.isNullAt(i) || xc.isNullAt(i) || xs.isNullAt(i)) return null
       val s = xs.getDouble(i)
       if (s != 0.0) {
         val z = (xp.getDouble(i) - xc.getDouble(i)) / s
@@ -112,17 +128,22 @@ case class MahalanobisExpr(first: Expression, second: Expression, third: Express
       val sv = ctx.freshName("sv")
       val z = ctx.freshName("z")
       s"""
-         |int $n = java.lang.Math.min($p.numElements(),
-         |  java.lang.Math.min($c.numElements(), $sd.numElements()));
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $sv = $sd.getDouble($i);
-         |  if ($sv != 0.0) {
-         |    double $z = ($p.getDouble($i) - $c.getDouble($i)) / $sv;
-         |    $acc += $z * $z;
+         |int $n = $p.numElements();
+         |if ($n != $c.numElements() || $n != $sd.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($p.isNullAt($i) || $c.isNullAt($i) || $sd.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    double $sv = $sd.getDouble($i);
+         |    if ($sv != 0.0) {
+         |      double $z = ($p.getDouble($i) - $c.getDouble($i)) / $sv;
+         |      $acc += $z * $z;
+         |    }
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($acc); }
          |}
-         |${ev.value} = java.lang.Math.sqrt($acc);
        """.stripMargin
     })
 

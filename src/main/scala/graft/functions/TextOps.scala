@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text-operator building blocks, parameterized on the text
+  * column — the single source of truth for tokenization, shingling,
+  * MinHash seeds, LSH band layout and language markers used by BOTH the
+  * oracle-checked queries (TextQueries) and the production pipeline
+  * (CorpusPipelineApp). Changing a seed or the shingle width here changes
+  * every consumer together.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, trimmed. */
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word 3-gram shingles: positions 1..max(n-2, 1). */
+  def shingles(text: Column): Column = {
+    val ws = words(text)
+    transform(sequence(lit(1), greatest(size(ws) - 2, lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(3))))
+  }
+
+  /** lowercase / strip non-alphanumerics / collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  val minhashSeeds: Seq[String] = Seq("s0:", "s1:", "s2:", "s3:")
+
+  /** Distinct shingles exploded: (idCol, sh). */
+  def explodedShingles(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol), explode(array_distinct(shingles(text))).as("sh"))
+
+  /** 4-seed MinHash signature from exploded shingles (single pass,
+    * partial+final min aggregation): (idCol, mh0..mh3).
+    */
+  def signatureFromShingles(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(
+        min(md5(concat(lit(minhashSeeds.head), col("sh")))).as("mh0"),
+        minhashSeeds.tail.zipWithIndex.map { case (seed, i) =>
+          min(md5(concat(lit(seed), col("sh")))).as(s"mh${i + 1}")
+        }: _*)
+
+  /** 2 bands × 2 rows: (idCol, band, bucket). */
+  def lshBands(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(col(idCol), lit(0).as("band"),
+        md5(concat(col("mh0"), col("mh1"))).as("bucket"))
+      .union(sig.select(col(idCol), lit(1).as("band"),
+        md5(concat(col("mh2"), col("mh3"))).as("bucket")))
+
+  /** Docs sharing a band bucket: (doc_a, doc_b), doc_a < doc_b. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.as("l"); val r = bands.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+        && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b")).distinct()
+  }
+
+  /** Exact set-Jaccard per candidate pair. `sh` = explodedShingles output;
+    * the pair side is broadcast on every hop so the corpus-sized shingle
+    * stream never shuffles for the joins.
+    */
+  def jaccardOverPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("sh"))
+    val b = sh.select(col(idCol).as("doc_b"), col("sh"))
+    val aShingles = a.join(broadcast(pairs), Seq("doc_a"))
+    val inter = b.join(broadcast(aShingles), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+    val withNa = cnt.select(col(idCol).as("doc_a"), col("n").as("na"))
+      .join(broadcast(inter), Seq("doc_a"))
+    cnt.select(col(idCol).as("doc_b"), col("n").as("nb"))
+      .join(broadcast(withNa), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
+  }
+
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "la", "et"))
+
+  /** Heuristic language-ID: argmax marker-word hits, first-language ties. */
+  def langIdExpr(text: Column): Column = {
+    val ws = words(text)
+    def hits(ms: Seq[String]): Column =
+      size(filter(ws, w => array_contains(array(ms.map(lit): _*), w)))
+    val cols = langMarkers.map { case (l, ms) => l -> hits(ms) }
+    val best = greatest(cols.map(_._2): _*)
+    cols.reverse.foldLeft[Column](lit("unk")) { case (acc, (l, h)) =>
+      when(h === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+}

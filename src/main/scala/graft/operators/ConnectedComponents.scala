@@ -18,7 +18,7 @@ object ConnectedComponents {
   /** @param edges (src, dst) undirected pairs
     * @return (id, component) — component = min id reachable
     */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
@@ -45,6 +45,10 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // silent wrong answers are worse than failures: a component split
+    // across labels would make dedup keep multiple "canonicals"
+    require(changed == 0,
+      s"connected components did not converge in $maxIter iterations")
     labels
   }
 

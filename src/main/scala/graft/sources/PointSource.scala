@@ -30,10 +30,16 @@ object PointSource {
     spark.read.text(file)
       .filter(length(trim(col("value"))) > 0)
       .select(
-        element_at(parts, 1).cast("long").as("id"),
+        // try_cast: ANSI mode (Spark 4 default) makes cast THROW on
+        // malformed input; we want nulls so bad lines can be dropped
+        element_at(parts, 1).try_cast("long").as("id"),
         // slice length must be computed, not Int.MaxValue (start+length
         // overflows inside slice and yields an empty array)
-        transform(slice(parts, lit(2), size(parts) - 1), _.cast("double")).as("features"))
+        transform(slice(parts, lit(2), size(parts) - 1), _.try_cast("double")).as("features"))
+      // malformed lines (non-numeric id, no feature columns) are dropped
+      // rather than poisoning downstream math with nulls
+      .filter(col("id").isNotNull && size(col("features")) > 0 &&
+        !array_contains(transform(col("features"), _.isNull), true))
   }
 
   /** All chunks of a dataset, in round order (S1 + S2). */

@@ -30,8 +30,10 @@ object Streaming {
       .text(path)
       .filter(length(trim(col("value"))) > 0)
       .select(
-        element_at(parts, 1).cast("long").as("id"),
-        transform(slice(parts, lit(2), size(parts) - 1), _.cast("double")).as("features"))
+        element_at(parts, 1).try_cast("long").as("id"),
+        transform(slice(parts, lit(2), size(parts) - 1), _.try_cast("double")).as("features"))
+      .filter(col("id").isNotNull && size(col("features")) > 0 &&
+        !array_contains(transform(col("features"), _.isNull), true))
   }
 
   /** Incremental BFR over a chunk stream: round 1 initializes DS from the
@@ -63,19 +65,10 @@ object Streaming {
           res.assignments.write.mode("append").parquet(outDir)
         } else {
           val (a, r) = BFR.assignToDs(chunk, state.ds, cfg.alphaAssign)
-          // fold matched points into DS summaries (A4): monoid merge
-          val deltas = a.join(chunk, Seq("id"))
-            .select(col("cluster").as("label"), col("features"))
-            .groupBy(col("label"))
-            .agg(graft.operators.SummaryAggregator.summarize(col("features")).as("s"))
-            .collect()
-            .map { row =>
-              val s = row.getStruct(1)
-              row.getInt(0) -> ClusterSummary(s.getLong(0),
-                s.getSeq[Double](1).toArray, s.getSeq[Double](2).toArray)
-            }.toMap
-          state.ds = state.ds.zipWithIndex.map { case (s, i) =>
-            deltas.get(i).map(s.merge).getOrElse(s) }
+          // fold matched points into DS summaries (A4) via the shared
+          // batch helper — no batch/streaming drift
+          state.ds = BFR.absorb(state.ds,
+            a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
           // unmatched -> outliers in streaming mode (RS spill is the batch
           // driver's job; here we emit -1 like the reference's finalize)
           a.union(r.select(col("id"), lit(-1).cast("int").as("cluster")))

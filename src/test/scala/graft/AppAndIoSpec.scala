@@ -44,6 +44,15 @@ class AppAndIoSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Double](1).toSeq == Seq(-40.0, -73.5))
   }
 
+  test("PointSource drops malformed lines instead of emitting nulls") {
+    val f = Files.createTempFile("points_bad", ".txt")
+    Files.write(f,
+      "0,1.0,2.0\nnot_an_id,3.0,4.0\n1,abc,5.0\n2\n3,6.0,7.0\n".getBytes)
+    val rows = PointSource.readChunk(spark, f.toString).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 3L),
+      s"kept ${rows.map(_.getLong(0)).toSeq}")
+  }
+
   test("listChunks is lexicographic (round order, code/bfr.py:432)") {
     val d = Files.createTempDirectory("chunks")
     Seq("data2.txt", "data0.txt", "data1.txt").foreach(n =>
