@@ -148,7 +148,8 @@ object MlQueries {
         .withColumn("cos", cosine(col("ce"), col("qe")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"),
+          col("rn").cast("long").as("rn"))
     },
     Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
             |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),

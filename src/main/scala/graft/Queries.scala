@@ -193,7 +193,7 @@ object Queries {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // BIGINT like the oracle's row_number
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     },
@@ -221,7 +221,7 @@ object Queries {
   val vectorSumByLabel = Q("q_vector_sum_by_label",
     (s, dir) => emb(s, dir)
       .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(round(sum(col("v")), 4).as("s")),
     Some(s"""SELECT label, i - 1 AS pos, round(sum($ei), 4) AS s
             |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
@@ -229,7 +229,7 @@ object Queries {
   val centroids = Q("q_centroids",
     (s, dir) => emb(s, dir)
       .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(round(avg(col("v")), 6).as("c")),
     Some(s"""SELECT label, i - 1 AS pos, round(avg($ei), 6) AS c
             |FROM embeddings, $gs GROUP BY label, i""".stripMargin))
@@ -245,7 +245,7 @@ object Queries {
       .select(col("label"), col("s.n").as("n"),
         posexplode(zip_with(col("s.sum"), col("s.sumsq"),
           (su, sq) => struct(su.as("su"), sq.as("sq")))).as(Seq("pos", "z")))
-      .select(col("label"), col("n"), col("pos"),
+      .select(col("label"), col("n"), col("pos").cast("long").as("pos"),
         round(sqrt(greatest(col("z.sq") / col("n") - pow(col("z.su") / col("n"), 2), lit(0.0))), 6).as("sd")),
     Some(s"""SELECT label, count(*) AS n, i - 1 AS pos,
             | round(sqrt(greatest(sum($ei * $ei) / count(*)

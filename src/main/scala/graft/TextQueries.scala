@@ -43,8 +43,8 @@ object TextQueries {
 
   val tokenCount = Q("q_token_count",
     (s, dir) => docs(s, dir)
-      .select(col("doc_id"), size(wordsCol).as("n_tokens"),
-        length(col("text")).as("n_chars_txt")),
+      .select(col("doc_id"), size(wordsCol).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_txt")),
     Some(s"""SELECT doc_id, len($wordsSql) AS n_tokens,
             | length(text) AS n_chars_txt FROM documents""".stripMargin))
 
@@ -58,7 +58,7 @@ object TextQueries {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
       docs(s, dir).select(col("doc_id"),
-        md5(norm).as("norm_hash"), length(norm).as("norm_len"))
+        md5(norm).as("norm_hash"), length(norm).cast("long").as("norm_len"))
     },
     Some("""SELECT doc_id,
            | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
@@ -76,9 +76,9 @@ object TextQueries {
   val tokenBpe = Q("q_token_bpe",
     (s, dir) => docs(s, dir)
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(bpePattern)).as("n_subtokens"),
+        regexp_count(col("text"), lit(bpePattern)).cast("long").as("n_subtokens"),
         size(array_distinct(regexp_extract_all(col("text"), lit(bpePattern), lit(0))))
-          .as("n_distinct_subtokens")),
+          .cast("long").as("n_distinct_subtokens")),
     Some(s"""SELECT doc_id,
             | len(regexp_extract_all(text, '$bpePattern')) AS n_subtokens,
             | len(list_distinct(regexp_extract_all(text, '$bpePattern'))) AS n_distinct_subtokens
@@ -94,8 +94,8 @@ object TextQueries {
       val nStop = size(filter(words, w => array_contains(stopArr, w)))
       docs(s, dir).select(
         col("doc_id"),
-        nWords.as("n_words"),
-        nStop.as("n_stop"),
+        nWords.cast("long").as("n_words"),
+        nStop.cast("long").as("n_stop"),
         round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
         round(length(col("text")).cast("double") / nWords, 6).as("avg_token_len"))
     },
@@ -247,7 +247,7 @@ object TextQueries {
   val multimodalMeta = Q("q_multimodal_meta",
     (s, dir) => docs(s, dir)
       .select(col("doc_id"),
-        octet_length(col("text")).as("n_bytes"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
         (conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 1920).as("fake_width"),
         (conv(substring(md5(col("text")), 5, 4), 16, 10).cast("long") % 1080).as("fake_height")),
     Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
