@@ -26,8 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // static conf; keep catalog tables out of the repo tree
-  "-Dspark.sql.warehouse.dir=/tmp/spark-warehouse",
-  "-Dderby.system.home=/tmp/derby",
+  // static confs; keep catalog/metastore out of the repo tree and
+  // unique per sbt session so concurrent runs don't fight over Derby
+  s"-Dspark.sql.warehouse.dir=/tmp/spark-warehouse-${java.util.UUID.randomUUID}",
+  s"-Dderby.system.home=/tmp/derby-${java.util.UUID.randomUUID}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

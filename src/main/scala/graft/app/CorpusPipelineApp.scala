@@ -42,9 +42,12 @@ object CorpusPipelineApp {
     // 2. exact dedup on normalized hash
     val canonicalExact = normed.groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val afterExact = normed.join(broadcast(canonicalExact.select("doc_id")),
+    // canonical set is corpus-sized: no broadcast hint (shuffle join at
+    // scale is correct; Catalyst may still broadcast when it fits)
+    val afterExact = normed.join(canonicalExact.select("doc_id"),
       Seq("doc_id"), "left_semi").localCheckpoint(true)
-    val exactDups = input - afterExact.count()
+    val afterExactN = afterExact.count()
+    val exactDups = input - afterExactN
 
     // 3. near-dup: minhash -> bands -> candidates -> jaccard -> components
     // (shared TextOps blocks — identical seeds/shingles as the
@@ -60,14 +63,15 @@ object CorpusPipelineApp {
     val groups = ConnectedComponents.canonicalize(dupPairs)
     val dropNearDup = groups.filter(col("doc_id") =!= col("canonical_id"))
       .select("doc_id")
-    val afterNear = afterExact.join(broadcast(dropNearDup), Seq("doc_id"), "left_anti")
+    val afterNear = afterExact.join(dropNearDup, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val nearDups = afterExact.count() - afterNear.count()
+    val afterNearN = afterNear.count()
+    val nearDups = afterExactN - afterNearN
 
-    // 4. quality filter
-    val nWords = size(split(trim(col("norm_text")), "\\s+"))
-    val qualified = afterNear.filter(nWords >= 5).localCheckpoint(true)
-    val lowQuality = afterNear.count() - qualified.count()
+    // 4. quality filter (shared tokenizer)
+    val qualified = afterNear
+      .filter(size(TextOps.words(col("norm_text"))) >= 5).localCheckpoint(true)
+    val lowQuality = afterNearN - qualified.count()
 
     // 5. language-ID annotation (shared marker table)
     val out = qualified

@@ -285,7 +285,10 @@ object BFR {
   def assignToDs(points: DataFrame, ds: IndexedSeq[ClusterSummary], alpha: Double): (DataFrame, DataFrame) = {
     if (ds.isEmpty) return (emptyAssignments(points.sparkSession, "cluster"), points.select("id", "features"))
     val (label, keep) = nearestUnder(col("features"), ds, alpha)
-    val tagged = points.withColumn("__label", label).withColumn("__keep", keep)
+    // NULL keep (e.g. a dimension-mismatched vector -> NULL distance)
+    // must route to RS, not silently satisfy neither filter
+    val tagged = points.withColumn("__label", label)
+      .withColumn("__keep", coalesce(keep, lit(false)))
     val a = tagged.filter(col("__keep")).select(col("id"), col("__label").cast("int").as("cluster"))
     val r = tagged.filter(!col("__keep")).select("id", "features")
     (a, r)
@@ -345,6 +348,4 @@ object BFR {
       StructType(Seq(StructField("id", LongType), StructField(valueCol, IntegerType))))
   }
 
-  private def dimOf(df: DataFrame): Int =
-    df.select(size(col("features"))).head().getInt(0)
 }

@@ -42,9 +42,19 @@ object PointSource {
         !array_contains(transform(col("features"), _.isNull), true))
   }
 
+  /** readChunk + enforce the dimensionality inferred from the first line
+    * (reference semantics: d comes from the first row, code/bfr.py:145);
+    * ragged lines are dropped rather than fed to fixed-d math.
+    */
+  def readChunkStrict(spark: SparkSession, file: String): DataFrame = {
+    val df = readChunk(spark, file)
+    val d = df.select(size(col("features"))).head().getInt(0)
+    df.filter(size(col("features")) === d)
+  }
+
   /** All chunks of a dataset, in round order (S1 + S2). */
   def readDataset(spark: SparkSession, path: String): Seq[DataFrame] =
-    listChunks(path).map(readChunk(spark, _))
+    listChunks(path).map(readChunkStrict(spark, _))
 
   /** Points from the driver's embeddings testdata: (vec_id, float vector)
     * → (id, double features). Used to exercise the BFR/k-means path on

@@ -53,6 +53,14 @@ class AppAndIoSpec extends AnyFunSuite {
       s"kept ${rows.map(_.getLong(0)).toSeq}")
   }
 
+  test("readChunkStrict drops ragged lines (d from first row, code/bfr.py:145)") {
+    val f = Files.createTempFile("points_ragged", ".txt")
+    Files.write(f, "0,1.0,2.0\n1,3.0\n2,4.0,5.0,6.0\n3,7.0,8.0\n".getBytes)
+    val rows = PointSource.readChunkStrict(spark, f.toString).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 3L),
+      s"kept ${rows.map(_.getLong(0)).toSeq}")
+  }
+
   test("listChunks is lexicographic (round order, code/bfr.py:432)") {
     val d = Files.createTempDirectory("chunks")
     Seq("data2.txt", "data0.txt", "data1.txt").foreach(n =>
