@@ -208,7 +208,14 @@ object TextQueries {
     (s, dir) => {
       val sh = TextOps.explodedShingles(docs(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
-      TextOps.jaccardOverPairs(sh, "doc_id", lshCandidates(s, dir))
+      // build candidates from the SAME checkpointed shingles (the naive
+      // composition re-exploded + re-hashed the corpus a second time)
+      val cand = TextOps.candidatePairs(
+        TextOps.lshBands(
+          TextOps.signatureFromShingles(sh, "doc_id").localCheckpoint(true),
+          "doc_id"),
+        "doc_id")
+      TextOps.jaccardOverPairs(sh, "doc_id", cand)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
     Some(s"""WITH sig AS (
