@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+
+/** OLAP surface beyond the reference's own operators: multi-dimensional
+  * aggregation (rollup / cube / grouping sets), analytic windows
+  * (lead/lag, moving frames, ntile / percent_rank / cume_dist), pivot,
+  * full-outer / interval / banded-range joins, set operations
+  * (intersect / except), argmax aggregation, calendar bucketing, scalar
+  * subqueries, conditional aggregation, deterministic hash sampling and
+  * the HLL approximate-distinct scale path.
+  *
+  * Scale posture: every query here is either a single shuffle on its
+  * natural grouping key, a broadcast of a bounded dimension (bands,
+  * scalar aggregates), or an equi-join with a residual range predicate
+  * (never a time-range crossJoin). Oracle parity conventions follow
+  * Queries.scala (alias both sides, round FP aggregates, BIGINT for
+  * counts/ranks).
+  */
+object OlapQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Multi-dimensional aggregation: rollup / cube / grouping sets
+  // ---------------------------------------------------------------------
+
+  /** ROLLUP — per (status, priority), per status, grand total. gid
+    * disambiguates NULL-as-data from NULL-as-subtotal; both engines use
+    * the leftmost-column-is-MSB convention.
+    */
+  val rollupAgg = Q("q_rollup",
+    (s, dir) => t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("cnt"), col("rev")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           | grouping_id(o_orderstatus, o_orderpriority) AS gid,
+           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+           |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin))
+
+  val cubeAgg = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("cnt"), col("sum_qty")),
+    Some("""SELECT l_returnflag, l_linestatus,
+           | grouping_id(l_returnflag, l_linestatus) AS gid,
+           | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
+
+  val groupingSetsAgg = Q("q_grouping_sets",
+    (s, dir) => t(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("cnt"), col("rev")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+           | grouping_id(o_orderstatus, o_orderpriority) AS gid,
+           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Analytic windows: lead/lag, moving frame, ntile / percent_rank
+  // ---------------------------------------------------------------------
+
+  val leadLag = Q("q_lead_lag",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           | datediff('day',
+           |   lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           |   o_orderdate) AS days_since_prev,
+           | lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |   AS next_orderkey
+           |FROM orders""".stripMargin))
+
+  /** Moving average over a 3-row frame. 2-decimal inputs mean the frame
+    * mean is exact at /1,/2 and a 3/6-repetend at /3 — never a half-way
+    * case at the 4th decimal, so round(4) is engine-portable.
+    */
+  val movingAvg = Q("q_moving_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, 0)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice")).over(w), 4).as("ma3"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           | round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+           |   ORDER BY o_orderdate, o_orderkey
+           |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+           |FROM orders""".stripMargin))
+
+  val ntileRanks = Q("q_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           | ntile(4) OVER w AS quartile,
+           | round(percent_rank() OVER w, 6) AS pr,
+           | round(cume_dist() OVER w, 6) AS cd
+           |FROM customer
+           |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Pivot (wide conditional aggregation)
+  // ---------------------------------------------------------------------
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val pivotCounts = Q("q_pivot",
+    (s, dir) => {
+      val wide = Queries.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+      wide.select(col("user_id") +:
+        eventTypes.map(et => coalesce(col(et), lit(0L)).as(s"n_$et")): _*)
+    },
+    Some(s"""SELECT user_id,
+            | ${eventTypes.map(et =>
+              s"count(*) FILTER (WHERE event_type = '$et') AS n_$et").mkString(", ")}
+            |FROM events GROUP BY user_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Joins: full outer, interval (equi + range residual), banded range
+  // ---------------------------------------------------------------------
+
+  val fullOuterJoin = Q("q_full_outer_join",
+    (s, dir) => {
+      val a = Queries.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val b = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      a.join(b, a("user_id") === b("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("key"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    Some("""WITH a AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+           |b AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+           |SELECT coalesce(a.user_id, b.o_custkey) AS key,
+           | coalesce(a.n_events, 0) AS n_events,
+           | coalesce(b.n_orders, 0) AS n_orders
+           |FROM a FULL OUTER JOIN b ON a.user_id = b.o_custkey""".stripMargin))
+
+  /** Interval join: lineitems shipped within 30 days of their order's
+    * date. The equi key (orderkey) carries the shuffle; the time range is
+    * a residual predicate — no time-bucketed crossJoin needed.
+    */
+  val intervalJoin = Q("q_interval_join",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey")
+        && col("l_shipdate") >= col("o_orderdate")
+        && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_fast"), round(sum(col("l_quantity")), 2).as("qty")),
+    Some("""SELECT o_orderkey, count(*) AS n_fast, round(sum(l_quantity), 2) AS qty
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  AND l_shipdate >= o_orderdate
+           |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+           |GROUP BY o_orderkey""".stripMargin))
+
+  /** Banded range join: facts against a broadcast dimension of value
+    * bands — the scalable shape for arbitrary range joins when one side
+    * is a bounded band table.
+    */
+  val bandJoin = Q("q_band_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = (0 until 10)
+        .map(i => (i.toLong, 900.0 + 10 * i, 910.0 + 10 * i))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("p_retailprice")), 2).as("sum_price"))
+    },
+    Some("""WITH bands(band, lo, hi) AS (
+           |  SELECT i, 900.0 + 10 * i, 910.0 + 10 * i FROM generate_series(0, 9) t(i))
+           |SELECT band, count(*) AS cnt, round(sum(p_retailprice), 2) AS sum_price
+           |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+           |GROUP BY band""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Set operations
+  // ---------------------------------------------------------------------
+
+  val intersectKeys = Q("q_intersect",
+    (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .intersect(Queries.events(s, dir).select(col("user_id").as("key"))),
+    Some("SELECT o_custkey AS key FROM orders INTERSECT SELECT user_id FROM events"))
+
+  val exceptKeys = Q("q_except",
+    (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("key"))
+      .except(Queries.events(s, dir).select(col("user_id").as("key"))),
+    Some("SELECT o_custkey AS key FROM orders EXCEPT SELECT user_id FROM events"))
+
+  // ---------------------------------------------------------------------
+  // Argmax aggregation, calendar bucketing, scalar subquery,
+  // conditional aggregation, hash sampling, approximate distinct
+  // ---------------------------------------------------------------------
+
+  /** max_by / arg_max with a composite (date, key) ordering packed into
+    * one BIGINT (epoch-day ≪ 32 | orderkey) — unique, so the argmax is
+    * deterministic in both engines.
+    */
+  val argmaxBy = Q("q_argmax_by",
+    (s, dir) => {
+      val ordKey = datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long") * lit(4294967296L) + col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), ordKey).as("latest_orderkey"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("latest_date"))
+    },
+    Some("""SELECT o_custkey,
+           | arg_max(o_orderkey,
+           |   datediff('day', DATE '1970-01-01', o_orderdate) * 4294967296 + o_orderkey)
+           |   AS latest_orderkey,
+           | strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date
+           |FROM orders GROUP BY o_custkey""".stripMargin))
+
+  val monthAgg = Q("q_month_agg",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")),
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+           |FROM orders GROUP BY 1""".stripMargin))
+
+  /** Scalar subquery: the global average broadcasts to every row (one
+    * tiny aggregate, no per-row recompute).
+    */
+  val scalarSubquery = Q("q_scalar_subquery",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.agg(avg(col("c_acctbal")).as("ab"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    },
+    Some("""SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+           |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin))
+
+  /** Conditional aggregation (FILTER / CASE folding): per-flag revenue
+    * restricted to discounted rows + a bulk-line count, one scan.
+    */
+  val conditionalAgg = Q("q_conditional_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
+        sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bulk"),
+        count(lit(1)).as("cnt")),
+    Some("""SELECT l_returnflag,
+           | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS disc_rev,
+           | count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           | count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
+  /** Deterministic hash sampling — the reproducible alternative to
+    * `sample()` for pipeline subsetting: identical subset on every
+    * engine, every run, any partitioning.
+    */
+  val hashSample = Q("q_hash_sample",
+    (s, dir) => t(s, dir, "documents")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 = 0""".stripMargin))
+
+  /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
+    * (fixed-size sketch vs a full shuffle of the distinct keys). Sketch
+    * encodings are engine-specific → rows-only check; the exact
+    * semantics are pinned by q_count_distinct.
+    */
+  val approxDistinct = Q("q_approx_distinct",
+    (s, dir) => Queries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
+    None)
+
+  def all: Seq[Q] = Seq(
+    rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
+    pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
+    exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
+    hashSample, approxDistinct)
+}
