@@ -312,9 +312,43 @@ object OlapQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
     None)
 
+  /** Built-in session windows (the streaming-native sessionization
+    * operator, batch twin of its Structured Streaming form): events merge
+    * while gaps stay under 30 min; the window is half-open, so an event
+    * at exactly prev + 30min starts a new session and the session end is
+    * last_ts + 30min. Oracle replicates via the gap-marker construction.
+    */
+  val sessionWindow = Q("q_session_window",
+    (s, dir) => Queries.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        col("n_events")),
+    Some("""WITH x AS (
+           |  SELECT user_id, event_id, ts,
+           |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           |  FROM events),
+           |y AS (
+           |  SELECT user_id, event_id, ts,
+           |    CASE WHEN prev_ts IS NULL
+           |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS is_new
+           |  FROM x),
+           |z AS (
+           |  SELECT user_id, ts,
+           |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                      ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM y)
+           |SELECT user_id,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+           |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS end_ts,
+           |  count(*) AS n_events
+           |FROM z GROUP BY user_id, sess""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct)
+    hashSample, approxDistinct, sessionWindow)
 }

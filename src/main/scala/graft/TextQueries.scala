@@ -322,8 +322,73 @@ object TextQueries {
            | ('0x' || substring(md5(text), 9, 2))::BIGINT / 256.0 AS brightness
            |FROM documents""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Vocabulary building, TF-IDF, stratified sampling
+  // ---------------------------------------------------------------------
+
+  /** Corpus vocabulary by document frequency: top-20 words by the number
+    * of documents containing them. One explode + two bounded-key
+    * aggregations; the (word, df) space is vocabulary-sized, not
+    * corpus-sized.
+    */
+  val vocabDf = Q("q_vocab_df",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(20),
+    Some(s"""SELECT w, count(*) AS df
+            |FROM (SELECT DISTINCT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents)
+            |GROUP BY w ORDER BY df DESC, w LIMIT 20""".stripMargin))
+
+  /** TF-IDF over the top-10-df vocabulary: tf = in-doc frequency, idf =
+    * ln(N/df). The vocabulary and the corpus size are tiny aggregates
+    * broadcast against the token stream — the token explode happens
+    * exactly once and shuffles only (doc, word) counts.
+    */
+  val tfidf = Q("q_tfidf",
+    (s, dir) => {
+      val tokens = docs(s, dir)
+        .select(col("doc_id"), size(wordsCol).as("nw"), explode(wordsCol).as("w"))
+      val tf = tokens.groupBy(col("doc_id"), col("nw"), col("w"))
+        .agg(count(lit(1)).as("c"))
+      val dfTop = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(10)
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfTop), Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w"),
+          round((col("c").cast("double") / col("nw"))
+            * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, len($wordsSql) AS nw, unnest($wordsSql) AS w FROM documents),
+            |tf AS (SELECT doc_id, nw, w, count(*) AS c FROM tok GROUP BY doc_id, nw, w),
+            |dftop AS (SELECT w, count(*) AS df FROM tf GROUP BY w ORDER BY df DESC, w LIMIT 10),
+            |n AS (SELECT count(*) AS n_docs FROM documents)
+            |SELECT tf.doc_id, tf.w,
+            |  round((CAST(tf.c AS DOUBLE) / tf.nw) * ln(CAST(n.n_docs AS DOUBLE) / dftop.df), 6)
+            |    AS tfidf
+            |FROM tf JOIN dftop ON tf.w = dftop.w CROSS JOIN n""".stripMargin))
+
+  /** Stratified (per-class) deterministic sampling: language-dependent
+    * keep rates via the engine-portable md5 hash — reproducible
+    * class-balanced subsetting with no shuffle at all.
+    */
+  val stratifiedSample = Q("q_stratified_sample",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val rate = when(col("lang") === "en", lit(30)).otherwise(lit(10))
+      docs(s, dir).filter(bucket < rate)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some("""SELECT doc_id, lang FROM documents
+           |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
+           |      < CASE WHEN lang = 'en' THEN 30 ELSE 10 END""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
-    dedupGroups, multimodalMeta, multimodalFeatures)
+    dedupGroups, multimodalMeta, multimodalFeatures,
+    vocabDf, tfidf, stratifiedSample)
 }
