@@ -25,6 +25,75 @@ import graft.sources.PointSource
   */
 object MlQueries {
 
+  /** DuckDB oracle for the deterministic k-means: the seeding and Lloyd
+    * loops are UNROLLED into materialized CTEs (k-1 maximin steps, then
+    * `iters` assign/update rounds). Every tie-break matches the engine
+    * (min-id first seed, argmax/argmin ties to the lowest id / cluster),
+    * and distances accumulate dimensions in the same order, so the SQL
+    * reproduces the engine's centers and assignments exactly — verified
+    * bit-identical (after round-6) at sf0.001/0.01/0.1. MATERIALIZED is
+    * load-bearing: inlined CTEs re-evaluate the chain exponentially.
+    */
+  private object KmeansOracle {
+    val K = 10; val Iters = 5; val D = 64
+
+    private def sqdist(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$D), i -> pow($a[i]-$b[i],2)))"
+
+    /** The WITH-clause body (no `WITH` prefix): emb → seeds → c0 →
+      * a0..c{Iters} → afin (final assignment against the final centers).
+      */
+    val withClauses: String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      parts += "emb AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
+      parts += "sd0 AS MATERIALIZED (SELECT e FROM emb ORDER BY vec_id LIMIT 1)"
+      parts += s"m0 AS MATERIALIZED (SELECT vec_id, emb.e AS e, ${sqdist("emb.e", "s.e")} AS md FROM emb, sd0 s)"
+      for (j <- 1 until K) {
+        parts += s"sd$j AS MATERIALIZED (SELECT e FROM m${j - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+        if (j < K - 1)
+          parts += s"m$j AS MATERIALIZED (SELECT vec_id, m.e AS e, " +
+            s"least(md, ${sqdist("m.e", "s.e")}) AS md FROM m${j - 1} m, sd$j s)"
+      }
+      parts += s"c0 AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM sd$j").mkString(" UNION ALL ")})"
+      for (t <- 0 until Iters) {
+        parts += s"a$t AS MATERIALIZED (SELECT vec_id, e, cl FROM (" +
+          s"SELECT p.vec_id, p.e AS e, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
+          s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM emb p, c$t c) WHERE rn = 1)"
+        parts += s"g$t AS MATERIALIZED (SELECT cl, t.i AS i, avg(e[t.i]) AS m " +
+          s"FROM a$t, generate_series(1,$D) t(i) GROUP BY cl, t.i)"
+        parts += s"cn$t AS MATERIALIZED (SELECT cl, list(m ORDER BY i) AS e FROM g$t GROUP BY cl)"
+        parts += s"c${t + 1} AS MATERIALIZED (SELECT c.cl, coalesce(n.e, c.e) AS e " +
+          s"FROM c$t c LEFT JOIN cn$t n ON n.cl = c.cl)"
+      }
+      parts += s"afin AS MATERIALIZED (SELECT vec_id, cl FROM (" +
+        s"SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
+        s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM emb p, c$Iters c) WHERE rn = 1)"
+      parts.mkString(",\n")
+    }
+
+    val centersSql: String =
+      s"""WITH $withClauses
+         |SELECT cl AS cluster, CAST(t.i - 1 AS BIGINT) AS pos, round(e[t.i], 6) AS c
+         |FROM c$Iters, generate_series(1, $D) t(i)""".stripMargin
+
+    val assignSql: String =
+      s"WITH $withClauses\nSELECT vec_id AS id, cl AS cluster FROM afin"
+
+    val nmiSql: String =
+      s"""WITH $withClauses,
+         |cont AS (SELECT f.cl AS yp, e.label AS yt, count(*) AS c
+         |         FROM afin f JOIN embeddings e ON e.vec_id = f.vec_id GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cont),
+         |pp AS (SELECT yp, CAST(sum(c) AS DOUBLE) AS cp FROM cont GROUP BY yp),
+         |tt AS (SELECT yt, CAST(sum(c) AS DOUBLE) AS ct FROM cont GROUP BY yt),
+         |mi AS (SELECT sum((cont.c / tot.n) * ln(cont.c * tot.n / (pp.cp * tt.ct))) AS v
+         |       FROM cont, tot, pp, tt WHERE cont.yp = pp.yp AND cont.yt = tt.yt),
+         |hp AS (SELECT -sum((cp / n) * ln(cp / n)) AS v FROM pp, tot),
+         |ht AS (SELECT -sum((ct / n) * ln(ct / n)) AS v FROM tt, tot)
+         |SELECT round(mi.v / ((hp.v + ht.v) / 2), 6) AS nmi FROM mi, hp, ht""".stripMargin
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     PointSource.fromEmbeddings(s, dir)
 
@@ -66,7 +135,7 @@ object MlQueries {
       kmeansModel(s, dir).assign(points, "features")
         .select(col("id"), col("label").as("cluster"))
     },
-    None)
+    Some(KmeansOracle.assignSql))
 
   val kmeansCenters = Q("q_kmeans_centers",
     (s, dir) => {
@@ -74,10 +143,10 @@ object MlQueries {
       val model = kmeansModel(s, dir)
       model.centers.zipWithIndex.toSeq
         .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
-          (i, p, math.rint(v * 1e6) / 1e6) } }
+          (i, p.toLong, math.rint(v * 1e6) / 1e6) } }
         .toDF("cluster", "pos", "c")
     },
-    None)
+    Some(KmeansOracle.centersSql))
 
   val bfrAssign = Q("q_bfr_assign",
     (s, dir) => bfrResult(s, dir).assignments.select(col("id"), col("cluster")),
@@ -104,7 +173,7 @@ object MlQueries {
       val truth = points.select(col("vec_id"), col("label"))
       Seq(math.rint(Nmi.score(pred, truth) * 1e6) / 1e6).toDF("nmi")
     },
-    None)
+    Some(KmeansOracle.nmiSql))
 
   /** M10 arithmetic oracle-checked: NMI between two categorical columns of
     * `documents`, replicated in closed-form SQL.
