@@ -150,14 +150,14 @@ object MlQueries {
 
   val bfrAssign = Q("q_bfr_assign",
     (s, dir) => bfrResult(s, dir).assignments.select(col("id"), col("cluster")),
-    None)
+    Some(BfrOracleSql.assignSql))
 
   val bfrStats = Q("q_bfr_stats",
     (s, dir) => {
       import s.implicits._
       bfrResult(s, dir).stats.toDF()
     },
-    None)
+    Some(BfrOracleSql.statsSql))
 
   /** NMI of the engine's k-means clustering vs the testdata ground-truth
     * labels — the reference's end-to-end quality gate (NMI > 0.8,

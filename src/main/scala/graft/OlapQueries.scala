@@ -114,6 +114,11 @@ object OlapQueries {
            |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
            |FROM orders""".stripMargin))
 
+  /** percent_rank / cume_dist are exact rationals k/n — identical doubles
+    * in both engines, but round() can land exactly on a half (e.g.
+    * 3330/6400 = 0.5203125) where Spark HALF_UP and DuckDB's rint
+    * disagree. floor of the scaled value is tie-free on identical inputs.
+    */
   val ntileRanks = Q("q_ntile",
     (s, dir) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -121,13 +126,13 @@ object OlapQueries {
       t(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"),
           ntile(4).over(w).cast("long").as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_micro"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cd_micro"))
     },
     Some("""SELECT c_custkey, c_nationkey,
            | ntile(4) OVER w AS quartile,
-           | round(percent_rank() OVER w, 6) AS pr,
-           | round(cume_dist() OVER w, 6) AS cd
+           | CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+           | CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
            |FROM customer
            |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)""".stripMargin))
 
