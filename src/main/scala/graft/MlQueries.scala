@@ -34,10 +34,9 @@ object MlQueries {
     * bit-identical (after round-6) at sf0.001/0.01/0.1. MATERIALIZED is
     * load-bearing: inlined CTEs re-evaluate the chain exponentially.
     */
-  private object KmeansOracle {
-    val K = 10; val Iters = 5; val D = 64
+  private[graft] class KmeansOracleGen(val K: Int, val Iters: Int, val D: Int = 64) {
 
-    private def sqdist(a: String, b: String): String =
+    private[graft] def sqdist(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1,$D), i -> pow($a[i]-$b[i],2)))"
 
     /** The WITH-clause body (no `WITH` prefix): emb → seeds → c0 →
@@ -92,6 +91,45 @@ object MlQueries {
          |hp AS (SELECT -sum((cp / n) * ln(cp / n)) AS v FROM pp, tot),
          |ht AS (SELECT -sum((ct / n) * ln(ct / n)) AS v FROM tt, tot)
          |SELECT round(mi.v / ((hp.v + ht.v) / 2), 6) AS nmi FROM mi, hp, ht""".stripMargin
+  }
+
+  private object KmeansOracle extends KmeansOracleGen(10, 5)
+
+  /** DuckDB oracle for the IVF ANN: the k=8/iters=3 coarse quantizer is
+    * the same unrolled deterministic k-means, then the probe (2 nearest
+    * cells per query, ties to the lower cell), candidate fetch
+    * (cell-joined, self excluded) and exact cosine top-3 are replicated
+    * with the engine's tie-breaks. Makes the recall<1 scale path exactly
+    * checkable — the "approximation" is deterministic cell pruning, not
+    * randomness.
+    */
+  private object IvfOracle extends KmeansOracleGen(8, 3) {
+    val sql: String =
+      s"""WITH $withClauses,
+         |cells AS MATERIALIZED (
+         |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
+         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
+         |cd AS (SELECT q.qid, q.qe, c.cl AS cell, ${sqdist("q.qe", "c.e")} AS dd
+         |       FROM q, c$Iters c),
+         |probes AS (
+         |  SELECT qid, qe, cell FROM (
+         |    SELECT qid, qe, cell,
+         |      row_number() OVER (PARTITION BY qid ORDER BY dd, cell) AS rn
+         |    FROM cd) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, p.qe, s.cid, s.ce
+         |  FROM probes p JOIN cells s ON s.cell = p.cell AND s.cid <> p.qid),
+         |d AS (SELECT qid, cid,
+         |        sum(qe[t.i] * ce[t.i]) AS dot,
+         |        sum(qe[t.i] * qe[t.i]) AS nq,
+         |        sum(ce[t.i] * ce[t.i]) AS nc
+         |      FROM cand, generate_series(1, $D) t(i) GROUP BY qid, cid),
+         |r AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
+         |      FROM d)
+         |SELECT qid, cid, round(cos, 6) AS cos_sim FROM r WHERE rn <= 3""".stripMargin
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -262,7 +300,7 @@ object MlQueries {
         .filter(col("rn") <= 3)
         .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"))
     },
-    None)
+    Some(IvfOracle.sql))
 
   /** Embedding-cosine near-duplicate pairs (brute force at test scale;
     * the LSH/IVF variants are the scale path).

@@ -351,9 +351,53 @@ object OlapQueries {
            |  count(*) AS n_events
            |FROM z GROUP BY user_id, sess""".stripMargin))
 
+  /** JSON scalar functions — serialize a struct per row, then extract
+    * typed fields back out by JSON path (the parse side of a pipeline
+    * ingesting JSON event payloads). Spark's to_json field order follows
+    * the struct; the oracle builds the identical byte string.
+    */
+  val jsonExtract = Q("q_json_extract",
+    (s, dir) => {
+      val payload = to_json(struct(col("lang"), col("n_chars")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), col("payload"),
+          get_json_object(col("payload"), "$.lang").as("x_lang"),
+          get_json_object(col("payload"), "$.n_chars").cast("long").as("x_chars"))
+    },
+    Some("""WITH j AS (
+           |  SELECT doc_id,
+           |    '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS payload
+           |  FROM documents)
+           |SELECT doc_id, payload,
+           | json_extract_string(payload, '$.lang') AS x_lang,
+           | CAST(json_extract_string(payload, '$.n_chars') AS BIGINT) AS x_chars
+           |FROM j""".stripMargin))
+
+  /** Bivariate statistics aggregates — corr / covar / stddev / variance
+    * per group, one scan. Rounding absorbs parallel-sum reordering (the
+    * co-moment magnitudes keep the rounded decimals stable).
+    */
+  val statsCorr = Q("q_stats_corr",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_pop(col("l_discount")), 8).as("var_disc"),
+        count(lit(1)).as("cnt")),
+    Some("""SELECT l_returnflag,
+           | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           | round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+           | round(stddev_samp(l_quantity), 6) AS sd_qty,
+           | round(var_pop(l_discount), 8) AS var_disc,
+           | count(*) AS cnt
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct, sessionWindow)
+    hashSample, approxDistinct, sessionWindow, jsonExtract, statsCorr)
 }

@@ -145,8 +145,8 @@ object TextQueries {
   private def langMarkers = TextOps.langMarkers
 
   val langId = Q("q_lang_id",
-    (s, dir) => docs(s, dir).select(col("doc_id"), col("lang"),
-      TextOps.langIdExpr(col("text")).as("pred_lang")), {
+    (s, dir) => TextOps.withLangId(docs(s, dir), col("text"), "pred_lang")
+      .select(col("doc_id"), col("lang"), col("pred_lang")), {
       def hitsSql(ms: Seq[String]): String =
         s"len(list_filter($wordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
       val hs = langMarkers.map { case (l, ms) => l -> hitsSql(ms) }
@@ -168,15 +168,14 @@ object TextQueries {
        | i -> array_to_string(list_slice($wordsSql, i, i + 2), ' '))""".stripMargin
 
   /** Rolling-window document fingerprint: the minimum shingle hash — a
-    * 1-permutation MinHash under md5 order. Computed as a min-aggregate
-    * over the shared exploded shingles (min over distinct = min over
-    * all), not a per-row array HOF: the partial agg carries one 32-char
-    * string per doc per partition.
+    * 1-permutation MinHash under md5 order (min over distinct = min over
+    * all). Computed inside the shared signature aggregation pass (the
+    * `fp` column), so this query is a projection of the materialized
+    * signature — no extra scan of the shingle stream.
     */
   val docFingerprint = Q("q_doc_fingerprint",
-    (s, dir) => artifacts(s, dir).shingles
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("sh"))).as("fingerprint")),
+    (s, dir) => artifacts(s, dir).signature
+      .select(col("doc_id"), col("fp").as("fingerprint")),
     Some(s"""SELECT doc_id, list_min(list_transform($shinglesSql, sh -> md5(sh))) AS fingerprint
             |FROM documents""".stripMargin))
 
@@ -196,7 +195,8 @@ object TextQueries {
   }
 
   val minhashSignature = Q("q_minhash_signature",
-    (s, dir) => signatureDf(s, dir),
+    (s, dir) => signatureDf(s, dir)
+      .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")),
     Some(s"SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")} FROM documents"))
 
   /** MinHash-LSH near-dup candidates: 2 bands × 2 rows; docs sharing a
@@ -349,12 +349,15 @@ object TextQueries {
     (s, dir) => {
       val tokens = docs(s, dir)
         .select(col("doc_id"), size(wordsCol).as("nw"), explode(wordsCol).as("w"))
-      val tf = tokens.groupBy(col("doc_id"), col("nw"), col("w"))
-        .agg(count(lit(1)).as("c"))
-      val dfTop = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // materialize the (doc, word) counts once: both the vocabulary
+      // branch and the final join consume them (uncached, the token
+      // explode + aggregation ran twice)
+      val tfc = tokens.groupBy(col("doc_id"), col("nw"), col("w"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val dfTop = tfc.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("w")).limit(10)
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      tf.join(broadcast(dfTop), Seq("w"))
+      tfc.join(broadcast(dfTop), Seq("w"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w"),
           round((col("c").cast("double") / col("nw"))
@@ -386,9 +389,146 @@ object TextQueries {
            |WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100
            |      < CASE WHEN lang = 'en' THEN 30 ELSE 10 END""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Repetition / composite quality gate / bag-of-words / Zipf / containment
+  // ---------------------------------------------------------------------
+
+  /** Word-bigram repetition ratio (Gopher-style quality signal): the
+    * fraction of bigram occurrences that are repeats of an earlier bigram
+    * in the same document. Map-side only — one array expression per doc.
+    */
+  private def bigramsCol: Column = {
+    val ws = wordsCol
+    transform(sequence(lit(1), greatest(size(ws) - 1, lit(1))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+  }
+  private val bigramsSql =
+    s"""list_transform(generate_series(1, greatest(len($wordsSql) - 1, 1)),
+       | i -> array_to_string(list_slice($wordsSql, i, i + 1), ' '))""".stripMargin
+
+  val repetitionRatio = Q("q_repetition_ratio",
+    (s, dir) => {
+      val bg = bigramsCol
+      docs(s, dir).select(col("doc_id"),
+        size(bg).cast("long").as("n_bigrams"),
+        size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"),
+        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6)
+          .as("rep_ratio"))
+    },
+    Some(s"""SELECT doc_id,
+            | len($bigramsSql) AS n_bigrams,
+            | len(list_distinct($bigramsSql)) AS n_distinct_bigrams,
+            | round(1.0 - len(list_distinct($bigramsSql))
+            |   / CAST(len($bigramsSql) AS DOUBLE), 6) AS rep_ratio
+            |FROM documents""".stripMargin))
+
+  /** Composite quality gate — the keep/drop decision of a training-data
+    * pipeline with the first failing rule as the reason: length bounds,
+    * stopword evidence, bigram repetition. One pass, no shuffle.
+    */
+  val qualityFilter = Q("q_quality_filter",
+    (s, dir) => {
+      val ws = wordsCol
+      val nWords = size(ws)
+      val stopArr = array(stopLits.map(lit): _*)
+      val stopRatio = size(filter(ws, w => array_contains(stopArr, w))).cast("double") / nWords
+      val bg = bigramsCol
+      val repRatio = lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)
+      val reason = when(nWords < 10, "too_short")
+        .when(nWords > 2000, "too_long")
+        .when(stopRatio < 0.01, "low_stopword")
+        .when(repRatio > 0.8, "repetitive")
+        .otherwise("ok")
+      docs(s, dir).select(col("doc_id"), reason.as("reason"),
+        (reason === "ok").as("keep"))
+    },
+    Some(s"""SELECT doc_id, reason, reason = 'ok' AS keep FROM (
+            |  SELECT doc_id,
+            |    CASE WHEN len($wordsSql) < 10 THEN 'too_short'
+            |         WHEN len($wordsSql) > 2000 THEN 'too_long'
+            |         WHEN len(list_filter($wordsSql,
+            |             w -> list_contains([${stopLits.map("'" + _ + "'").mkString(",")}], w)))
+            |           / CAST(len($wordsSql) AS DOUBLE) < 0.01 THEN 'low_stopword'
+            |         WHEN 1.0 - len(list_distinct($bigramsSql))
+            |           / CAST(len($bigramsSql) AS DOUBLE) > 0.8 THEN 'repetitive'
+            |         ELSE 'ok' END AS reason
+            |  FROM documents)""".stripMargin))
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token set — an
+    * order-insensitive exact-dedup key (catches shuffled duplicates that
+    * byte-hash dedup misses).
+    */
+  val bowFingerprint = Q("q_bow_fingerprint",
+    (s, dir) => {
+      val ws = wordsCol
+      docs(s, dir).select(col("doc_id"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+        md5(concat_ws(" ", array_sort(array_distinct(ws)))).as("bow_hash"))
+    },
+    Some(s"""SELECT doc_id, len(list_distinct($wordsSql)) AS n_distinct_words,
+            | md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS bow_hash
+            |FROM documents""".stripMargin))
+
+  /** Corpus term-frequency ranking (Zipf view): top-50 words by total
+    * occurrences. The window runs over the vocabulary-sized aggregate,
+    * never the token stream.
+    */
+  val zipfRank = Q("q_zipf_rank",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(wordsCol).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w"))
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 50)
+        .select(col("w"), col("cnt"), col("rank"))
+    },
+    Some(s"""SELECT w, cnt, rank FROM (
+            |  SELECT w, count(*) AS cnt,
+            |    row_number() OVER (ORDER BY count(*) DESC, w) AS rank
+            |  FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w)
+            |WHERE rank <= 50""".stripMargin))
+
+  /** Containment (|A∩B| / min(|A|,|B|)) over the LSH candidate pairs —
+    * the asymmetric near-dup measure that catches subset documents
+    * Jaccard under-scores. Shares the materialized shingle pipeline.
+    */
+  val containment = Q("q_containment",
+    (s, dir) => {
+      val a = artifacts(s, dir)
+      TextOps.pairOverlap(a.shingles, "doc_id", a.candidates)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("ni").cast("double") / least(col("na"), col("nb")), 6)
+            .as("containment"))
+    },
+    Some(s"""WITH sig AS (
+            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
+            |  FROM documents),
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
+            |pairs AS (
+            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |  FROM bands l JOIN bands r
+            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            |  GROUP BY p.doc_a, p.doc_b)
+            |SELECT i.doc_a, i.doc_b,
+            |  round(CAST(i.ni AS DOUBLE) / least(ca.n, cb.n), 6) AS containment
+            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+            |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, multimodalMeta, multimodalFeatures,
-    vocabDf, tfidf, stratifiedSample)
+    vocabDf, tfidf, stratifiedSample,
+    repetitionRatio, qualityFilter, bowFingerprint, zipfRank, containment)
 }

@@ -74,8 +74,7 @@ object CorpusPipelineApp {
     val lowQuality = afterNearN - qualified.count()
 
     // 5. language-ID annotation (shared marker table)
-    val out = qualified
-      .withColumn("pred_lang", TextOps.langIdExpr(col("norm_text")))
+    val out = TextOps.withLangId(qualified, col("norm_text"), "pred_lang")
       .drop("norm_hash")
 
     out.write.mode("overwrite").parquet(outDir)

@@ -33,7 +33,9 @@ object TextOps {
     df.select(col(idCol), explode(array_distinct(shingles(text))).as("sh"))
 
   /** 4-seed MinHash signature from exploded shingles (single pass,
-    * partial+final min aggregation): (idCol, mh0..mh3).
+    * partial+final min aggregation): (idCol, mh0..mh3, fp). `fp` is the
+    * unseeded 1-permutation MinHash (the document fingerprint), computed
+    * in the same pass so the fingerprint query costs no extra scan.
     */
   def signatureFromShingles(sh: DataFrame, idCol: String): DataFrame =
     sh.groupBy(col(idCol))
@@ -41,7 +43,7 @@ object TextOps {
         min(md5(concat(lit(minhashSeeds.head), col("sh")))).as("mh0"),
         minhashSeeds.tail.zipWithIndex.map { case (seed, i) =>
           min(md5(concat(lit(seed), col("sh")))).as(s"mh${i + 1}")
-        }: _*)
+        } :+ min(md5(col("sh"))).as("fp"): _*)
 
   /** 2 bands × 2 rows: (idCol, band, bucket). */
   def lshBands(sig: DataFrame, idCol: String): DataFrame =
@@ -58,11 +60,13 @@ object TextOps {
       .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b")).distinct()
   }
 
-  /** Exact set-Jaccard per candidate pair. `sh` = explodedShingles output;
-    * the pair side is broadcast on every hop so the corpus-sized shingle
-    * stream never shuffles for the joins.
+  /** Per-candidate-pair set-overlap counts (|A∩B|, |A|, |B|) from the
+    * exploded distinct shingles — the shared core of every set-similarity
+    * measure (Jaccard, containment, overlap coefficient). The pair side
+    * is broadcast on every hop so the corpus-sized shingle stream never
+    * shuffles for the joins.
     */
-  def jaccardOverPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def pairOverlap(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh"))
@@ -73,9 +77,14 @@ object TextOps {
       .join(broadcast(inter), Seq("doc_a"))
     cnt.select(col(idCol).as("doc_b"), col("n").as("nb"))
       .join(broadcast(withNa), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("na"), col("nb"))
+  }
+
+  /** Exact set-Jaccard per candidate pair. */
+  def jaccardOverPairs(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    pairOverlap(sh, idCol, pairs)
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
-  }
 
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
@@ -93,5 +102,26 @@ object TextOps {
     cols.reverse.foldLeft[Column](lit("unk")) { case (acc, (l, h)) =>
       when(h === best && best > 0, lit(l)).otherwise(acc)
     }
+  }
+
+  /** Staged language-ID: same semantics as [[langIdExpr]], but the
+    * tokenization and the per-language hit counts are materialized as
+    * intermediate projections, so the split runs once per row and each
+    * filter once — not once per reference. (CollapseProject keeps the
+    * stages apart because the producers are non-cheap and multiply
+    * referenced; the inline expression form re-evaluated the split ~12×.)
+    */
+  def withLangId(df: DataFrame, text: Column, out: String): DataFrame = {
+    val hitCol = langMarkers.map { case (l, _) => s"__h_$l" }
+    val staged = df.withColumn("__ws", words(text))
+    val withHits = staged.select(col("*") +: langMarkers.map { case (l, ms) =>
+      size(filter(col("__ws"), w => array_contains(array(ms.map(lit): _*), w)))
+        .as(s"__h_$l")
+    }: _*)
+    val best = greatest(hitCol.map(col): _*)
+    val pred = langMarkers.reverse.foldLeft[Column](lit("unk")) { case (acc, (l, _)) =>
+      when(col(s"__h_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    withHits.withColumn(out, pred).drop("__ws" +: hitCol: _*)
   }
 }
