@@ -397,24 +397,27 @@ object TextQueries {
     * fraction of bigram occurrences that are repeats of an earlier bigram
     * in the same document. Map-side only — one array expression per doc.
     */
-  private def bigramsCol: Column = {
-    val ws = wordsCol
+  private def bigramsFrom(ws: Column): Column =
     transform(sequence(lit(1), greatest(size(ws) - 1, lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
-  }
   private val bigramsSql =
     s"""list_transform(generate_series(1, greatest(len($wordsSql) - 1, 1)),
        | i -> array_to_string(list_slice($wordsSql, i, i + 1), ' '))""".stripMargin
 
   val repetitionRatio = Q("q_repetition_ratio",
-    (s, dir) => {
-      val bg = bigramsCol
-      docs(s, dir).select(col("doc_id"),
-        size(bg).cast("long").as("n_bigrams"),
-        size(array_distinct(bg)).cast("long").as("n_distinct_bigrams"),
-        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 6)
-          .as("rep_ratio"))
-    },
+    (s, dir) =>
+      // staged projections: the bigram array and its counts materialize
+      // once per row; inline references would re-evaluate the HOF chain
+      // (split → transform → distinct) per use
+      docs(s, dir)
+        .withColumn("__ws", wordsCol)
+        .withColumn("__bg", bigramsFrom(col("__ws")))
+        .select(col("doc_id"),
+          size(col("__bg")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("__bg"))).cast("long").as("n_distinct_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+          round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+            .as("rep_ratio")),
     Some(s"""SELECT doc_id,
             | len($bigramsSql) AS n_bigrams,
             | len(list_distinct($bigramsSql)) AS n_distinct_bigrams,
@@ -428,19 +431,25 @@ object TextQueries {
     */
   val qualityFilter = Q("q_quality_filter",
     (s, dir) => {
-      val ws = wordsCol
-      val nWords = size(ws)
       val stopArr = array(stopLits.map(lit): _*)
-      val stopRatio = size(filter(ws, w => array_contains(stopArr, w))).cast("double") / nWords
-      val bg = bigramsCol
-      val repRatio = lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg)
-      val reason = when(nWords < 10, "too_short")
-        .when(nWords > 2000, "too_long")
-        .when(stopRatio < 0.01, "low_stopword")
-        .when(repRatio > 0.8, "repetitive")
+      // staged projections — each HOF (split, filter, bigrams, distinct)
+      // evaluates once per row; the rule cascade then runs on cheap
+      // attribute references
+      val counted = docs(s, dir)
+        .withColumn("__ws", wordsCol)
+        .withColumn("__bg", bigramsFrom(col("__ws")))
+        .select(col("doc_id"),
+          size(col("__ws")).as("__nw"),
+          size(filter(col("__ws"), w => array_contains(stopArr, w))).as("__nstop"),
+          size(col("__bg")).as("__nbg"),
+          size(array_distinct(col("__bg"))).as("__ndbg"))
+      val reason = when(col("__nw") < 10, "too_short")
+        .when(col("__nw") > 2000, "too_long")
+        .when(col("__nstop").cast("double") / col("__nw") < 0.01, "low_stopword")
+        .when(lit(1.0) - col("__ndbg").cast("double") / col("__nbg") > 0.8, "repetitive")
         .otherwise("ok")
-      docs(s, dir).select(col("doc_id"), reason.as("reason"),
-        (reason === "ok").as("keep"))
+      counted.select(col("doc_id"), reason.as("reason"))
+        .select(col("doc_id"), col("reason"), (col("reason") === "ok").as("keep"))
     },
     Some(s"""SELECT doc_id, reason, reason = 'ok' AS keep FROM (
             |  SELECT doc_id,

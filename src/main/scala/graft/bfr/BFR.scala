@@ -107,11 +107,11 @@ object BFR {
       val round = idx + 1
       val chunk = chunkRaw.select(col("id").cast("long").as("id"), col("features"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      chunk.count()
+      val chunkN = chunk.count()
 
       if (round == 1) {
         // --- init (M4, code/bfr.py:393-429) ---
-        val n = chunk.count()
+        val n = chunkN
         val sampleN = math.ceil(cfg.initSampleFraction * n).toInt
         val sample = chunk.orderBy(col("id")).limit(sampleN)
           .persist(StorageLevel.MEMORY_AND_DISK)
@@ -156,10 +156,12 @@ object BFR {
         val rest = chunk.join(sample.select("id"), Seq("id"), "left_anti")
         val (a2, r2) = assignToDs(rest, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a2)
-        discardedSoFar += a2.count()
         // A4: assigned points fold into their DS summaries (the reference
-        // updates per point at code/bfr.py:389; we fold the chunk's delta)
-        ds = absorb(ds, a2.join(rest, Seq("id")).select(col("cluster").as("label"), col("features")))
+        // updates per point at code/bfr.py:389; we fold the chunk's delta);
+        // the same aggregation yields the discarded-count delta
+        val (ds2, n2) = absorbCounted(ds,
+          a2.join(rest, Seq("id")).select(col("cluster").as("label"), col("features")))
+        ds = ds2; discardedSoFar += n2
         rs = rs.union(r2)
         sample.unpersist(false); coarseAssigned.unpersist(false)
         inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
@@ -167,8 +169,9 @@ object BFR {
         // --- per-chunk step (M5, code/bfr.py:382-391) ---
         val (a, r) = assignToDs(chunk, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a)
-        discardedSoFar += a.count()
-        ds = absorb(ds, a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
+        val (dsN, nA) = absorbCounted(ds,
+          a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
+        ds = dsN; discardedSoFar += nA
         rs = rs.union(r)
       }
 
@@ -215,9 +218,10 @@ object BFR {
         val overflow = rs.orderBy(col("id")).limit((rsCount - cap).toInt)
           .localCheckpoint(true)
         val (a, _) = assignToDs(overflow, ds, Double.MaxValue)
-        ds = absorb(ds, a.join(overflow, Seq("id")).select(col("cluster").as("label"), col("features")))
+        val (dsN, nA) = absorbCounted(ds,
+          a.join(overflow, Seq("id")).select(col("cluster").as("label"), col("features")))
+        ds = dsN; discardedSoFar += nA
         assigned = unionAssign(assigned, a)
-        discardedSoFar += a.count()
         rs = rs.join(overflow.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
         rsCount = rs.count()
       }
@@ -226,11 +230,12 @@ object BFR {
       if (round < nRounds && rsCount > 0) {
         val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
         // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
-        ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+        val (dsN, nA) = absorbCounted(ds,
+          a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+        ds = dsN; discardedSoFar += nA
         assigned = unionAssign(assigned, a)
-        discardedSoFar += a.count()
         rs = r.localCheckpoint(true)
-        rsCount = rs.count()
+        rsCount = rsCount - nA
       }
 
       // --- finalize on the last round (M9, code/bfr.py:336-355) ---
@@ -238,9 +243,10 @@ object BFR {
       if (round == nRounds) {
         if (rsCount > 0) {
           val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
-          ds = absorb(ds, a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+          val (dsN, aCount) = absorbCounted(ds,
+            a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+          ds = dsN
           assigned = unionAssign(assigned, a)
-          val aCount = a.count()
           discardedSoFar += aCount
           retained = rsCount - aCount
           assigned = unionAssign(assigned,
@@ -295,9 +301,17 @@ object BFR {
   }
 
   /** Fold newly matched points into their DS summaries (A4). */
-  private[graft] def absorb(ds: IndexedSeq[ClusterSummary], labeled: DataFrame): IndexedSeq[ClusterSummary] = {
+  private[graft] def absorb(ds: IndexedSeq[ClusterSummary], labeled: DataFrame): IndexedSeq[ClusterSummary] =
+    absorbCounted(ds, labeled)._1
+
+  /** absorb + the number of points folded in, read off the same
+    * aggregation (Σ delta.n) — callers needing the count save one job.
+    */
+  private[graft] def absorbCounted(ds: IndexedSeq[ClusterSummary],
+                                   labeled: DataFrame): (IndexedSeq[ClusterSummary], Long) = {
     val deltas = summariesByLabel(labeled, "features")
-    ds.zipWithIndex.map { case (s, i) => deltas.get(i).map(s.merge).getOrElse(s) }
+    (ds.zipWithIndex.map { case (s, i) => deltas.get(i).map(s.merge).getOrElse(s) },
+      deltas.values.map(_.n).sum)
   }
 
   /** Greedy CS pairwise merge: any pair with center-to-summary Mahalanobis

@@ -133,11 +133,14 @@ object KMeans {
           firstSeedRank: Int = 0, forceDistributed: Boolean = false): Model = {
     val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = cached.count()
+      // one job probes both the row count and the dimensionality
+      val probe = cached.agg(
+        count(lit(1)).as("n"),
+        first(org.apache.spark.sql.functions.size(col(featCol))).as("d")).head()
+      val n = probe.getLong(0)
       require(n > 0, "KMeans.fit on empty input")
       val kEff = math.min(k.toLong, n).toInt
-      val d = cached.select(org.apache.spark.sql.functions.size(col(featCol)))
-        .head().getInt(0)
+      val d = probe.getInt(1)
       if (!forceDistributed && n * d <= LocalFitCells) {
         val rows = cached
           .select(col(idCol).cast("long").as("__id"), col(featCol).as("__f"))
