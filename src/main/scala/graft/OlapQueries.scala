@@ -395,9 +395,51 @@ object OlapQueries {
            | count(*) AS cnt
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** Calendar scalar functions: part extraction, day arithmetic,
+    * end-of-month — rendered portably (ints widened to BIGINT, dates as
+    * strings).
+    */
+  val dateParts = Q("q_date_parts",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_format(date_add(col("o_orderdate"), 90), "yyyy-MM-dd").as("due_date"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end")),
+    Some("""SELECT o_orderkey,
+           | year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+           | month(o_orderdate) AS m, day(o_orderdate) AS dom,
+           | strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           | strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+           |FROM orders""".stripMargin))
+
+  /** String scalar functions: case, padding, reversal, literal
+    * replacement, slicing, concatenation — one composed pass.
+    */
+  val stringFuncs = Q("q_string_funcs",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("padded"),
+        reverse(col("c_name")).as("rname"),
+        regexp_replace(col("c_name"), "Customer#", "C-").as("short_name"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged")),
+    Some("""SELECT c_custkey,
+           | upper(c_name) AS uname,
+           | lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+           | reverse(c_name) AS rname,
+           | replace(c_name, 'Customer#', 'C-') AS short_name,
+           | substring(c_name, 1, 8) AS prefix8,
+           | concat_ws('|', c_mktsegment, c_name) AS tagged
+           |FROM customer""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct, sessionWindow, jsonExtract, statsCorr)
+    hashSample, approxDistinct, sessionWindow, jsonExtract, statsCorr,
+    dateParts, stringFuncs)
 }

@@ -499,6 +499,46 @@ object TextQueries {
             |  FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w)
             |WHERE rank <= 50""".stripMargin))
 
+  /** MinHash-estimated Jaccard over the LSH candidate pairs: the fraction
+    * of matching signature components (4-permutation estimator) — the
+    * cheap screen between candidate generation and the exact verify
+    * stage. Two broadcast joins of the tiny signature table; no shingle
+    * rescan.
+    */
+  val minhashJaccardEst = Q("q_minhash_jaccard_est",
+    (s, dir) => {
+      val sig = signatureDf(s, dir)
+      val a = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 4).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val b = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 4).map(i => col(s"mh$i").as(s"b$i")): _*)
+      lshCandidates(s, dir)
+        .join(broadcast(a), Seq("doc_a"))
+        .join(broadcast(b), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          ((0 until 4).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1).otherwise(0): Column)
+            .reduce(_ + _).cast("double") / 4).as("jaccard_est"))
+    },
+    Some(s"""WITH sig AS (
+            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
+            |  FROM documents),
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
+            |pairs AS (
+            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |  FROM bands l JOIN bands r
+            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+            |SELECT p.doc_a, p.doc_b,
+            |  ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+            |  + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+            |  + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+            |  + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) / 4.0) AS jaccard_est
+            |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+            |             JOIN sig b ON b.doc_id = p.doc_b""".stripMargin))
+
   /** Containment (|A∩B| / min(|A|,|B|)) over the LSH candidate pairs —
     * the asymmetric near-dup measure that catches subset documents
     * Jaccard under-scores. Shares the materialized shingle pipeline.
@@ -539,5 +579,6 @@ object TextQueries {
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
-    repetitionRatio, qualityFilter, bowFingerprint, zipfRank, containment)
+    repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
+    minhashJaccardEst, containment)
 }
