@@ -197,6 +197,22 @@ object MlQueries {
     },
     Some(BfrOracleSql.statsSql))
 
+  /** MLlib-backed k-means (k-means|| init + Lloyd via org.apache.spark.ml)
+    * through the same Model API — the scale-preferred fit path (SURVEY §7
+    * "MLlib-backed + exact mode"). Cluster centers are seeded-random →
+    * rows-only check (k × d rows); the deterministic twin q_kmeans_centers
+    * carries the exact oracle.
+    */
+  val kmeansMllibCenters = Q("q_kmeans_mllib_centers",
+    (s, dir) => {
+      import s.implicits._
+      val model = graft.kmeans.MLlibKMeans.fit(emb(s, dir), k = 10, iters = 5)
+      model.centers.zipWithIndex.toSeq
+        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p.toLong, v) } }
+        .toDF("cluster", "pos", "c")
+    },
+    None)
+
   /** NMI of the engine's k-means clustering vs the testdata ground-truth
     * labels — the reference's end-to-end quality gate (NMI > 0.8,
     * HW4.pdf §4.3).
@@ -408,7 +424,7 @@ object MlQueries {
            |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    kmeansAssign, kmeansCenters, bfrAssign, bfrStats, kmeansNmi,
-    nmiLangSource, annBruteForce, annIvf, embeddingNearDup,
+    kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
+    kmeansNmi, nmiLangSource, annBruteForce, annIvf, embeddingNearDup,
     embeddingLshPairs, simhash)
 }
