@@ -395,6 +395,50 @@ object OlapQueries {
            | count(*) AS cnt
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** Value-range window frame (RANGE BETWEEN over an integer day key):
+    * trailing-30-day revenue per customer — the time-decayed aggregation
+    * ROWS frames can't express. One shuffle on the partition key.
+    */
+  val rangeFrame = Q("q_range_frame",
+    (s, dir) => {
+      val dayKey = datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1970-01-01")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("epoch_day", dayKey.cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("rev_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           | datediff('day', DATE '1970-01-01', o_orderdate) AS epoch_day,
+           | round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+           | count(*) OVER w AS n_30d
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey
+           |             ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+           |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  /** Correlated scalar subquery, decorrelated the scalable way: the
+    * per-nation average is a tiny aggregate broadcast back onto the fact
+    * side (exactly Catalyst's decorrelation of the SQL form the oracle
+    * runs) — customers above their own nation's average balance.
+    */
+  val correlatedSubquery = Q("q_correlated_subquery",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val natAvg = c.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg(col("c_acctbal")).as("nat_avg"))
+      c.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nat_avg"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("bal"))
+    },
+    Some("""SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+           |FROM customer c
+           |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+           |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin))
+
   /** Calendar scalar functions: part extraction, day arithmetic,
     * end-of-month — rendered portably (ints widened to BIGINT, dates as
     * strings).
@@ -441,5 +485,5 @@ object OlapQueries {
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
     hashSample, approxDistinct, sessionWindow, jsonExtract, statsCorr,
-    dateParts, stringFuncs)
+    dateParts, stringFuncs, rangeFrame, correlatedSubquery)
 }

@@ -1,0 +1,75 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+import graft.operators.ConnectedComponents
+
+/** Scale validation for the text-dedup pipeline: replicate the driver's
+  * documents table `copies`× (each copy's text perturbed with a distinct
+  * suffix token, so copies are NEAR-duplicates — they exercise the
+  * MinHash/LSH path, not the trivial exact-hash path), then run the full
+  * shared pipeline (shingles → signatures → LSH bands → candidate pairs →
+  * exact Jaccard verify → connected components) and print one JSON line
+  * with counts and seconds.
+  *
+  * This is the "would it still work at 1000×" probe for the operator
+  * family SURVEY §8 lists under dedup: every stage is a map-side
+  * projection or a bounded-key aggregation, so wall-clock should scale
+  * ~linearly in the corpus (candidate pairs stay bucket-local).
+  *
+  * Usage: runMain graft.app.TextScaleBench [docsParquet] [copies]
+  */
+object TextScaleBench {
+  def main(args: Array[String]): Unit = {
+    val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
+    val copies = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-text-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(docsPath)
+    val base = raw.count()
+    // copy c of doc i: id = i*copies + c, text = text + " dupmark<c>"
+    val corpus = raw
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
+      .select((col("doc_id") * copies + col("c")).as("doc_id"),
+        concat(col("text"), lit(" dupmark"), col("c")).as("text"))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val n = corpus.count()
+
+    val t0 = System.nanoTime()
+    val sh = TextOps.explodedShingles(corpus, "doc_id", col("text")).localCheckpoint(true)
+    val nShingles = sh.count()
+    val t1 = System.nanoTime()
+    val sig = TextOps.signatureFromShingles(sh, "doc_id").localCheckpoint(true)
+    sig.count()
+    val t2 = System.nanoTime()
+    val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
+      .localCheckpoint(true)
+    val nCand = cand.count()
+    val t3 = System.nanoTime()
+    val dupPairs = TextOps.jaccardOverPairs(sh, "doc_id", cand)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val nDup = dupPairs.count()
+    val t4 = System.nanoTime()
+    val groups = ConnectedComponents.canonicalize(dupPairs)
+    val nGrouped = groups.count()
+    val t5 = System.nanoTime()
+
+    def s(a: Long, b: Long): String = f"${(b - a) / 1e9}%.1f"
+    println(s"""{"docs":$n,"base":$base,"copies":$copies,"shingles":$nShingles,""" +
+      s""""candidates":$nCand,"dup_pairs":$nDup,"grouped_docs":$nGrouped,""" +
+      s""""shingle_s":${s(t0, t1)},"signature_s":${s(t1, t2)},"lsh_s":${s(t2, t3)},""" +
+      s""""verify_s":${s(t3, t4)},"components_s":${s(t4, t5)},"total_s":${s(t0, t5)}}""")
+    spark.stop()
+  }
+}

