@@ -317,6 +317,20 @@ object OlapQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users")),
     None)
 
+  /** KLL/GK-style approximate quantiles (`percentile_approx`) — the
+    * fixed-size-sketch scale path for q_quantiles (exact percentile
+    * shuffles every value; the sketch is mergeable partial+final state).
+    * Sketch results are engine-specific → rows-only; the exact twin
+    * carries the oracle.
+    */
+  val approxQuantiles = Q("q_approx_quantiles",
+    (s, dir) => Queries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx")),
+    None)
+
   /** Built-in session windows (the streaming-native sessionization
     * operator, batch twin of its Structured Streaming form): events merge
     * while gaps stay under 30 min; the window is half-open, so an event
@@ -484,6 +498,6 @@ object OlapQueries {
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct, sessionWindow, jsonExtract, statsCorr,
-    dateParts, stringFuncs, rangeFrame, correlatedSubquery)
+    hashSample, approxDistinct, approxQuantiles, sessionWindow, jsonExtract,
+    statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery)
 }
