@@ -179,24 +179,47 @@ object TextQueries {
     Some(s"""SELECT doc_id, list_min(list_transform($shinglesSql, sh -> md5(sh))) AS fingerprint
             |FROM documents""".stripMargin))
 
-  private def minhashSeeds = TextOps.minhashSeeds
-
-  /** 4-permutation MinHash signature via seeded md5 min-order statistics.
-    * Single pass: explode shingles once, hash each under every seed, and
-    * min-aggregate per doc (map-side partial agg carries 4 strings per
-    * doc per partition — the shingle text itself never shuffles).
+  /** 4-permutation MinHash signature: one md5 per distinct shingle, the
+    * permutations are the digest's four 32-bit hex chunks (TextOps).
+    * Single pass: explode shingles once, hash once, min-aggregate per doc
+    * (map-side partial agg carries 4 short strings per doc per partition
+    * — the shingle text itself never shuffles).
     */
   private def signatureDf(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir).signature
 
-  private def sigSql: Seq[(String, String)] = minhashSeeds.zipWithIndex.map {
-    case (seed, i) =>
-      s"mh$i" -> s"list_min(list_transform($shinglesSql, sh -> md5(concat('$seed', sh))))"
+  private def sigSql: Seq[(String, String)] =
+    (0 until TextOps.minhashPerms).map { i =>
+      val md = if (i < 4) "md5(sh)" else s"md5(concat('${TextOps.minhashSalt}', sh))"
+      s"mh$i" -> s"list_min(list_transform($shinglesSql, sh -> substring($md, ${(i % 4) * 8 + 1}, 8)))"
+    }
+
+  /** The sig → bands → candidate-pairs CTE chain shared by every
+    * LSH-derived oracle — generated from the same constants as the
+    * engine (TextOps.minhashPerms / lshRows), so a layout change updates
+    * all five oracles together.
+    */
+  private def pairsCtes: String = {
+    val sigCols = sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")
+    val bandSelects = (0 until TextOps.lshBandCount).map { b =>
+      val r = TextOps.lshRows
+      s"SELECT doc_id, $b AS band, concat(${(0 until r).map(j => s"mh${b * r + j}").mkString(", ")}) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sig AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM documents),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
   }
 
   val minhashSignature = Q("q_minhash_signature",
     (s, dir) => signatureDf(s, dir)
-      .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3")),
+      .select(col("doc_id") +:
+        (0 until TextOps.minhashPerms).map(i => col(s"mh$i")): _*),
     Some(s"SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")} FROM documents"))
 
   /** MinHash-LSH near-dup candidates: 2 bands × 2 rows; docs sharing a
@@ -212,16 +235,7 @@ object TextQueries {
 
   val minhashLshPairs = Q("q_minhash_lsh_pairs",
     (s, dir) => lshCandidates(s, dir),
-    Some(s"""WITH sig AS (
-            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
-            |  FROM documents),
-            |bands AS (
-            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
-            |  UNION ALL
-            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig)
-            |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            |FROM bands l JOIN bands r
-            |  ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id""".stripMargin))
+    Some(s"WITH $pairsCtes\nSELECT doc_a, doc_b FROM pairs"))
 
   /** Exact n-gram Jaccard over the LSH candidate pairs — the verify stage
     * of the MinHash pipeline (candidates → true similarity). Set
@@ -234,17 +248,7 @@ object TextQueries {
       TextOps.jaccardOverPairs(a.shingles, "doc_id", a.candidates)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
-    Some(s"""WITH sig AS (
-            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
-            |  FROM documents),
-            |bands AS (
-            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
-            |  UNION ALL
-            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
-            |pairs AS (
-            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            |  FROM bands l JOIN bands r
-            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    Some(s"""WITH $pairsCtes,
             |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             |inter AS (
@@ -285,17 +289,7 @@ object TextQueries {
   val dedupGroups = Q("q_dedup_groups",
     (s, dir) => graft.operators.ConnectedComponents
       .canonicalize(lshCandidates(s, dir)),
-    Some(s"""WITH RECURSIVE sig AS (
-            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
-            |  FROM documents),
-            |bands AS (
-            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
-            |  UNION ALL
-            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
-            |pairs AS (
-            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            |  FROM bands l JOIN bands r
-            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    Some(s"""WITH RECURSIVE $pairsCtes,
             |edges AS (
             |  SELECT doc_a AS s, doc_b AS d FROM pairs
             |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -507,35 +501,25 @@ object TextQueries {
     */
   val minhashJaccardEst = Q("q_minhash_jaccard_est",
     (s, dir) => {
+      val P = TextOps.minhashPerms
       val sig = signatureDf(s, dir)
       val a = sig.select(col("doc_id").as("doc_a") +:
-        (0 until 4).map(i => col(s"mh$i").as(s"a$i")): _*)
+        (0 until P).map(i => col(s"mh$i").as(s"a$i")): _*)
       val b = sig.select(col("doc_id").as("doc_b") +:
-        (0 until 4).map(i => col(s"mh$i").as(s"b$i")): _*)
+        (0 until P).map(i => col(s"mh$i").as(s"b$i")): _*)
       lshCandidates(s, dir)
         .join(broadcast(a), Seq("doc_a"))
         .join(broadcast(b), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          ((0 until 4).map(i =>
+          ((0 until P).map(i =>
             when(col(s"a$i") === col(s"b$i"), 1).otherwise(0): Column)
-            .reduce(_ + _).cast("double") / 4).as("jaccard_est"))
+            .reduce(_ + _).cast("double") / P).as("jaccard_est"))
     },
-    Some(s"""WITH sig AS (
-            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
-            |  FROM documents),
-            |bands AS (
-            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
-            |  UNION ALL
-            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
-            |pairs AS (
-            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            |  FROM bands l JOIN bands r
-            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+    Some(s"""WITH $pairsCtes
             |SELECT p.doc_a, p.doc_b,
-            |  ((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
-            |  + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
-            |  + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
-            |  + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) / 4.0) AS jaccard_est
+            |  ((${(0 until TextOps.minhashPerms).map(i =>
+                  s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString("\n  + ")})
+            |   / ${TextOps.minhashPerms}.0) AS jaccard_est
             |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
             |             JOIN sig b ON b.doc_id = p.doc_b""".stripMargin))
 
@@ -551,17 +535,7 @@ object TextQueries {
           round(col("ni").cast("double") / least(col("na"), col("nb")), 6)
             .as("containment"))
     },
-    Some(s"""WITH sig AS (
-            |  SELECT doc_id, ${sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")}
-            |  FROM documents),
-            |bands AS (
-            |  SELECT doc_id, 0 AS band, md5(concat(mh0, mh1)) AS bucket FROM sig
-            |  UNION ALL
-            |  SELECT doc_id, 1 AS band, md5(concat(mh2, mh3)) AS bucket FROM sig),
-            |pairs AS (
-            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            |  FROM bands l JOIN bands r
-            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    Some(s"""WITH $pairsCtes,
             |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
             |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
             |inter AS (
