@@ -50,9 +50,14 @@ object TextOps {
   val lshRows: Int = 2
   def lshBandCount: Int = minhashPerms / lshRows
 
-  /** Distinct shingles exploded: (idCol, sh). */
+  /** Distinct shingles exploded: (idCol, sh). Uses the single-pass
+    * native kernel ([[NativeTextFunctions.distinctShinglesNative]],
+    * unit-tested equal to `array_distinct(shingles(text))`) — the corpus
+    * shingle pass dominates the dedup pipeline at scale.
+    */
   def explodedShingles(df: DataFrame, idCol: String, text: Column): DataFrame =
-    df.select(col(idCol), explode(array_distinct(shingles(text))).as("sh"))
+    df.select(col(idCol),
+      explode(NativeTextFunctions.distinctShinglesNative(text)).as("sh"))
 
   /** 8-permutation MinHash signature from exploded shingles (single
     * pass, partial+final min aggregation): (idCol, mh0..mh7, fp).
