@@ -41,7 +41,8 @@ object TextQueries {
     shingleCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val sh = TextOps.explodedShingles(docs(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
-      val sig = TextOps.signatureFromShingles(sh, "doc_id").localCheckpoint(true)
+      val sig = TextOps.signatureFromText(docs(s, dir), "doc_id", col("text"))
+        .localCheckpoint(true)
       val cand = TextOps.candidatePairs(
         TextOps.lshBands(sig, "doc_id"), "doc_id").localCheckpoint(true)
       ShingleArtifacts(sh, sig, cand)

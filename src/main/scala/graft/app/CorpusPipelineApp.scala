@@ -54,7 +54,8 @@ object CorpusPipelineApp {
     // oracle-checked queries)
     val sh = TextOps.explodedShingles(afterExact, "doc_id", col("norm_text"))
       .localCheckpoint(true)
-    val sig = TextOps.signatureFromShingles(sh, "doc_id").localCheckpoint(true)
+    val sig = TextOps.signatureFromText(afterExact, "doc_id", col("norm_text"))
+      .localCheckpoint(true)
     val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
       .localCheckpoint(true)
     val dupPairs = TextOps.jaccardOverPairs(sh, "doc_id", cand)

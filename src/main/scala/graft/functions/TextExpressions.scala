@@ -68,11 +68,118 @@ case class WordShinglesExpr(child: Expression) extends UnaryExpression {
 }
 
 object WordShinglesExpr {
-  private val Whitespace = Pattern.compile("\\s+")
+  private[functions] val Whitespace = Pattern.compile("\\s+")
+}
+
+/** Per-document MinHash signature (mh0..mh7, fp) computed map-side in one
+  * pass: shingle → two md5 digests → running minima of the eight 32-bit
+  * hex chunks and the full plain digest. Semantically identical to
+  * min-aggregating [[TextOps.signatureFromShingles]] over the exploded
+  * shingles (min over duplicates = min over distinct; equality is
+  * unit-tested), but nothing leaves the row — the signature stage of the
+  * dedup pipeline shuffles NOTHING at any scale; the only LSH shuffle
+  * left is the band-bucket join.
+  */
+case class MinhashSignatureExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = MinhashSignatureExpr.Schema
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature_native expects STRING, got ${child.dataType.sql}")
+  }
+
+  def compute(text: UTF8String): Any = {
+    val tokens = WordShinglesExpr.Whitespace.split(text.trim.toString, -1)
+    val n = tokens.length
+    val m = math.max(n - 2, 1)
+    val seen = new java.util.HashSet[String](math.min(m * 2, 1 << 12))
+    val mins = new Array[String](MinhashSignatureExpr.Perms)
+    var fp: String = null
+    val md = MinhashSignatureExpr.digest.get()
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(tokens(i))
+      if (i + 1 < n) sb.append(' ').append(tokens(i + 1))
+      if (i + 2 < n) sb.append(' ').append(tokens(i + 2))
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val h1 = MinhashSignatureExpr.md5Hex(md, sh)
+        val h2 = MinhashSignatureExpr.md5Hex(md, TextOps.minhashSalt + sh)
+        if (fp == null || h1.compareTo(fp) < 0) fp = h1
+        var c = 0
+        while (c < 4) {
+          val s1 = h1.substring(c * 8, c * 8 + 8)
+          if (mins(c) == null || s1.compareTo(mins(c)) < 0) mins(c) = s1
+          val s2 = h2.substring(c * 8, c * 8 + 8)
+          if (mins(4 + c) == null || s2.compareTo(mins(4 + c)) < 0) mins(4 + c) = s2
+          c += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](MinhashSignatureExpr.Perms + 1)
+    var j = 0
+    while (j < MinhashSignatureExpr.Perms) {
+      out(j) = UTF8String.fromString(mins(j)); j += 1
+    }
+    out(MinhashSignatureExpr.Perms) = UTF8String.fromString(fp)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinhashSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature_native"
+}
+
+object MinhashSignatureExpr {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val Perms: Int = TextOps.minhashPerms
+
+  val Schema: StructType = StructType(
+    (0 until Perms).map(i => StructField(s"mh$i", StringType, nullable = false)) :+
+      StructField("fp", StringType, nullable = false))
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val bytes = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
+      hex(i * 2 + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(hex)
+  }
 }
 
 object NativeTextFunctions {
   /** Distinct word 3-gram shingles, single-pass. */
   def distinctShinglesNative(text: Column): Column =
     ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text)))
+
+  /** Map-side MinHash signature struct (mh0..mh7, fp), single-pass. */
+  def minhashSignatureNative(text: Column): Column =
+    ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(text)))
 }

@@ -72,7 +72,7 @@ object TextOps {
     * projection materializes the digests before the chunk mins so each
     * md5 runs once per shingle, not once per chunk.
     */
-  def signatureFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+  def signatureFromShingles(sh: DataFrame, idCol: String): DataFrame = {   // agg twin of signatureFromText
     def digest(i: Int): Column = if (i < 4) col("__h1") else col("__h2")
     sh.withColumn("__h1", md5(col("sh")))
       .withColumn("__h2", md5(concat(lit(minhashSalt), col("sh"))))
@@ -83,6 +83,18 @@ object TextOps {
           min(substring(digest(i), (i % 4) * 8 + 1, 8)).as(s"mh$i")
         ) :+ min(col("__h1")).as("fp"): _*)
   }
+
+  /** Map-side signature straight from the text column via the native
+    * kernel ([[NativeTextFunctions.minhashSignatureNative]]): same
+    * (idCol, mh0..mh7, fp) output as [[signatureFromShingles]]
+    * (unit-tested equal), but with NO explode and NO aggregation — the
+    * signature stage shuffles nothing at any scale.
+    */
+  def signatureFromText(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.withColumn("__sig", NativeTextFunctions.minhashSignatureNative(text))
+      .select(col(idCol) +:
+        ((0 until minhashPerms).map(i => col(s"__sig.mh$i").as(s"mh$i")) :+
+          col("__sig.fp").as("fp")): _*)
 
   /** LSH bands (4 × 2 rows): (idCol, band, bucket); the bucket key is
     * the concatenation of the band's signature components.

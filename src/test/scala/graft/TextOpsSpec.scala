@@ -29,4 +29,24 @@ class TextOpsSpec extends AnyFunSuite {
         s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
     }
   }
+
+  test("native map-side signature ≡ min-aggregated signature over exploded shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one"),
+      (3L, "one two"),
+      (4L, "dup dup dup dup dup"),
+      (5L, (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val viaAgg = TextOps.signatureFromShingles(
+      TextOps.explodedShingles(docs, "doc_id", col("text")), "doc_id")
+      .orderBy("doc_id").collect()
+    val viaNative = TextOps.signatureFromText(docs, "doc_id", col("text"))
+      .orderBy("doc_id").collect()
+    assert(viaAgg.length == viaNative.length)
+    viaAgg.zip(viaNative).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, s"agg=$a native=$b")
+    }
+  }
 }
