@@ -99,6 +99,30 @@ object Streaming {
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCol, tsCol)
 
+  /** Streaming near-duplicate suppression: each document's MinHash
+    * signature computes MAP-SIDE via the native kernel (no explode, no
+    * aggregation — which is what makes it legal inside a streaming
+    * query), and `dropDuplicatesWithinWatermark` on the concatenated
+    * signature keeps only the first document per signature within the
+    * watermark horizon. Catches re-posts whose bytes differ but whose
+    * shingle minima all agree — the tier between exact-hash streaming
+    * dedup ([[dedupStream]]) and the offline LSH pipeline (banded
+    * candidates + exact-Jaccard verify), with state bounded by the
+    * watermark exactly like the exact tier.
+    */
+  def nearDupStream(docs: DataFrame, textCol: String, tsCol: String,
+                    watermark: String = "10 minutes"): DataFrame = {
+    val sigKey = concat_ws("",
+      (0 until graft.functions.TextOps.minhashPerms).map(i => col(s"__sig.mh$i")): _*)
+    docs
+      .withColumn("__sig",
+        graft.functions.NativeTextFunctions.minhashSignatureNative(col(textCol)))
+      .withColumn("__sigkey", sigKey)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sigkey")
+      .drop("__sig", "__sigkey")
+  }
+
   /** Stream-stream inner join with a time bound: pair each left event
     * with right events for the same key within `boundSeconds` after it.
     * Watermarks on both sides bound the join state.

@@ -110,4 +110,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("a", 3L, 6.0)), s"got ${rows.toSeq}")
     assert(rows.contains(("b", 1L, 10.0)))
   }
+
+  test("streaming near-dup suppresses signature-identical docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = Streaming.nearDupStream(df, "text", "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("neardup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different content about spark streaming state stores"
+    mem.addData((1L, a, ts(1)), (2L, b, ts(1)),
+      (3L, "  " + a + "  ", ts(1))) // whitespace-perturbed re-post, same shingles
+    q.processAllAvailable()
+    mem.addData((4L, a, ts(2))) // cross-batch re-post
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM neardup").collect()
+      .map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+  }
 }
