@@ -549,11 +549,59 @@ object TextQueries {
             |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
             |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * shards by running token count — per-language, in doc_id order, a
+    * doc opens a new shard when the running total would exceed the
+    * budget-aligned boundary. Partitioned by lang, so packing
+    * parallelizes across languages (a global pack would serialize on one
+    * partition at scale); within a language the running sum is one
+    * window over the partition.
+    */
+  val packSequences = Q("q_pack_sequences",
+    (s, dir) => {
+      val budget = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs(s, dir)
+        .withColumn("__nt", size(wordsCol).cast("long"))
+        .select(col("doc_id"), col("lang"), col("__nt").as("n_tokens"),
+          sum(col("__nt")).over(w).as("cum_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("cum_tokens") - col("n_tokens")) / budget).as("shard"))
+    },
+    Some(s"""SELECT doc_id, lang, n_tokens,
+            | CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT) AS shard
+            |FROM (
+            |  SELECT doc_id, lang, len($wordsSql) AS n_tokens,
+            |    sum(len($wordsSql)) OVER (PARTITION BY lang ORDER BY doc_id
+            |                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            |  FROM documents)""".stripMargin))
+
+  /** Deterministic train/val/test split: the md5 bucket of the doc id
+    * maps to 80/10/10 ranges — reproducible on any engine, any
+    * partitioning, no shuffle, stable under corpus growth (a doc's split
+    * never changes as others arrive).
+    */
+  val trainSplit = Q("q_train_split",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      docs(s, dir).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+    },
+    Some("""SELECT doc_id,
+           | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+           |      FROM documents)""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
-    minhashJaccardEst, containment)
+    minhashJaccardEst, containment, packSequences, trainSplit)
 }

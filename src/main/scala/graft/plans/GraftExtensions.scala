@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{DotProductExpr, MahalanobisExpr, SqDistExpr}
+import graft.functions.{DotProductExpr, MahalanobisExpr, MinhashSignatureExpr, SqDistExpr, WordShinglesExpr}
 
 /** Catalyst integration for the engine's native kernels:
   *
@@ -37,7 +37,9 @@ object GraftExtensions {
   private[plans] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_native" -> (es => DotProductExpr(es(0), es(1))),
     "sqdist_native" -> (es => SqDistExpr(es(0), es(1))),
-    "mahalanobis_native" -> (es => MahalanobisExpr(es(0), es(1), es(2))))
+    "mahalanobis_native" -> (es => MahalanobisExpr(es(0), es(1), es(2))),
+    "word_shingles_native" -> (es => WordShinglesExpr(es(0))),
+    "minhash_signature_native" -> (es => MinhashSignatureExpr(es(0))))
 
   /** Install onto an already-running session (extensions are otherwise
     * builder-time only).
