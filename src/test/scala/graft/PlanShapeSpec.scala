@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the physical-plan shapes the scale posture
+  * depends on (SURVEY §8 "Perf posture") — previously reviewed manually
+  * via `runMain graft.Explain`, pinned here so a plan regression fails
+  * the build instead of the 100 TB run:
+  *
+  *  - predicate pushdown and column pruning reach the parquet scans;
+  *  - dimension joins broadcast (no shuffle of the fact side for the
+  *    model/dim lookup);
+  *  - per-document text operators are map-side only (no Exchange);
+  *  - the map-side MinHash signature plans with no Exchange and no
+  *    Generate (no explode) before its projection.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.get
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val q = Queries.all.find(_.name == name).getOrElse(fail(s"no query $name"))
+    q.fn(spark, sf).queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_project: filter pushed down, columns pruned at the scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"columns not pruned to the projection+filter set:\n$p")
+  }
+
+  test("q_join_broadcast: dimension side broadcasts") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not shuffle for the dim join:\n$p")
+  }
+
+  test("q_token_count: per-document text op is map-side only (no Exchange)") {
+    val p = plan("q_token_count")
+    assert(!p.contains("Exchange"), s"per-doc projection must not shuffle:\n$p")
+  }
+
+  test("map-side MinHash signature: no Exchange, no Generate") {
+    import org.apache.spark.sql.functions.col
+    val sig = graft.functions.TextOps.signatureFromText(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", col("text"))
+    val p = sig.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"signature must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"signature must not explode:\n$p")
+  }
+
+  test("q_mahalanobis: summary side broadcasts back onto the fact side") {
+    val p = plan("q_mahalanobis")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")
+  }
+}
