@@ -327,28 +327,33 @@ object TextQueries {
     * corpus-sized.
     */
   val vocabDf = Q("q_vocab_df",
+    // distinct words per doc come off the native word-counts kernel
+    // (map-side); only vocabulary-sized (word, df) pairs shuffle
     (s, dir) => docs(s, dir)
-      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"),
+        explode(TextOps.wordCounts(col("text"))).as("wc"))
+      .groupBy(col("wc.w").as("w")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("w")).limit(20),
     Some(s"""SELECT w, count(*) AS df
             |FROM (SELECT DISTINCT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents)
             |GROUP BY w ORDER BY df DESC, w LIMIT 20""".stripMargin))
 
   /** TF-IDF over the top-10-df vocabulary: tf = in-doc frequency, idf =
-    * ln(N/df). The vocabulary and the corpus size are tiny aggregates
-    * broadcast against the token stream — the token explode happens
-    * exactly once and shuffles only (doc, word) counts.
+    * ln(N/df). Term frequency is per-document data, so the native
+    * word-counts kernel computes it MAP-SIDE — the corpus-wide
+    * (doc, word) shuffle is gone; only the vocabulary-sized
+    * document-frequency aggregate and the scalar corpus size shuffle,
+    * and both broadcast back onto the map-side tf stream.
     */
   val tfidf = Q("q_tfidf",
     (s, dir) => {
-      val tokens = docs(s, dir)
-        .select(col("doc_id"), size(wordsCol).as("nw"), explode(wordsCol).as("w"))
-      // materialize the (doc, word) counts once: both the vocabulary
-      // branch and the final join consume them (uncached, the token
-      // explode + aggregation ran twice)
-      val tfc = tokens.groupBy(col("doc_id"), col("nw"), col("w"))
-        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val tfc = docs(s, dir)
+        .withColumn("__wc", TextOps.wordCounts(col("text")))
+        .select(col("doc_id"),
+          aggregate(col("__wc"), lit(0), (acc, x) => acc + x.getField("c")).as("nw"),
+          explode(col("__wc")).as("wc"))
+        .select(col("doc_id"), col("nw"), col("wc.w").as("w"), col("wc.c").as("c"))
+        .localCheckpoint(true)
       val dfTop = tfc.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("w")).limit(10)
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))

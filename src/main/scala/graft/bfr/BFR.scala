@@ -275,8 +275,13 @@ object BFR {
       // incremental accounting: each round counts only its delta batches,
       // never the accumulated assignments (an O(rounds^2) rescan at scale)
       assigned = assigned.localCheckpoint(true)
-      csMembers = csMembers.localCheckpoint(true)
-      val csPoints = csMembers.count()
+      // checkpoint+count the CS membership only when CS state exists —
+      // on clean data this skips two jobs per round
+      val csPoints = if (cs.isEmpty && stats.forall(_.nof_point_compression == 0)) 0L
+      else {
+        csMembers = csMembers.localCheckpoint(true)
+        csMembers.count()
+      }
       stats += RoundStats(round, ds.size, discardedSoFar, cs.size, csPoints,
         if (round == nRounds) retained else rsCount)
       chunk.unpersist(false)

@@ -144,6 +144,61 @@ case class MinhashSignatureExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_signature_native"
 }
 
+/** Per-document term frequencies as array<struct<w,c>> in one pass —
+  * term frequency is a function of the document alone, so computing it
+  * map-side removes the corpus-wide (doc, word) shuffle from TF-IDF
+  * (only the vocabulary-sized document-frequency aggregate shuffles).
+  * Tokenization matches [[TextOps.words]] (trim + split on \s+);
+  * first-occurrence order, counts as int.
+  */
+case class WordCountsExpr(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("w", StringType, nullable = false),
+      StructField("c", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_counts_native expects STRING, got ${child.dataType.sql}")
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val tokens = WordShinglesExpr.Whitespace.split(text.trim.toString, -1)
+    val counts = new java.util.LinkedHashMap[String, Int](
+      math.min(tokens.length * 2, 1 << 12))
+    var i = 0
+    while (i < tokens.length) {
+      counts.merge(tokens(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordCounts", this, classOf[WordCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "word_counts_native"
+}
+
 object MinhashSignatureExpr {
   import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -182,4 +237,8 @@ object NativeTextFunctions {
   /** Map-side MinHash signature struct (mh0..mh7, fp), single-pass. */
   def minhashSignatureNative(text: Column): Column =
     ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(text)))
+
+  /** Per-document term frequencies array<struct<w,c>>, single-pass. */
+  def wordCountsNative(text: Column): Column =
+    ColumnBridge.column(WordCountsExpr(ColumnBridge.expression(text)))
 }

@@ -29,6 +29,11 @@ object TextOps {
         try_element_at(ws, i), try_element_at(ws, i + 1), try_element_at(ws, i + 2)))
   }
 
+  /** Per-document term frequencies (native single-pass kernel):
+    * array<struct<w,c>>, first-occurrence order.
+    */
+  def wordCounts(text: Column): Column = NativeTextFunctions.wordCountsNative(text)
+
   /** lowercase / strip non-alphanumerics / collapse whitespace. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))

@@ -30,6 +30,22 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native word counts ≡ explode + groupBy counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c b a"), (2L, "one"), (3L, "  x   y  x ")
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"), explode(TextOps.wordCounts(col("text"))).as("wc"))
+      .select(col("doc_id"), col("wc.w").as("w"), col("wc.c").cast("long").as("c"))
+      .orderBy("doc_id", "w").collect().map(_.toSeq)
+    val viaAgg = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").count().withColumnRenamed("count", "c")
+      .orderBy("doc_id", "w").collect().map(_.toSeq)
+    assert(native.toSeq == viaAgg.toSeq, s"native=${native.toSeq} agg=${viaAgg.toSeq}")
+  }
+
   test("native map-side signature ≡ min-aggregated signature over exploded shingles") {
     import spark.implicits._
     val docs = Seq(
