@@ -154,23 +154,23 @@ object BFR {
         rs = rsInit
         // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429)
         val rest = chunk.join(sample.select("id"), Seq("id"), "left_anti")
-        val (a2, r2) = assignToDs(rest, ds, cfg.alphaAssign)
-        assigned = unionAssign(assigned, a2)
+        val (a2, r2) = assignToDsWithFeatures(rest, ds, cfg.alphaAssign)
+        assigned = unionAssign(assigned, a2.select("id", "cluster"))
         // A4: assigned points fold into their DS summaries (the reference
         // updates per point at code/bfr.py:389; we fold the chunk's delta);
         // the same aggregation yields the discarded-count delta
         val (ds2, n2) = absorbCounted(ds,
-          a2.join(rest, Seq("id")).select(col("cluster").as("label"), col("features")))
+          a2.select(col("cluster").as("label"), col("features")))
         ds = ds2; discardedSoFar += n2
         rs = rs.union(r2)
         sample.unpersist(false); coarseAssigned.unpersist(false)
         inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
       } else {
         // --- per-chunk step (M5, code/bfr.py:382-391) ---
-        val (a, r) = assignToDs(chunk, ds, cfg.alphaAssign)
-        assigned = unionAssign(assigned, a)
+        val (a, r) = assignToDsWithFeatures(chunk, ds, cfg.alphaAssign)
+        assigned = unionAssign(assigned, a.select("id", "cluster"))
         val (dsN, nA) = absorbCounted(ds,
-          a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
+          a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
         rs = rs.union(r)
       }
@@ -217,23 +217,23 @@ object BFR {
       for (cap <- cfg.rsHardCap if rsCount > cap && ds.nonEmpty) {
         val overflow = rs.orderBy(col("id")).limit((rsCount - cap).toInt)
           .localCheckpoint(true)
-        val (a, _) = assignToDs(overflow, ds, Double.MaxValue)
+        val (a, _) = assignToDsWithFeatures(overflow, ds, Double.MaxValue)
         val (dsN, nA) = absorbCounted(ds,
-          a.join(overflow, Seq("id")).select(col("cluster").as("label"), col("features")))
+          a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
-        assigned = unionAssign(assigned, a)
+        assigned = unionAssign(assigned, a.select("id", "cluster"))
         rs = rs.join(overflow.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
         rsCount = rs.count()
       }
 
       // --- mid-stream RS -> DS spill (M8, code/bfr.py:322-334), not last round ---
       if (round < nRounds && rsCount > 0) {
-        val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
+        val (a, r) = assignToDsWithFeatures(rs, ds, cfg.alphaRs)
         // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
         val (dsN, nA) = absorbCounted(ds,
-          a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+          a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
-        assigned = unionAssign(assigned, a)
+        assigned = unionAssign(assigned, a.select("id", "cluster"))
         rs = r.localCheckpoint(true)
         rsCount = rsCount - nA
       }
@@ -242,11 +242,11 @@ object BFR {
       var retained = 0L
       if (round == nRounds) {
         if (rsCount > 0) {
-          val (a, r) = assignToDs(rs, ds, cfg.alphaRs)
+          val (a, r) = assignToDsWithFeatures(rs, ds, cfg.alphaRs)
           val (dsN, aCount) = absorbCounted(ds,
-            a.join(rs, Seq("id")).select(col("cluster").as("label"), col("features")))
+            a.select(col("cluster").as("label"), col("features")))
           ds = dsN
-          assigned = unionAssign(assigned, a)
+          assigned = unionAssign(assigned, a.select("id", "cluster"))
           discardedSoFar += aCount
           retained = rsCount - aCount
           assigned = unionAssign(assigned,
@@ -294,13 +294,28 @@ object BFR {
     * leftover(id,features)).
     */
   def assignToDs(points: DataFrame, ds: IndexedSeq[ClusterSummary], alpha: Double): (DataFrame, DataFrame) = {
-    if (ds.isEmpty) return (emptyAssignments(points.sparkSession, "cluster"), points.select("id", "features"))
+    val (a, r) = assignToDsWithFeatures(points, ds, alpha)
+    (a.select("id", "cluster"), r)
+  }
+
+  /** assignToDs keeping the features on the assigned side — callers that
+    * fold the matches into summaries (A4) read them directly instead of
+    * re-joining the chunk on id (which would shuffle both sides once per
+    * round).
+    */
+  def assignToDsWithFeatures(points: DataFrame, ds: IndexedSeq[ClusterSummary],
+                             alpha: Double): (DataFrame, DataFrame) = {
+    if (ds.isEmpty)
+      return (emptyAssignments(points.sparkSession, "cluster")
+        .withColumn("features", lit(null).cast("array<double>")),
+        points.select("id", "features"))
     val (label, keep) = nearestUnder(col("features"), ds, alpha)
     // NULL keep (e.g. a dimension-mismatched vector -> NULL distance)
     // must route to RS, not silently satisfy neither filter
     val tagged = points.withColumn("__label", label)
       .withColumn("__keep", coalesce(keep, lit(false)))
-    val a = tagged.filter(col("__keep")).select(col("id"), col("__label").cast("int").as("cluster"))
+    val a = tagged.filter(col("__keep"))
+      .select(col("id"), col("__label").cast("int").as("cluster"), col("features"))
     val r = tagged.filter(!col("__keep")).select("id", "features")
     (a, r)
   }

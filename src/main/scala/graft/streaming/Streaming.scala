@@ -64,14 +64,16 @@ object Streaming {
           state.ds = res.ds
           res.assignments.write.mode("append").parquet(outDir)
         } else {
-          val (a, r) = BFR.assignToDs(chunk, state.ds, cfg.alphaAssign)
+          val (a, r) = BFR.assignToDsWithFeatures(chunk, state.ds, cfg.alphaAssign)
           // fold matched points into DS summaries (A4) via the shared
-          // batch helper — no batch/streaming drift
+          // batch helper — no batch/streaming drift; features ride along
+          // on the assigned side, no re-join of the chunk
           state.ds = BFR.absorb(state.ds,
-            a.join(chunk, Seq("id")).select(col("cluster").as("label"), col("features")))
+            a.select(col("cluster").as("label"), col("features")))
           // unmatched -> outliers in streaming mode (RS spill is the batch
           // driver's job; here we emit -1 like the reference's finalize)
-          a.union(r.select(col("id"), lit(-1).cast("int").as("cluster")))
+          a.select("id", "cluster")
+            .union(r.select(col("id"), lit(-1).cast("int").as("cluster")))
             .write.mode("append").parquet(outDir)
         }
         state.rounds += 1
