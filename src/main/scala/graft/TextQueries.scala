@@ -513,9 +513,11 @@ object TextQueries {
         (0 until P).map(i => col(s"mh$i").as(s"a$i")): _*)
       val b = sig.select(col("doc_id").as("doc_b") +:
         (0 until P).map(i => col(s"mh$i").as(s"b$i")): _*)
+      // plain equi-joins: the signature table is corpus-sized (never
+      // broadcast it); AQE broadcasts the candidate side when small
       lshCandidates(s, dir)
-        .join(broadcast(a), Seq("doc_a"))
-        .join(broadcast(b), Seq("doc_b"))
+        .join(a, Seq("doc_a"))
+        .join(b, Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           ((0 until P).map(i =>
             when(col(s"a$i") === col(s"b$i"), 1).otherwise(0): Column)
