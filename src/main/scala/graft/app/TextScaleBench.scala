@@ -22,18 +22,14 @@ import graft.operators.ConnectedComponents
   * Usage: runMain graft.app.TextScaleBench [docsParquet] [copies]
   */
 object TextScaleBench {
-  def main(args: Array[String]): Unit = {
-    val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
-    val copies = args.lift(1).map(_.toInt).getOrElse(20)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-text-scale-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
+  final case class Result(
+      docs: Long, base: Long, copies: Int, shingles: Long,
+      candidates: Long, dupPairs: Long, groupedDocs: Long,
+      stageSeconds: Map[String, Double])
+
+  def run(spark: SparkSession, docsPath: String, copies: Int,
+          partitions: Int): Result = {
     val raw = spark.read.parquet(docsPath)
     val base = raw.count()
     // copy c of doc i: id = i*copies + c, text = text + " dupmark<c>"
@@ -41,7 +37,7 @@ object TextScaleBench {
       .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(copies - 1))).as("c"))
       .select((col("doc_id") * copies + col("c")).as("doc_id"),
         concat(col("text"), lit(" dupmark"), col("c")).as("text"))
-      .repartition(cpus.toInt)
+      .repartition(partitions)
       .localCheckpoint(true)
     val n = corpus.count()
 
@@ -49,7 +45,8 @@ object TextScaleBench {
     val sh = TextOps.explodedShingles(corpus, "doc_id", col("text")).localCheckpoint(true)
     val nShingles = sh.count()
     val t1 = System.nanoTime()
-    val sig = TextOps.signatureFromShingles(sh, "doc_id").localCheckpoint(true)
+    // the production path: map-side native signature, no explode, no agg
+    val sig = TextOps.signatureFromText(corpus, "doc_id", col("text")).localCheckpoint(true)
     sig.count()
     val t2 = System.nanoTime()
     val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
@@ -65,11 +62,31 @@ object TextScaleBench {
     val nGrouped = groups.count()
     val t5 = System.nanoTime()
 
-    def s(a: Long, b: Long): String = f"${(b - a) / 1e9}%.1f"
-    println(s"""{"docs":$n,"base":$base,"copies":$copies,"shingles":$nShingles,""" +
-      s""""candidates":$nCand,"dup_pairs":$nDup,"grouped_docs":$nGrouped,""" +
-      s""""shingle_s":${s(t0, t1)},"signature_s":${s(t1, t2)},"lsh_s":${s(t2, t3)},""" +
-      s""""verify_s":${s(t3, t4)},"components_s":${s(t4, t5)},"total_s":${s(t0, t5)}}""")
+    def sec(a: Long, b: Long): Double = math.rint((b - a) / 1e8) / 10
+    Result(n, base, copies, nShingles, nCand, nDup, nGrouped, Map(
+      "shingle_s" -> sec(t0, t1), "signature_s" -> sec(t1, t2),
+      "lsh_s" -> sec(t2, t3), "verify_s" -> sec(t3, t4),
+      "components_s" -> sec(t4, t5), "total_s" -> sec(t0, t5)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
+    val copies = args.lift(1).map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-text-scale-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, docsPath, copies, cpus.toInt)
+    val stages = Seq("shingle_s", "signature_s", "lsh_s", "verify_s",
+      "components_s", "total_s")
+      .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
+    println(s"""{"docs":${r.docs},"base":${r.base},"copies":${r.copies},""" +
+      s""""shingles":${r.shingles},"candidates":${r.candidates},""" +
+      s""""dup_pairs":${r.dupPairs},"grouped_docs":${r.groupedDocs},$stages}""")
     spark.stop()
   }
 }

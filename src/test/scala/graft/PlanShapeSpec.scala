@@ -51,6 +51,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), s"signature must not explode:\n$p")
   }
 
+  test("map-side term frequency: word counts plan with no Exchange") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(graft.functions.TextOps.wordCounts(col("text"))).as("wc"))
+      .select(col("doc_id"), col("wc.w"), col("wc.c"))
+    val p = tf.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"per-doc term frequency must not shuffle:\n$p")
+  }
+
   test("q_mahalanobis: summary side broadcasts back onto the fact side") {
     val p = plan("q_mahalanobis")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")

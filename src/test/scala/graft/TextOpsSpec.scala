@@ -30,6 +30,15 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("scale probe smoke: every replicated copy lands in its base group") {
+    val r = graft.app.TextScaleBench.run(
+      spark, "/root/testdata/sf0.001/documents.parquet", copies = 2, partitions = 4)
+    assert(r.docs == r.base * 2)
+    // each base doc's 2 perturbed copies are mutual near-dups -> all docs grouped
+    assert(r.groupedDocs == r.docs, s"grouped ${r.groupedDocs} of ${r.docs}")
+    assert(r.dupPairs >= r.base, s"expected >= ${r.base} dup pairs, got ${r.dupPairs}")
+  }
+
   test("native word counts ≡ explode + groupBy counts") {
     import spark.implicits._
     val docs = Seq(
