@@ -60,6 +60,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"per-doc term frequency must not shuffle:\n$p")
   }
 
+  private def countExchanges(name: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan(name)).length
+
+  test("q_sessionize: window and session aggregation share ONE shuffle") {
+    // hashpartitioning(user_id) satisfies the (user_id, session_id)
+    // clustering, so the groupBy reuses the window's exchange
+    assert(countExchanges("q_sessionize") == 1,
+      s"expected 1 exchange:\n${plan("q_sessionize")}")
+  }
+
+  test("q_asof_join: tagged union + running-last window is ONE shuffle") {
+    assert(countExchanges("q_asof_join") == 1,
+      s"expected 1 exchange:\n${plan("q_asof_join")}")
+  }
+
   test("q_mahalanobis: summary side broadcasts back onto the fact side") {
     val p = plan("q_mahalanobis")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")
