@@ -111,6 +111,20 @@ class AppAndIoSpec extends AnyFunSuite {
       Seq((1L, 0), (2L, 1), (3L, -1)))
   }
 
+  test("columnar source/sink breadth: ORC round-trips with pushdown") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc_io").toString
+    val df = (1L to 1000L).map(i => (i, s"name$i", i * 1.5)).toDF("id", "name", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("id") > 990).select("id", "v")
+    assert(back.count() == 10)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,990)]"),
+      s"ORC pushdown missing:\n$p")
+    assert(p.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"ORC pruning missing:\n$p")
+  }
+
   test("mergeCs merges close summaries and remaps indices (M7, bug-fixed)") {
     def mk(center: Array[Double], n: Int): ClusterSummary =
       (0 until n).foldLeft(ClusterSummary.zero(2))((s, i) =>
