@@ -104,8 +104,9 @@ object MlQueries {
     * randomness.
     */
   private object IvfOracle extends KmeansOracleGen(8, 3) {
-    val sql: String =
-      s"""WITH $withClauses,
+    /** Shared chain: quantizer k-means → cells → probes → IVF top-3 (`r`). */
+    private val ctes: String =
+      s"""$withClauses,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
          |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
@@ -128,8 +129,31 @@ object MlQueries {
          |r AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
          |        row_number() OVER (PARTITION BY qid
          |                           ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
-         |      FROM d)
-         |SELECT qid, cid, round(cos, 6) AS cos_sim FROM r WHERE rn <= 3""".stripMargin
+         |      FROM d)""".stripMargin
+
+    val sql: String =
+      s"WITH $ctes\nSELECT qid, cid, round(cos, 6) AS cos_sim FROM r WHERE rn <= 3"
+
+    /** Per-query recall@3 of the IVF result vs the exact brute-force
+      * top-3 over the SAME candidate universe (everything but self).
+      */
+    val recallSql: String =
+      s"""WITH $ctes,
+         |bfd AS (SELECT q.qid, e.vec_id AS cid,
+         |          sum(q.qe[t.i] * e.e[t.i]) AS dot,
+         |          sum(q.qe[t.i] * q.qe[t.i]) AS nq,
+         |          sum(e.e[t.i] * e.e[t.i]) AS nc
+         |        FROM q, emb e, generate_series(1, $D) t(i)
+         |        WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id),
+         |bf AS (SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
+         |       FROM bfd),
+         |bf3 AS (SELECT qid, cid FROM bf WHERE rn <= 3),
+         |ivf3 AS (SELECT qid, cid FROM r WHERE rn <= 3)
+         |SELECT b.qid, round(sum(CASE WHEN i.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3
+         |FROM bf3 b LEFT JOIN ivf3 i ON i.qid = b.qid AND i.cid = b.cid
+         |GROUP BY b.qid""".stripMargin
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -292,31 +316,69 @@ object MlQueries {
     * by design → rows-only check; correctness of the underlying math is
     * covered by q_ann_brute_force.
     */
+  /** One IVF quantizer fit per (session, dir) — shared by the search and
+    * recall queries.
+    */
+  private val ivfModelCache =
+    new scala.collection.concurrent.TrieMap[(String, String), KMeans.Model]()
+  private def ivfModel(s: SparkSession, dir: String): KMeans.Model =
+    ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      KMeans.fit(emb(s, dir), k = 8, iters = 3))
+
+  /** IVF top-3 per query with the running cosine: 2-probe cell pruning,
+    * self excluded (shared by q_ann_ivf and the recall evaluation).
+    */
+  private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val model = ivfModel(s, dir)
+    val cells = model.assign(e, "features")
+      .select(col("id").as("cid"), col("features").as("ce"), col("label").as("cell"))
+    val q = e.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("features").as("qe"))
+    // 2 nearest cells per query (centers are a tiny literal)
+    val dists = model.distances(col("qe"))
+    val probes = q.withColumn("cells",
+        slice(array_sort(zip_with(dists, sequence(lit(0), lit(model.k - 1)),
+          (d0, i) => struct(d0.as("d"), i.as("cell")))), 1, 2))
+      .select(col("qid"), col("qe"), explode(col("cells.cell")).as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(col("ce"), col("qe")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), col("cos"))
+  }
+
   val annIvf = Q("q_ann_ivf",
+    (s, dir) => ivfTop3(s, dir)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim")),
+    Some(IvfOracle.sql))
+
+  /** Recall@3 of the IVF scale path vs the exact brute-force top-3 over
+    * the same candidate universe — the evaluation that quantifies what
+    * 2-probe cell pruning costs. Exact rational output (matches / 3), so
+    * the approximate operator's QUALITY is itself oracle-checked.
+    */
+  val annIvfRecall = Q("q_ann_ivf_recall",
     (s, dir) => {
       val e = emb(s, dir)
-      val model = KMeans.fit(e, k = 8, iters = 3)
-      val cells = model.assign(e, "features")
-        .select(col("id").as("cid"), col("features").as("ce"), col("label").as("cell"))
       val q = e.filter(col("id") < 5)
         .select(col("id").as("qid"), col("features").as("qe"))
-      // exclude self-matches before ranking
-
-      // 2 nearest cells per query (centers are a tiny literal)
-      val dists = model.distances(col("qe"))
-      val probes = q.withColumn("cells",
-          slice(array_sort(zip_with(dists, sequence(lit(0), lit(model.k - 1)),
-            (d0, i) => struct(d0.as("d"), i.as("cell")))), 1, 2))
-        .select(col("qid"), col("qe"), explode(col("cells.cell")).as("cell"))
+      val cand = e.select(col("id").as("cid"), col("features").as("ce"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      cells.join(broadcast(probes), Seq("cell"))
+      val bf3 = cand.crossJoin(broadcast(q))
         .filter(col("cid") =!= col("qid"))
         .withColumn("cos", cosine(col("ce"), col("qe")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"))
+        .select(col("qid"), col("cid"))
+      val ivf3 = ivfTop3(s, dir).select(col("qid"), col("cid"), lit(1).as("m"))
+      bf3.join(ivf3, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(round(sum(coalesce(col("m"), lit(0))) / 3.0, 6).as("recall3"))
     },
-    Some(IvfOracle.sql))
+    Some(IvfOracle.recallSql))
 
   /** Embedding-cosine near-duplicate pairs (brute force at test scale;
     * the LSH/IVF variants are the scale path).
@@ -425,6 +487,6 @@ object MlQueries {
 
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
-    kmeansNmi, nmiLangSource, annBruteForce, annIvf, embeddingNearDup,
-    embeddingLshPairs, simhash)
+    kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall,
+    embeddingNearDup, embeddingLshPairs, simhash)
 }
