@@ -372,7 +372,13 @@ object OlapQueries {
     */
   val jsonExtract = Q("q_json_extract",
     (s, dir) => {
-      val payload = to_json(struct(col("lang"), col("n_chars")))
+      // coalesce BOTH engines' inputs: Spark's to_json omits null struct
+      // fields while DuckDB's emits them, so a NULL would diverge; with
+      // non-null inputs both serializers produce identical compact bytes
+      // (same field order, same \" escaping)
+      val payload = to_json(struct(
+        coalesce(col("lang"), lit("")).as("lang"),
+        coalesce(col("n_chars"), lit(0)).as("n_chars")))
       t(s, dir, "documents")
         .select(col("doc_id"), payload.as("payload"))
         .select(col("doc_id"), col("payload"),
@@ -381,7 +387,8 @@ object OlapQueries {
     },
     Some("""WITH j AS (
            |  SELECT doc_id,
-           |    '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS payload
+           |    to_json(struct_pack(lang := coalesce(lang, ''),
+           |                        n_chars := coalesce(n_chars, 0))) AS payload
            |  FROM documents)
            |SELECT doc_id, payload,
            | json_extract_string(payload, '$.lang') AS x_lang,

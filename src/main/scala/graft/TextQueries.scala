@@ -180,11 +180,10 @@ object TextQueries {
     Some(s"""SELECT doc_id, list_min(list_transform($shinglesSql, sh -> md5(sh))) AS fingerprint
             |FROM documents""".stripMargin))
 
-  /** 4-permutation MinHash signature: one md5 per distinct shingle, the
-    * permutations are the digest's four 32-bit hex chunks (TextOps).
-    * Single pass: explode shingles once, hash once, min-aggregate per doc
-    * (map-side partial agg carries 4 short strings per doc per partition
-    * — the shingle text itself never shuffles).
+  /** 8-permutation MinHash signature: two md5 digests per distinct
+    * shingle (plain + salted), the permutations are the digests' eight
+    * 32-bit hex chunks (TextOps). Single pass, map-side native kernel —
+    * the shingle text itself never shuffles.
     */
   private def signatureDf(s: SparkSession, dir: String): DataFrame =
     artifacts(s, dir).signature
@@ -204,7 +203,7 @@ object TextQueries {
     val sigCols = sigSql.map { case (n, sq) => s"$sq AS $n" }.mkString(", ")
     val bandSelects = (0 until TextOps.lshBandCount).map { b =>
       val r = TextOps.lshRows
-      s"SELECT doc_id, $b AS band, concat(${(0 until r).map(j => s"mh${b * r + j}").mkString(", ")}) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, concat_ws('', ${(0 until r).map(j => s"mh${b * r + j}").mkString(", ")}) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""sig AS (
        |  SELECT doc_id, $sigCols
@@ -487,10 +486,13 @@ object TextQueries {
       val counts = docs(s, dir)
         .select(explode(wordsCol).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // distributed top-50 first (per-partition top-N + driver merge —
+      // never a global sort of the vocabulary); the rank window then runs
+      // over just the 50 survivors
+      val top = counts.orderBy(col("cnt").desc, col("w")).limit(50)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("w"))
-      counts.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 50)
+      top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("w"), col("cnt"), col("rank"))
     },
     Some(s"""SELECT w, cnt, rank FROM (
@@ -500,7 +502,7 @@ object TextQueries {
             |WHERE rank <= 50""".stripMargin))
 
   /** MinHash-estimated Jaccard over the LSH candidate pairs: the fraction
-    * of matching signature components (4-permutation estimator) — the
+    * of matching signature components (8-permutation estimator) — the
     * cheap screen between candidate generation and the exact verify
     * stage. Two broadcast joins of the tiny signature table; no shingle
     * rescan.

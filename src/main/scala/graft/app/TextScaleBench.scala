@@ -69,6 +69,59 @@ object TextScaleBench {
       "components_s" -> sec(t4, t5), "total_s" -> sec(t0, t5)))
   }
 
+  /** Skewed-corpus probe: plant `planted` IDENTICAL boilerplate docs (the
+    * degenerate web-corpus case — empty/template/footer pages) on top of
+    * the base corpus and run the full dedup pipeline. All planted docs
+    * land in ONE (band, bucket) per band; without the hot-bucket guard in
+    * [[TextOps.candidatePairs]] that bucket emits planted²/2 pairs on a
+    * single shuffle key (5e7 at 10k planted, 5e9 at 100k); with the guard
+    * it emits a planted−1 star, so `candidates` stays linear in the
+    * corpus and the probe completes.
+    */
+  final case class SkewResult(
+      docs: Long, base: Long, planted: Int, candidates: Long,
+      dupPairs: Long, plantedGrouped: Long, stageSeconds: Map[String, Double])
+
+  def runSkewed(spark: SparkSession, docsPath: String, planted: Int,
+                partitions: Int): SkewResult = {
+    val raw = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    val base = raw.count()
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    val boiler = Seq.fill(8)(
+      "this page is intentionally left blank copyright all rights reserved").mkString(" ")
+    val corpus = raw.union(
+        spark.range(planted).select((col("id") + maxId + 1).as("doc_id"),
+          lit(boiler).as("text")))
+      .repartition(partitions)
+      .localCheckpoint(true)
+    val n = corpus.count()
+
+    val t0 = System.nanoTime()
+    val sh = TextOps.explodedShingles(corpus, "doc_id", col("text")).localCheckpoint(true)
+    val sig = TextOps.signatureFromText(corpus, "doc_id", col("text")).localCheckpoint(true)
+    val t1 = System.nanoTime()
+    val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
+      .localCheckpoint(true)
+    val nCand = cand.count()
+    val t2 = System.nanoTime()
+    val dupPairs = TextOps.jaccardOverPairs(sh, "doc_id", cand)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val nDup = dupPairs.count()
+    val t3 = System.nanoTime()
+    val groups = ConnectedComponents.canonicalize(dupPairs)
+    // every planted doc must land in one group keyed by the first planted
+    // id (or an organic near-dup of the boilerplate, hence min)
+    val plantedGrouped = groups.filter(col("doc_id") > maxId).count()
+    val t4 = System.nanoTime()
+
+    def sec(a: Long, b: Long): Double = math.rint((b - a) / 1e8) / 10
+    SkewResult(n, base, planted, nCand, nDup, plantedGrouped, Map(
+      "signature_s" -> sec(t0, t1), "lsh_s" -> sec(t1, t2),
+      "verify_s" -> sec(t2, t3), "components_s" -> sec(t3, t4),
+      "total_s" -> sec(t0, t4)))
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
@@ -80,13 +133,23 @@ object TextScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, docsPath, copies, cpus.toInt)
-    val stages = Seq("shingle_s", "signature_s", "lsh_s", "verify_s",
-      "components_s", "total_s")
-      .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
-    println(s"""{"docs":${r.docs},"base":${r.base},"copies":${r.copies},""" +
-      s""""shingles":${r.shingles},"candidates":${r.candidates},""" +
-      s""""dup_pairs":${r.dupPairs},"grouped_docs":${r.groupedDocs},$stages}""")
+    if (args.lift(2).contains("--skew")) {
+      val planted = args.lift(3).map(_.toInt).getOrElse(10000)
+      val r = runSkewed(spark, docsPath, planted, cpus.toInt)
+      val stages = Seq("signature_s", "lsh_s", "verify_s", "components_s", "total_s")
+        .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
+      println(s"""{"mode":"skew","docs":${r.docs},"base":${r.base},""" +
+        s""""planted":${r.planted},"candidates":${r.candidates},""" +
+        s""""dup_pairs":${r.dupPairs},"planted_grouped":${r.plantedGrouped},$stages}""")
+    } else {
+      val r = run(spark, docsPath, copies, cpus.toInt)
+      val stages = Seq("shingle_s", "signature_s", "lsh_s", "verify_s",
+        "components_s", "total_s")
+        .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
+      println(s"""{"docs":${r.docs},"base":${r.base},"copies":${r.copies},""" +
+        s""""shingles":${r.shingles},"candidates":${r.candidates},""" +
+        s""""dup_pairs":${r.dupPairs},"grouped_docs":${r.groupedDocs},$stages}""")
+    }
     spark.stop()
   }
 }

@@ -102,20 +102,54 @@ object TextOps {
           col("__sig.fp").as("fp")): _*)
 
   /** LSH bands (4 × 2 rows): (idCol, band, bucket); the bucket key is
-    * the concatenation of the band's signature components.
+    * the concatenation of the band's signature components. concat_ws
+    * (NULL-skipping, like DuckDB's concat) keeps a NULL component from
+    * nulling the whole bucket key on either engine.
     */
   def lshBands(sig: DataFrame, idCol: String): DataFrame =
     (0 until lshBandCount).map { b =>
       sig.select(col(idCol), lit(b).as("band"),
-        concat(col(s"mh${b * lshRows}"), col(s"mh${b * lshRows + 1}")).as("bucket"))
+        concat_ws("", col(s"mh${b * lshRows}"), col(s"mh${b * lshRows + 1}")).as("bucket"))
     }.reduce(_ union _)
 
-  /** Docs sharing a band bucket: (doc_a, doc_b), doc_a < doc_b. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.as("l"); val r = bands.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
-        && col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b")).distinct()
+  /** Buckets holding more docs than this emit a hub star instead of the
+    * quadratic pair self-join (see [[candidatePairs]]). Chosen above any
+    * bucket the oracle corpora produce (max observed bucket ≲ 10 docs at
+    * sf0.1) and far below where b² pair explosion hurts: a 256-doc bucket
+    * still self-joins into a tame 32k pairs; a 100k-doc degenerate bucket
+    * (empty/boilerplate docs — routine in web corpora) would emit 5e9
+    * pairs on ONE shuffle key and stall the stage at 100 TB.
+    */
+  val hotBucketThreshold: Int = 256
+
+  /** Docs sharing a band bucket: (doc_a, doc_b), doc_a < doc_b.
+    *
+    * Skew guard: bucket sizes are counted first (one partial+final agg on
+    * the same key as the join). Buckets at or under `hotThreshold` take
+    * the normal pair self-join. Oversized buckets — whose members share a
+    * full band of the MinHash signature with thousands of others, i.e.
+    * guaranteed near-dup families — short-circuit to a STAR on the
+    * bucket's minimum id (b−1 pairs instead of b(b−1)/2), which preserves
+    * the connected components the dedup consumer builds while bounding
+    * any single key's output linearly. With no hot bucket the output is
+    * identical to the unguarded join (oracle-checked).
+    */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     hotThreshold: Int = hotBucketThreshold): DataFrame = {
+    val sizes = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
+    val sized = bands.join(sizes, Seq("band", "bucket"))
+    val normal = sized.filter(col("__n") <= hotThreshold)
+      .select(col("band"), col("bucket"), col(idCol))
+    val l = normal.as("l"); val r = normal.as("r")
+    val normalPairs =
+      l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+          && col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+    // hub = min id per bucket, so hub < id keeps the doc_a < doc_b contract
+    val hotStars = sized.filter(col("__n") > hotThreshold && col(idCol) =!= col("__hub"))
+      .select(col("__hub").as("doc_a"), col(idCol).as("doc_b"))
+    normalPairs.union(hotStars).distinct()
   }
 
   /** Per-candidate-pair set-overlap counts (|A∩B|, |A|, |B|) from the
