@@ -419,31 +419,80 @@ object MlQueries {
   private def hyperplane(j: Int): Array[Double] =
     Array.tabulate(D)(i => ((((j * D + i).toLong * 2654435761L) % 1997L) - 998L) / 998.0)
 
+  /** Sign-pattern bit columns for the random-hyperplane bucket key. */
+  private def lshBits: Seq[Column] = (0 until LshPlanes).map(j =>
+    when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0")))
+
+  /** The plane → bit → bucket CTE chain, shared by the bucketing oracle
+    * and the composed near-dup oracle.
+    */
+  private val lshBucketCtes: String =
+    s"""p AS (
+       |  SELECT j.j AS j, i.i AS i,
+       |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
+       |  FROM generate_series(0, ${LshPlanes - 1}) j(j), generate_series(0, ${D - 1}) i(i)),
+       |b AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
+       |         THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+       |k AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM b GROUP BY vec_id)""".stripMargin
+
   val embeddingLshPairs = Q("q_embedding_lsh_pairs",
     (s, dir) => {
       val e = emb(s, dir)
-      val bits = (0 until LshPlanes).map(j =>
-        when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0")))
-      val bucketed = e.select(col("id"), concat(bits: _*).as("bucket"))
+      val bucketed = e.select(col("id"), concat(lshBits: _*).as("bucket"))
         .localCheckpoint(true)
       val l = bucketed.select(col("id").as("ida"), col("bucket"))
       val r = bucketed.select(col("id").as("idb"), col("bucket"))
       l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb"), col("bucket")).distinct()
     },
-    Some(s"""WITH p AS (
-            |  SELECT j.j AS j, i.i AS i,
-            |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
-            |  FROM generate_series(0, ${LshPlanes - 1}) j(j), generate_series(0, ${D - 1}) i(i)),
-            |b AS (
-            |  SELECT e.vec_id, p.j,
-            |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
-            |         THEN '1' ELSE '0' END AS bit
-            |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
-            |k AS (
-            |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM b GROUP BY vec_id)
+    Some(s"""WITH $lshBucketCtes
             |SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb, l.bucket
             |FROM k l JOIN k r ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin))
+
+  /** Embedding near-dup, SCALE PATH: hyperplane-LSH bucket equi-join for
+    * candidate generation, then the exact-cosine verify runs over the
+    * candidates ONLY — never the O(n²) theta self-join of
+    * [[embeddingNearDup]]. Norms are precomputed once per side so the
+    * per-candidate verify is a single codegen dot; the cosine's FP
+    * association (dot / (√na·√nb)) matches the oracle term-for-term.
+    * The verify threshold (0.35) sits in the similarity regime the
+    * synthetic embeddings actually contain so the verify stage filters a
+    * non-empty candidate set at every SF (same-bucket cosines top out
+    * ≈0.51 — a 0.9 bar would make the stage vacuous).
+    */
+  val embeddingNearDupLsh = Q("q_embedding_near_dup_lsh",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val bucketed = e.select(col("id"), col("features"),
+          concat(lshBits: _*).as("bucket"), norm2(col("features")).as("nrm"))
+        .localCheckpoint(true)
+      val l = bucketed.select(col("id").as("ida"), col("bucket"),
+        col("features").as("fa"), col("nrm").as("na"))
+      val r = bucketed.select(col("id").as("idb"), col("bucket"),
+        col("features").as("fb"), col("nrm").as("nb"))
+      l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
+        .withColumn("cos", dotNative(col("fa"), col("fb")) / (col("na") * col("nb")))
+        .filter(col("cos") > 0.35)
+        .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(s"""WITH $lshBucketCtes,
+            |cand AS (
+            |  SELECT l.vec_id AS ida, r.vec_id AS idb
+            |  FROM k l JOIN k r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+            |d AS (SELECT c.ida, c.idb,
+            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS dot,
+            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+            |        sum(CAST(bb.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS nb
+            |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
+            |                  JOIN embeddings bb ON bb.vec_id = c.idb,
+            |           generate_series(1, $D) t(i)
+            |      GROUP BY c.ida, c.idb)
+            |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+            |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35""".stripMargin))
 
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)
@@ -488,5 +537,5 @@ object MlQueries {
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall,
-    embeddingNearDup, embeddingLshPairs, simhash)
+    embeddingNearDup, embeddingNearDupLsh, embeddingLshPairs, simhash)
 }

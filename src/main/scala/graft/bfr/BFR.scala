@@ -87,6 +87,20 @@ object BFR {
         row.getInt(0) -> ClusterSummary(s.getLong(0), s.getSeq[Double](1).toArray, s.getSeq[Double](2).toArray)
       }.toMap
 
+  /** The deterministic init sample: the `sampleN` smallest-id points of
+    * the chunk (code/bfr.py:396-398 takes the file-order prefix; ids are
+    * the row's position, so the id prefix is the same set). Selecting the
+    * sampleN-th smallest id first (map-side histogram passes,
+    * [[graft.operators.Selection.kthSmallestLong]]) and filtering by it
+    * avoids `orderBy(id).limit(sampleN)` — a TakeOrdered of 20% of the
+    * chunk through one merge, the init-stage scale killer at 100 TB.
+    * Ids are unique, so `id <= kth` is exactly the size-sampleN prefix.
+    */
+  private[graft] def initSample(chunk: DataFrame, sampleN: Int): DataFrame = {
+    val threshold = graft.operators.Selection.kthSmallestLong(chunk, "id", sampleN)
+    chunk.filter(col("id") <= threshold)
+  }
+
   /** Run BFR over an ordered sequence of chunk DataFrames, each with
     * columns (id: long, features: array<double>). Mirrors
     * `Runner.run` (code/bfr.py:431-468).
@@ -113,7 +127,7 @@ object BFR {
         // --- init (M4, code/bfr.py:393-429) ---
         val n = chunkN
         val sampleN = math.ceil(cfg.initSampleFraction * n).toInt
-        val sample = chunk.orderBy(col("id")).limit(sampleN)
+        val sample = initSample(chunk, sampleN)
           .persist(StorageLevel.MEMORY_AND_DISK)
         // cluster sample into 3K; singleton labels -> RS (A7 + P3)
         val coarse = KMeans.fit(sample, math.min(cfg.seedKMult * cfg.k, sampleN), cfg.kmeansIters)

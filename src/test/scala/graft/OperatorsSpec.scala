@@ -37,6 +37,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
   }
 
+  test("kth-smallest selection ≡ orderBy.limit prefix, without the sort") {
+    import spark.implicits._
+    // non-contiguous, shuffled ids spanning several histogram widths
+    val rng = new scala.util.Random(7)
+    val ids = rng.shuffle((1 to 5000).map(i => i.toLong * 97 + (i % 13)))
+    val df = ids.toDF("id").repartition(8)
+    for (k <- Seq(1, 2, 1000, 4999, 5000)) {
+      val expect = df.orderBy(col("id")).limit(k)
+        .agg(max(col("id"))).head().getLong(0)
+      val got = graft.operators.Selection.kthSmallestLong(df, "id", k, buckets = 64)
+      assert(got == expect, s"k=$k: got $got expected $expect")
+    }
+  }
+
+  test("BFR init sample: id-threshold filter — no Sort, no TakeOrdered") {
+    import spark.implicits._
+    val pts = (0 until 1000).map(i => (i.toLong, Seq(i.toDouble)))
+      .toDF("id", "features").repartition(8)
+    val sample = graft.bfr.BFR.initSample(pts, 200)
+    val p = sample.queryExecution.executedPlan.toString
+    assert(!p.contains("TakeOrdered") && !p.contains("Sort ["),
+      s"init sample must be a filter, not a global sort:\n$p")
+    assert(sample.count() == 200)
+    assert(sample.agg(max(col("id"))).head().getLong(0) == 199L)
+  }
+
   test("bucketed tables join without a shuffle (co-located layout)") {
     // warehouse dir pinned to /tmp via build.sbt (static conf)
     // disable broadcast so the join would otherwise need an exchange

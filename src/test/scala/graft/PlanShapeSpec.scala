@@ -75,6 +75,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 1 exchange:\n${plan("q_asof_join")}")
   }
 
+  test("q_embedding_near_dup_lsh: bucket equi-join, no theta cross join") {
+    val p = plan("q_embedding_near_dup_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH near-dup must not cross-join the corpus:\n$p")
+  }
+
   test("q_mahalanobis: summary side broadcasts back onto the fact side") {
     val p = plan("q_mahalanobis")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")
