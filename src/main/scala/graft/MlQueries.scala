@@ -221,21 +221,27 @@ object MlQueries {
     },
     Some(BfrOracleSql.statsSql))
 
-  /** MLlib-backed k-means (k-means|| init + Lloyd via org.apache.spark.ml)
-    * through the same Model API — the scale-preferred fit path (SURVEY §7
-    * "MLlib-backed + exact mode"). Cluster centers are seeded-random →
-    * rows-only check (k × d rows); the deterministic twin q_kmeans_centers
-    * carries the exact oracle.
+  /** MLlib-backed k-means through the same Model API — the
+    * scale-preferred fit path (SURVEY §7 "MLlib-backed + exact mode").
+    * Pinned deterministic: Lloyd runs from the engine's maximin seeds via
+    * the RDD API's setInitialModel (no randomized k-means|| init), a full
+    * `iters` rounds (epsilon=0), so MLlib's distributed Lloyd reproduces
+    * the deterministic twin's centers exactly after 6-decimal rounding —
+    * and shares its unrolled SQL oracle. The query therefore proves the
+    * MLlib execution path computes the same model the engine does.
     */
   val kmeansMllibCenters = Q("q_kmeans_mllib_centers",
     (s, dir) => {
       import s.implicits._
-      val model = graft.kmeans.MLlibKMeans.fit(emb(s, dir), k = 10, iters = 5)
+      val pts = emb(s, dir)
+      val seeds = KMeans.seed(pts, k = 10, featCol = "features", idCol = "id")
+      val model = graft.kmeans.MLlibKMeans.fitFromSeeds(pts, seeds, iters = 5)
       model.centers.zipWithIndex.toSeq
-        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) => (i, p.toLong, v) } }
+        .flatMap { case (c, i) => c.zipWithIndex.map { case (v, p) =>
+          (i, p.toLong, math.rint(v * 1e6) / 1e6) } }
         .toDF("cluster", "pos", "c")
     },
-    None)
+    Some(KmeansOracle.centersSql))
 
   /** NMI of the engine's k-means clustering vs the testdata ground-truth
     * labels — the reference's end-to-end quality gate (NMI > 0.8,

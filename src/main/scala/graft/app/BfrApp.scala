@@ -24,8 +24,18 @@ import graft.sources.{PointSource, Sinks}
 object BfrApp {
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
-      "usage: BfrApp <input_path> <n_cluster> <out_file1:json> <out_file2:csv>")
+      "usage: BfrApp <input_path> <n_cluster> <out_file1:json> <out_file2:csv> " +
+        "[--seed N] [--best-of N]")
     val Array(inputPath, kStr, outJson, outCsv) = args.take(4)
+    // deterministic analog of the reference's random restart seed
+    // (code/bfr.py:21) + the HW4 §4.3 best-of-5 protocol: run seeds
+    // seed..seed+N-1 and keep the lowest-SSE result
+    def flag(name: String): Option[Int] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1).toInt) else None
+    }
+    val seed0 = flag("--seed").getOrElse(0)
+    val bestOf = math.max(1, flag("--best-of").getOrElse(1))
     // don't tear down a session we merely joined (embedded/test usage)
     val hadActive = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession).isDefined
@@ -47,7 +57,12 @@ object BfrApp {
         alphaRs = envD("SPARK_GRAFT_BFR_RS_ALPHA", 4.0),
         rsClusterThreshold = envI("SPARK_GRAFT_BFR_RS_THRESHOLD", 500),
         rsHardCap = sys.env.get("SPARK_GRAFT_BFR_RS_HARDCAP").map(_.toInt))
-      val res = BFR.run(spark, chunks, cfg)
+      val res = (0 until bestOf).map { s =>
+        val r = BFR.run(spark, chunks, cfg.copy(seedRank = seed0 + s))
+        val sse = BFR.meanSse(r.ds)
+        if (bestOf > 1) System.err.println(f"[bfr] seed ${seed0 + s}: mean_sse=$sse%.4f")
+        r -> sse
+      }.minBy(_._2)._1
       Sinks.writeAssignmentsJsonObject(res.assignments, outJson)
       Sinks.writeRoundStatsCsv(spark, res.stats, outCsv)
     } finally if (!hadActive) spark.stop()

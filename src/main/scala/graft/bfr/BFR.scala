@@ -44,6 +44,13 @@ object BFR {
       seedKMult: Int = 3,          // init clusters = 3K (code/bfr.py:400)
       csKMult: Int = 5,            // RS re-cluster into 5K (code/bfr.py:264)
       rsClusterThreshold: Int = 500, // re-cluster RS when it exceeds this
+      /** Deterministic analog of the reference's random k-means start
+        * (code/bfr.py:21 `random.randint`): the init-stage fits seed from
+        * the (seedRank+1)-th smallest id instead of the first. Distinct
+        * ranks give the independent restarts HW4 §4.3's best-of-5
+        * protocol expects, reproducibly.
+        */
+      seedRank: Int = 0,
       /** Scale-safety valve (beyond the reference): if RS still exceeds
         * this after re-clustering, force-assign the overflow to the
         * nearest DS unconditionally (alpha = ∞) rather than letting
@@ -86,6 +93,29 @@ object BFR {
         val s = row.getStruct(1)
         row.getInt(0) -> ClusterSummary(s.getLong(0), s.getSeq[Double](1).toArray, s.getSeq[Double](2).toArray)
       }.toMap
+
+  /** Total within-cluster SSE of the discard-set summaries, driver-side
+    * from the sufficient statistics alone: Σ_d (SUMSQ_d − SUM_d²/N) per
+    * cluster — no data pass.
+    */
+  def totalSse(ds: Seq[ClusterSummary]): Double =
+    ds.filter(_.n > 0).map { s =>
+      var acc = 0.0
+      var i = 0
+      while (i < s.d) { acc += s.sumsq(i) - s.sum(i) * s.sum(i) / s.n; i += 1 }
+      acc
+    }.sum
+
+  /** Mean within-cluster squared distance over the discard sets — the
+    * best-of-N restart criterion (HW4 §4.3 grades the best of 5 runs).
+    * Per-POINT, not total: restarts can discard different point counts,
+    * and a run that routed more points to outliers would win a raw-SSE
+    * comparison for the wrong reason.
+    */
+  def meanSse(ds: Seq[ClusterSummary]): Double = {
+    val n = ds.map(_.n).sum
+    if (n == 0) Double.MaxValue else totalSse(ds) / n
+  }
 
   /** The deterministic init sample: the `sampleN` smallest-id points of
     * the chunk (code/bfr.py:396-398 takes the file-order prefix; ids are
@@ -130,7 +160,8 @@ object BFR {
         val sample = initSample(chunk, sampleN)
           .persist(StorageLevel.MEMORY_AND_DISK)
         // cluster sample into 3K; singleton labels -> RS (A7 + P3)
-        val coarse = KMeans.fit(sample, math.min(cfg.seedKMult * cfg.k, sampleN), cfg.kmeansIters)
+        val coarse = KMeans.fit(sample, math.min(cfg.seedKMult * cfg.k, sampleN),
+          cfg.kmeansIters, firstSeedRank = cfg.seedRank)
         val coarseAssigned = coarse.assign(sample, "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val singletons = coarseAssigned.groupBy(col("label")).count()
@@ -148,7 +179,8 @@ object BFR {
               sample.select("id", "features").limit(0))
           else (inliers0, rsInit0)
         // re-cluster inliers into K -> DS
-        val fine = KMeans.fit(inliers, cfg.k, cfg.kmeansIters)
+        val fine = KMeans.fit(inliers, cfg.k, cfg.kmeansIters,
+          firstSeedRank = cfg.seedRank)
         val fineAssigned = fine.assign(inliers, "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val byLabel = summariesByLabel(fineAssigned, "features")

@@ -101,6 +101,37 @@ class AppAndIoSpec extends AnyFunSuite {
     assert(discards.zip(discards.tail).forall { case (a, b) => a <= b })
   }
 
+  test("BfrApp --seed / --best-of: restarts are deterministic, best kept") {
+    val dir = Files.createTempDirectory("bfrseed").toString
+    val out = Files.createTempDirectory("bfrseed_out").toString // not the chunk dir
+    val truth = writeChunkedDataset(dir, nChunks = 3)
+    // three restarts individually, then the best-of-3 protocol run
+    BfrApp.main(Array(dir, "4", s"$out/s0.json", s"$out/s0.csv", "--seed", "0"))
+    BfrApp.main(Array(dir, "4", s"$out/s1.json", s"$out/s1.csv", "--seed", "1"))
+    BfrApp.main(Array(dir, "4", s"$out/s1b.json", s"$out/s1b.csv", "--seed", "1"))
+    BfrApp.main(Array(dir, "4", s"$out/s2.json", s"$out/s2.csv", "--seed", "2"))
+    BfrApp.main(Array(dir, "4", s"$out/best.json", s"$out/best.csv",
+      "--best-of", "3"))
+    def labels(p: String): Map[Long, Int] = {
+      val js = new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+      js.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
+        val Array(k, v) = kv.split(":").map(_.trim)
+        k.stripPrefix("\"").stripSuffix("\"").toLong -> v.toInt
+      }.toMap
+    }
+    assert(labels(s"$out/s1.json") == labels(s"$out/s1b.json"),
+      "same seed must reproduce identical assignments")
+    // the protocol's pick is exactly one of the member runs
+    val best = labels(s"$out/best.json")
+    val members = Seq("s0", "s1", "s2").map(n => labels(s"$out/$n.json"))
+    assert(members.contains(best), "best-of must return one of its member runs")
+    // the reference's quality bar holds for the default-seed run
+    import spark.implicits._
+    val truthDf = truth.toSeq.toDF("id", "label")
+    val nmi0 = Nmi.score(labels(s"$out/s0.json").toSeq.toDF("id", "cluster"), truthDf)
+    assert(nmi0 > 0.8, s"seed-0 NMI $nmi0 below pass bar")
+  }
+
   test("JSON-object label source round-trips the assignment sink (S4/S6)") {
     import spark.implicits._
     val df = Seq((1L, 0), (2L, 1), (3L, -1)).toDF("id", "cluster")
