@@ -135,7 +135,8 @@ object BFR {
     * columns (id: long, features: array<double>). Mirrors
     * `Runner.run` (code/bfr.py:431-468).
     */
-  def run(spark: SparkSession, chunks: Seq[DataFrame], cfg: Config): Result = {
+  def run(spark: SparkSession, chunks: Seq[DataFrame], cfg: Config,
+          onRound: Int => Unit = _ => ()): Result = {
     require(chunks.nonEmpty, "BFR needs at least one chunk")
 
     var ds = IndexedSeq.empty[ClusterSummary]            // discard sets
@@ -261,7 +262,11 @@ object BFR {
 
       // --- RS hard cap (engine extension): force-spill overflow to DS ---
       for (cap <- cfg.rsHardCap if rsCount > cap && ds.nonEmpty) {
-        val overflow = rs.orderBy(col("id")).limit((rsCount - cap).toInt)
+        // smallest-id prefix via threshold selection — same shape as the
+        // init sample; the overflow can be a large fraction of RS, so no
+        // TakeOrdered funnel here either
+        val overflow = rs.filter(col("id") <=
+            graft.operators.Selection.kthSmallestLong(rs, "id", rsCount - cap))
           .localCheckpoint(true)
         val (a, _) = assignToDsWithFeatures(overflow, ds, Double.MaxValue)
         val (dsN, nA) = absorbCounted(ds,
@@ -331,6 +336,7 @@ object BFR {
       stats += RoundStats(round, ds.size, discardedSoFar, cs.size, csPoints,
         if (round == nRounds) retained else rsCount)
       chunk.unpersist(false)
+      onRound(round) // instrumentation hook (scale probes time/heap here)
     }
 
     Result(assigned, stats.toSeq, ds)

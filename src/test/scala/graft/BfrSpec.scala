@@ -91,4 +91,24 @@ class BfrSpec extends AnyFunSuite {
     assert(res.assignments.count() == 500)
     assert(res.assignments.select("id").distinct().count() == 500)
   }
+
+  test("scale-probe smoke: round times and driver heap stay flat") {
+    // miniature of app.BfrScaleBench's 10M-point run: 500 embeddings
+    // replicated 100x = 50k points through 4 chunks; a compounding plan
+    // or driver-held point state shows up as monotone per-round growth
+    val r = graft.app.BfrScaleBench.run(
+      spark, "/root/testdata/sf0.001/embeddings.parquet",
+      copies = 100, nChunks = 4, k = 10)
+    assert(r.points == 50000L)
+    assert(r.rounds.size == 4)
+    val secs = r.rounds.map(_.sec)
+    // round 1 carries init (sample + 2 k-means fits); later rounds must
+    // not grow past it, and the last round must not dominate the median
+    val later = secs.drop(1)
+    assert(later.max <= math.max(secs.head * 2, 10.0),
+      s"per-round time grew: $secs")
+    val heaps = r.rounds.map(_.heapMb)
+    assert(heaps.last <= heaps.head * 3 + 512,
+      s"driver heap grew round-over-round: $heaps")
+  }
 }
