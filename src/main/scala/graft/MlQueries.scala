@@ -504,29 +504,33 @@ object MlQueries {
   // SimHash near-dup (documents)
   // ---------------------------------------------------------------------
 
+  /** 32-bit SimHash fingerprints: (doc_id, simhash). Single pass: explode
+    * words, hash once, 32 conditional popcounts as one partial+final
+    * aggregation (the 32-bit tally per doc is the only thing that
+    * shuffles). Shared by the fingerprint query and the pairing stage.
+    */
+  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val hashed = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val tallies = hashed.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until 32).map(b =>
+        sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")): _*)
+    val sig = (0 until 32).foldLeft[Column](lit(0L)) { (acc, b) =>
+      acc + when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+    }
+    tallies.select(col("doc_id"), sig.as("simhash"))
+  }
+
   /** 32-bit SimHash over word hashes (md5-derived, identical in both
     * engines): bit b of the fingerprint is 1 iff more words have bit b
     * set than not. Map-side only — one expression per document.
     */
   val simhash = Q("q_simhash",
-    (s, dir) => {
-      // single pass: explode words, hash once, 32 conditional popcounts
-      // as one partial+final aggregation (the 32-bit tally per doc is the
-      // only thing that shuffles)
-      val words = split(trim(col("text")), "\\s+")
-      val hashed = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), explode(words).as("w"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
-      val tallies = hashed.groupBy(col("doc_id")).agg(
-        count(lit(1)).as("n"),
-        (0 until 32).map(b =>
-          sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")): _*)
-      val sig = (0 until 32).foldLeft[Column](lit(0L)) { (acc, b) =>
-        acc + when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
-      }
-      tallies.select(col("doc_id"), sig.as("simhash"))
-    },
+    (s, dir) => simhashDf(s, dir),
     Some("""WITH wh AS (
            |  SELECT doc_id,
            |    ('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT AS h
@@ -540,8 +544,67 @@ object MlQueries {
            |  GROUP BY wh.doc_id, t.b)
            |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin))
 
+  /** The simhash CTE chain (word hashes → bit tallies → fingerprint),
+    * shared by the pairing oracle.
+    */
+  private val simhashCtes: String =
+    """wh AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT AS h
+      |  FROM documents),
+      |wc AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+      |bits AS (
+      |  SELECT wh.doc_id, t.b,
+      |    CASE WHEN 2 * sum(CASE WHEN (wh.h >> t.b) & 1 = 1 THEN 1 ELSE 0 END)
+      |              > max(wc.n) THEN (1::BIGINT << t.b) ELSE 0 END AS bit
+      |  FROM wh JOIN wc ON wh.doc_id = wc.doc_id, generate_series(0, 31) AS t(b)
+      |  GROUP BY wh.doc_id, t.b),
+      |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** SimHash near-dup PAIRS — the stage q_simhash feeds: 2 bands × 16
+    * bits bucket the fingerprints (pigeonhole: any pair within hamming 1
+    * shares at least one exact band, so the candidate set is COMPLETE for
+    * the ≤1 bar — the query is exactly "all pairs at hamming ≤ 1", not an
+    * approximation), then the verify is one popcount per candidate.
+    * Candidate generation reuses the skew-guarded [[TextOps
+    * .candidatePairs]]; the hot threshold is raised to 1024 because
+    * 16-bit simhash bands concentrate harder than 64-bit MinHash buckets
+    * (organic max ≈ 290 docs/bucket at sf0.1 — a band value shared by
+    * MORE than 1024 docs means a degenerate near-identical family, which
+    * the hub star still groups correctly).
+    */
+  val simhashPairs = Q("q_simhash_pairs",
+    (s, dir) => {
+      val sig = simhashDf(s, dir).localCheckpoint(true)
+      val bands = Seq(0, 1).map(b =>
+        sig.select(col("doc_id"), lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))
+        .reduce(_ union _)
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id", hotThreshold = 1024)
+      val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+      val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+      cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+        .filter(col("hamming") <= 1)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+    Some(s"""WITH $simhashCtes,
+            |bands AS (
+            |  SELECT doc_id, 0 AS band, simhash & 65535 AS bucket FROM sig
+            |  UNION ALL
+            |  SELECT doc_id, 1, (simhash >> 16) & 65535 FROM sig),
+            |cand AS (
+            |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            |  FROM bands l JOIN bands r
+            |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+            |SELECT c.doc_a, c.doc_b,
+            |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            |FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+            |            JOIN sig b ON b.doc_id = c.doc_b
+            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin))
+
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall,
-    embeddingNearDup, embeddingNearDupLsh, embeddingLshPairs, simhash)
+    embeddingNearDup, embeddingNearDupLsh, embeddingLshPairs, simhash, simhashPairs)
 }

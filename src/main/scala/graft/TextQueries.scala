@@ -558,6 +558,33 @@ object TextQueries {
             |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
             |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
 
+  /** Benchmark decontamination — the screen a training-data pipeline runs
+    * before shipping a corpus: flag documents sharing ≥ 3 distinct word
+    * 3-gram shingles with any benchmark document (here: doc_id < 20
+    * stands in for the held-out benchmark set). One shingle equi-join —
+    * only (doc_id, shingle) pairs shuffle, the benchmark side is tiny
+    * (AQE broadcasts it), and the overlap count is a bounded-key
+    * aggregation. Reuses the session's materialized shingle pipeline.
+    */
+  val decontaminate = Q("q_decontaminate",
+    (s, dir) => {
+      val sh = artifacts(s, dir).shingles
+      val bench = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("sh"))
+      val corpus = sh.filter(col("doc_id") >= 20)
+      corpus.join(bench, Seq("sh"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 20),
+            |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20)
+            |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            |FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id
+            |HAVING count(*) >= 3""".stripMargin))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by running token count — per-language, in doc_id order, a
     * doc opens a new shard when the running total would exceed the
@@ -609,7 +636,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
-    dedupGroups, multimodalMeta, multimodalFeatures,
+    dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit)
