@@ -6,7 +6,6 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.core.ClusterSummary
 import graft.functions.NativeVectorFunctions.sqDistNative
-import graft.functions.VectorFunctions.sqDist
 import graft.operators.SummaryAggregator
 
 /** Distributed, deterministic K-Means: farthest-first (maximin) seeding +
@@ -81,10 +80,22 @@ object KMeans {
 
   /** Farthest-first (maximin) seeding, distributed: maintain per-point
     * min-squared-distance to the chosen seeds and pick the argmax each
-    * round. K driver actions over a cached projection of the sample.
-    * `firstSeedRank` picks the (rank+1)-th smallest id as the first seed
-    * (deterministic analog of the reference's random start,
+    * round (one TakeOrdered(1) job per seed — top-1 merges, never a data
+    * fraction). `firstSeedRank` picks the (rank+1)-th smallest id as the
+    * first seed (deterministic analog of the reference's random start,
     * code/bfr.py:21).
+    *
+    * Execution shape: ONE cached projection of the sample; the running
+    * min is a lazily-folded `least` of codegen distance kernels against
+    * seed literals, re-evaluated map-side per step. The fold's
+    * left-to-right association and the kernel's in-order accumulation are
+    * bit-identical to materializing the running min per step (kernel ≡
+    * HOF exactness is unit-tested), so results are unchanged — but
+    * nothing persists per step. The earlier form persisted a FULL copy of
+    * the sample (features included) every iteration: 3K seed steps × a
+    * 20%-of-chunk sample was GBs of storage churn per BFR init at scale,
+    * and twice the job count. Total kernel work is Σᵢ i·n ≈ k²n/2 — all
+    * map-side, the cheap side of the trade at every scale measured.
     */
   def seed(points: DataFrame, k: Int, featCol: String, idCol: String,
            firstSeedRank: Int = 0): Array[Array[Double]] = {
@@ -95,23 +106,17 @@ object KMeans {
         .limit(firstSeedRank + 1).collect().last
         .getSeq[Double](0).toArray
       val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]](first)
-      var minD = proj.withColumn("__mind", sqDist(col("__f"), lit(first)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      var minExpr: Column = sqDistNative(col("__f"), lit(first))
       var i = 1
       while (i < k) {
         // argmax of min-distance; ties break to the lowest id for determinism
-        val next = minD.orderBy(col("__mind").desc, col("__id"))
+        val next = proj.withColumn("__mind", minExpr)
+          .orderBy(col("__mind").desc, col("__id"))
           .select("__f").head().getSeq[Double](0).toArray
         seeds += next
-        val upd = minD.withColumn("__mind",
-          least(col("__mind"), sqDist(col("__f"), lit(next))))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        upd.count()
-        minD.unpersist(false)
-        minD = upd
+        minExpr = least(minExpr, sqDistNative(col("__f"), lit(next)))
         i += 1
       }
-      minD.unpersist(false)
       seeds.toArray
     } finally proj.unpersist(false)
   }
