@@ -81,6 +81,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH near-dup must not cross-join the corpus:\n$p")
   }
 
+  test("q_simhash_pairs / q_decontaminate: equi-joins only, no cross join") {
+    for (name <- Seq("q_simhash_pairs", "q_decontaminate")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not cross-join the corpus:\n$p")
+    }
+  }
+
   test("q_mahalanobis: summary side broadcasts back onto the fact side") {
     val p = plan("q_mahalanobis")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")
