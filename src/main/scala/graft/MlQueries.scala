@@ -125,7 +125,7 @@ object MlQueries {
          |        sum(qe[t.i] * ce[t.i]) AS dot,
          |        sum(qe[t.i] * qe[t.i]) AS nq,
          |        sum(ce[t.i] * ce[t.i]) AS nc
-         |      FROM cand, generate_series(1, $D) t(i) GROUP BY qid, cid),
+         |      FROM cand, generate_series(1, ${this.D}) t(i) GROUP BY qid, cid),
          |r AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
          |        row_number() OVER (PARTITION BY qid
          |                           ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
@@ -143,7 +143,7 @@ object MlQueries {
          |          sum(q.qe[t.i] * e.e[t.i]) AS dot,
          |          sum(q.qe[t.i] * q.qe[t.i]) AS nq,
          |          sum(e.e[t.i] * e.e[t.i]) AS nc
-         |        FROM q, emb e, generate_series(1, $D) t(i)
+         |        FROM q, emb e, generate_series(1, ${this.D}) t(i)
          |        WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id),
          |bf AS (SELECT qid, cid,
          |         row_number() OVER (PARTITION BY qid
