@@ -614,6 +614,30 @@ object TextQueries {
             |                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
             |  FROM documents)""".stripMargin))
 
+  /** Per-group cap — corpus rebalancing: keep at most 50 docs per
+    * language, chosen by md5 rank (a deterministic uniform draw, not an
+    * id-prefix bias). The rank ≤ 50 filter over a partitioned window is
+    * the Spark-4 scale shape: the optimizer inserts WindowGroupLimit
+    * (plan-pinned), so each map task keeps only its local top-50 per
+    * group BEFORE the shuffle — the exchange carries ≤ 50·groups·tasks
+    * rows, not the corpus.
+    */
+  val groupCap = Q("q_group_cap",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    },
+    Some("""SELECT doc_id, lang, rk FROM (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang
+           |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+           |  FROM documents) WHERE rk <= 50""".stripMargin))
+
   /** Deterministic train/val/test split: the md5 bucket of the doc id
     * maps to 80/10/10 ranges — reproducible on any engine, any
     * partitioning, no shuffle, stable under corpus growth (a doc's split
@@ -639,5 +663,5 @@ object TextQueries {
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
-    minhashJaccardEst, containment, packSequences, trainSplit)
+    minhashJaccardEst, containment, packSequences, trainSplit, groupCap)
 }

@@ -81,6 +81,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH near-dup must not cross-join the corpus:\n$p")
   }
 
+  test("q_group_cap: rank filter pushes WindowGroupLimit below the shuffle") {
+    val p = plan("q_group_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group cap must keep local top-k before the exchange:\n$p")
+  }
+
   test("q_simhash_pairs / q_decontaminate: equi-joins only, no cross join") {
     for (name <- Seq("q_simhash_pairs", "q_decontaminate")) {
       val p = plan(name)
