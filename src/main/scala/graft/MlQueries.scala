@@ -154,6 +154,31 @@ object MlQueries {
          |SELECT b.qid, round(sum(CASE WHEN i.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3
          |FROM bf3 b LEFT JOIN ivf3 i ON i.qid = b.qid AND i.cid = b.cid
          |GROUP BY b.qid""".stripMargin
+
+    /** Self-kNN (k=1) within quantizer cells: every vector's nearest
+      * same-cell neighbour — replicates the engine's IVF 1-probe kNN
+      * join with identical tie-breaks. Vectors alone in their cell emit
+      * no row (both engines).
+      */
+    val knnSql: String =
+      s"""WITH $withClauses,
+         |cells AS MATERIALIZED (
+         |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
+         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT l.cid AS qid, l.ce AS qe, r.cid, r.ce
+         |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.cid <> r.cid),
+         |pd AS (SELECT qid, cid,
+         |         sum(qe[t.i] * ce[t.i]) AS dot,
+         |         sum(qe[t.i] * qe[t.i]) AS nq,
+         |         sum(ce[t.i] * ce[t.i]) AS nc
+         |       FROM pr, generate_series(1, ${this.D}) t(i) GROUP BY qid, cid),
+         |pk AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
+         |       FROM pd)
+         |SELECT qid AS vec_id, cid AS nn_id, round(cos, 6) AS cos_sim
+         |FROM pk WHERE rn = 1""".stripMargin
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =

@@ -585,6 +585,96 @@ object TextQueries {
             |FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id
             |HAVING count(*) >= 3""".stripMargin))
 
+  /** Duplicated-span fraction — the Gopher/Dolma dedup *signal* (as
+    * opposed to the dedup *action*): per document, the fraction of its
+    * distinct word 3-gram shingles that occur in at least one OTHER
+    * document. High values mark boilerplate/templated docs even when no
+    * single near-dup pair crosses the LSH bar.
+    *
+    * Scale shape: shingle document-frequency is one partial+final agg on
+    * the shingle hash; the join back fans out one row per (doc, shingle)
+    * — no pair explosion anywhere, unlike pairwise similarity. Reuses the
+    * session's materialized shingle pipeline. The fraction is emitted in
+    * floor-micro units (k/n rationals can land on .xxxxxx5 halves where
+    * Spark HALF_UP and DuckDB rint disagree; floor of the identical
+    * double is tie-free).
+    */
+  val dupSpanFraction = Q("q_dup_span_fraction",
+    (s, dir) => {
+      val sh = artifacts(s, dir).shingles
+      val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, Seq("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("df") >= 2, 1)).as("n_dup_shingles"))
+        .select(col("doc_id"), col("n_shingles"), col("n_dup_shingles"),
+          floor(lit(1e6) * col("n_dup_shingles").cast("double") / col("n_shingles"))
+            .cast("long").as("dup_frac_micro"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+            |SELECT s.doc_id, count(*) AS n_shingles,
+            |  count(CASE WHEN d.df >= 2 THEN 1 END) AS n_dup_shingles,
+            |  CAST(floor(1e6 * count(CASE WHEN d.df >= 2 THEN 1 END)
+            |             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_frac_micro
+            |FROM sh s JOIN dfreq d USING (sh) GROUP BY s.doc_id""".stripMargin))
+
+  /** Per-document mean conditional bigram probability under the corpus
+    * MLE bigram model — a KenLM-style predictability/quality score
+    * computed with no external model: P(w2|w1) = c(w1 w2) / c(w1 ·) over
+    * corpus bigram occurrences; a doc full of common transitions scores
+    * high, word-salad scores low.
+    *
+    * Determinism across engines: each per-occurrence probability is an
+    * exact integer ratio (identical double on both engines), floored to
+    * integer micro-units BEFORE summation — BIGINT sums are
+    * order-independent, so the result is bit-stable under any partitioning
+    * (a double sum would differ in the last ulp between engines/orders).
+    *
+    * Scale shape: the occurrence stream shuffles once per count table
+    * (bigram-keyed, first-word-keyed — both bounded by vocabulary², with
+    * map-side partial aggregation), then two equi-joins back onto the
+    * stream; AQE broadcasts the count sides when small.
+    */
+  val bigramPredictability = Q("q_bigram_predictability",
+    (s, dir) => {
+      val occ = docs(s, dir)
+        .withColumn("__ws", wordsCol)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), greatest(size(col("__ws")) - 1, lit(1))),
+            i => struct(
+              try_element_at(col("__ws"), i).as("w1"),
+              concat_ws(" ", slice(col("__ws"), i, lit(2))).as("bg")))).as("o"))
+        .select(col("doc_id"), col("o.w1").as("w1"), col("o.bg").as("bg"))
+        .localCheckpoint(true)
+      val cBg = occ.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      val cW1 = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      occ.join(cBg, Seq("bg")).join(cW1, Seq("w1"))
+        .withColumn("__micro",
+          floor(lit(1e6) * col("c12").cast("double") / col("c1")).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__micro")).as("sum_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+          floor(col("sum_micro").cast("double") / col("n_bigrams"))
+            .cast("long").as("pred_micro"))
+    },
+    Some(s"""WITH occ AS (
+            |  SELECT doc_id,
+            |    ($wordsSql)[t.i] AS w1,
+            |    array_to_string(list_slice($wordsSql, t.i, t.i + 1), ' ') AS bg
+            |  FROM documents,
+            |       generate_series(1, greatest(len($wordsSql) - 1, 1)) t(i)),
+            |cbg AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
+            |cw1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1)
+            |SELECT o.doc_id, count(*) AS n_bigrams,
+            |  CAST(sum(CAST(floor(1e6 * (cbg.c12 / CAST(cw1.c1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+            |    AS sum_micro,
+            |  CAST(floor(CAST(sum(CAST(floor(1e6 * (cbg.c12 / CAST(cw1.c1 AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+            |             / count(*)) AS BIGINT) AS pred_micro
+            |FROM occ o JOIN cbg USING (bg) JOIN cw1 USING (w1)
+            |GROUP BY o.doc_id""".stripMargin))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by running token count — per-language, in doc_id order, a
     * doc opens a new shard when the running total would exceed the
@@ -663,5 +753,6 @@ object TextQueries {
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
-    minhashJaccardEst, containment, packSequences, trainSplit, groupCap)
+    minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
+    dupSpanFraction, bigramPredictability)
 }
