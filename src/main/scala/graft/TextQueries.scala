@@ -660,11 +660,11 @@ object TextQueries {
             .cast("long").as("pred_micro"))
     },
     Some(s"""WITH occ AS (
-            |  SELECT doc_id,
-            |    ($wordsSql)[t.i] AS w1,
-            |    array_to_string(list_slice($wordsSql, t.i, t.i + 1), ' ') AS bg
-            |  FROM documents,
-            |       generate_series(1, greatest(len($wordsSql) - 1, 1)) t(i)),
+            |  SELECT doc_id, ws[i] AS w1,
+            |    array_to_string(list_slice(ws, i, i + 1), ' ') AS bg
+            |  FROM (SELECT doc_id, ws,
+            |          unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+            |        FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
             |cbg AS (SELECT bg, count(*) AS c12 FROM occ GROUP BY bg),
             |cw1 AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1)
             |SELECT o.doc_id, count(*) AS n_bigrams,
