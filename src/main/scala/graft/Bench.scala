@@ -44,7 +44,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write
       .format("noop").mode("overwrite").save()
 
-    val results = Queries.all.map { q =>
+    // optional args = query-name subset for local perf iteration;
+    // the driver passes none and gets the full inventory
+    val selected =
+      if (args.isEmpty) Queries.all
+      else Queries.all.filter(q => args.contains(q.name))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

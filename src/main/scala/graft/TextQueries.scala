@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.functions.TextOps
+import graft.functions.{NativeTextFunctions, TextOps}
 
 /** Training-data-pipeline text operators over the `documents` table:
   * deduplication (exact / MinHash-LSH / n-gram fingerprints), language
@@ -396,7 +396,7 @@ object TextQueries {
     * fraction of bigram occurrences that are repeats of an earlier bigram
     * in the same document. Map-side only — one array expression per doc.
     */
-  private def bigramsFrom(ws: Column): Column =
+  private[graft] def bigramsFrom(ws: Column): Column =
     transform(sequence(lit(1), greatest(size(ws) - 1, lit(1))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
   private val bigramsSql =
@@ -405,15 +405,13 @@ object TextQueries {
 
   val repetitionRatio = Q("q_repetition_ratio",
     (s, dir) =>
-      // staged projections: the bigram array and its counts materialize
-      // once per row; inline references would re-evaluate the HOF chain
-      // (split → transform → distinct) per use
+      // single-pass native kernel (≡ the HOF cascade, unit-tested); staged
+      // so the struct materializes once and the ratio reads attribute refs
       docs(s, dir)
-        .withColumn("__ws", wordsCol)
-        .withColumn("__bg", bigramsFrom(col("__ws")))
+        .withColumn("__bs", NativeTextFunctions.bigramStatsNative(col("text"), stopLits))
         .select(col("doc_id"),
-          size(col("__bg")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("__bg"))).cast("long").as("n_distinct_bigrams"))
+          col("__bs.n_bigrams").cast("long").as("n_bigrams"),
+          col("__bs.n_distinct_bigrams").cast("long").as("n_distinct_bigrams"))
         .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
           round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
             .as("rep_ratio")),
@@ -430,18 +428,15 @@ object TextQueries {
     */
   val qualityFilter = Q("q_quality_filter",
     (s, dir) => {
-      val stopArr = array(stopLits.map(lit): _*)
-      // staged projections — each HOF (split, filter, bigrams, distinct)
-      // evaluates once per row; the rule cascade then runs on cheap
-      // attribute references
+      // single-pass native kernel (≡ the HOF cascade, unit-tested); the
+      // rule cascade then runs on cheap attribute references
       val counted = docs(s, dir)
-        .withColumn("__ws", wordsCol)
-        .withColumn("__bg", bigramsFrom(col("__ws")))
+        .withColumn("__bs", NativeTextFunctions.bigramStatsNative(col("text"), stopLits))
         .select(col("doc_id"),
-          size(col("__ws")).as("__nw"),
-          size(filter(col("__ws"), w => array_contains(stopArr, w))).as("__nstop"),
-          size(col("__bg")).as("__nbg"),
-          size(array_distinct(col("__bg"))).as("__ndbg"))
+          col("__bs.n_words").as("__nw"),
+          col("__bs.n_stop").as("__nstop"),
+          col("__bs.n_bigrams").as("__nbg"),
+          col("__bs.n_distinct_bigrams").as("__ndbg"))
       val reason = when(col("__nw") < 10, "too_short")
         .when(col("__nw") > 2000, "too_long")
         .when(col("__nstop").cast("double") / col("__nw") < 0.01, "low_stopword")

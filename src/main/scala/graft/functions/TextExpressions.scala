@@ -199,6 +199,76 @@ case class WordCountsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "word_counts_native"
 }
 
+/** Per-document token/bigram quality statistics in one pass —
+  * struct(n_words, n_stop, n_bigrams, n_distinct_bigrams). Semantically
+  * identical to the declarative cascade
+  * `size(ws)` / `size(filter(ws, w -> array_contains(stop, w)))` /
+  * `size(bigrams)` / `size(array_distinct(bigrams))` where
+  * `ws = split(trim(text), "\s+")` and bigram i = `concat_ws(" ",
+  * slice(ws, i, 2))` for i in 1..max(n-1, 1) (equality is unit-tested),
+  * but those HOFs are interpreted per element — the Gopher-style quality
+  * signals (repetition ratio, stopword evidence) dominated the sf0.1
+  * bench at ~6 s each; one tight loop per row removes that while staying
+  * inside whole-stage codegen via a bound-reference call.
+  */
+case class BigramStatsExpr(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigram_stats_native expects STRING, got ${child.dataType.sql}")
+  }
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopWords.size * 2)
+    stopWords.foreach(s.add)
+    s
+  }
+
+  def compute(text: UTF8String): Any = {
+    val tokens = WordShinglesExpr.Whitespace.split(text.trim.toString, -1)
+    val n = tokens.length
+    var nStop = 0
+    var i = 0
+    while (i < n) {
+      if (stopSet.contains(tokens(i))) nStop += 1
+      i += 1
+    }
+    val m = math.max(n - 1, 1)
+    val seen = new java.util.HashSet[String](math.min(m * 2, 1 << 12))
+    i = 0
+    while (i < m) {
+      val bg = if (i + 1 < n) tokens(i) + " " + tokens(i + 1) else tokens(i)
+      seen.add(bg)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, nStop, m, seen.size))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramStats", this, classOf[BigramStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_stats_native"
+}
+
 object MinhashSignatureExpr {
   import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -241,4 +311,9 @@ object NativeTextFunctions {
   /** Per-document term frequencies array<struct<w,c>>, single-pass. */
   def wordCountsNative(text: Column): Column =
     ColumnBridge.column(WordCountsExpr(ColumnBridge.expression(text)))
+
+  /** Token/bigram quality stats struct(n_words, n_stop, n_bigrams,
+    * n_distinct_bigrams), single-pass. */
+  def bigramStatsNative(text: Column, stopWords: Seq[String]): Column =
+    ColumnBridge.column(BigramStatsExpr(ColumnBridge.expression(text), stopWords))
 }

@@ -88,6 +88,35 @@ class TextOpsSpec extends AnyFunSuite {
     assert(native.toSeq == viaAgg.toSeq, s"native=${native.toSeq} agg=${viaAgg.toSeq}")
   }
 
+  test("native bigram stats ≡ declarative HOF cascade (incl. edge cases)") {
+    import spark.implicits._
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+    val stopArr = array(stop.map(lit): _*)
+    val texts = Seq(
+      "",                       // empty → one empty token, one degenerate bigram
+      "one",                    // 1 word → truncated bigram
+      "one two",                // exactly one bigram
+      "a b c d e",              // sliding bigrams, one stopword
+      "  leading and   inner   spaces  ", // trim + \s+ collapse
+      "dup dup dup dup dup",    // repeated bigrams collapse
+      "the quick brown fox jumps over the lazy dog the quick brown fox"
+    ).toDF("text")
+    val ws = TextOps.words(col("text"))
+    val bg = TextQueries.bigramsFrom(ws)
+    val rows = texts.select(
+      NativeTextFunctions.bigramStatsNative(col("text"), stop).as("native"),
+      struct(
+        size(ws).as("n_words"),
+        size(filter(ws, w => array_contains(stopArr, w))).as("n_stop"),
+        size(bg).as("n_bigrams"),
+        size(array_distinct(bg)).as("n_distinct_bigrams")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getStruct(0).toSeq == r.getStruct(1).toSeq,
+        s"native=${r.getStruct(0)} hof=${r.getStruct(1)}")
+    }
+  }
+
   test("native map-side signature ≡ min-aggregated signature over exploded shingles") {
     import spark.implicits._
     val docs = Seq(
