@@ -78,19 +78,23 @@ object TextQueries {
     * the md5 of the normalized form (compact + order-insensitive to
     * verify) plus its length.
     */
+  /** DuckDB twin of [[TextOps.normalize]] over the given column
+    * expression — RE2's `\p{L}`/`\p{N}` match Java's, so both engines
+    * keep the same Unicode letters/digits.
+    */
+  private def normalizeSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   val textNormalize = Q("q_text_normalize",
     (s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val norm = TextOps.normalize(col("text"))
       docs(s, dir).select(col("doc_id"),
         md5(norm).as("norm_hash"), length(norm).cast("long").as("norm_len"))
     },
-    Some("""SELECT doc_id,
-           | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-           |                         ' +', ' ', 'g'))) AS norm_hash,
-           | length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-           |                            ' +', ' ', 'g'))) AS norm_len
-           |FROM documents""".stripMargin))
+    Some(s"""SELECT doc_id,
+            | md5(${normalizeSql("text")}) AS norm_hash,
+            | length(${normalizeSql("text")}) AS norm_len
+            |FROM documents""".stripMargin))
 
   /** BPE-ish subword tokenization by regex: runs of lowercase, a
     * capitalized prefix, digit runs, or single punctuation — the
@@ -156,6 +160,53 @@ object TextQueries {
         s"WHEN $h = $bestSql AND $bestSql > 0 THEN '$l'"
       }.mkString(" ")
       Some(s"SELECT doc_id, lang, CASE $caseSql ELSE 'unk' END AS pred_lang FROM documents")
+    })
+
+  /** Mixed-script pipeline: a deterministic script injection over the
+    * documents table (doc_id % 3 picks a CJK prefix, a Cyrillic prefix,
+    * or leaves the text unchanged), then the full Unicode text pipeline
+    * over the mixed column — normalization (hash + length prove
+    * CJK/Cyrillic survives [[TextOps.normalize]] instead of stripping to
+    * empty) and language-ID through the extended marker cascade (ru/zh
+    * markers prove the non-Latin path). The injected prefix carries 15
+    * marker hits — above the max organic marker count in the corpus
+    * (8 at sf0.1) — so pred_lang is deterministic: injected docs resolve
+    * to zh/ru, the rest to their organic prediction.
+    */
+  private val zhPrefix = "的 是 了 " * 5
+  private val ruPrefix = "и в не " * 5
+
+  val unicodePipeline = Q("q_unicode_pipeline",
+    (s, dir) => {
+      val mixed = when(col("doc_id") % 3 === 0, concat(lit(zhPrefix), col("text")))
+        .when(col("doc_id") % 3 === 1, concat(lit(ruPrefix), col("text")))
+        .otherwise(col("text"))
+      val staged = docs(s, dir)
+        .withColumn("__mixed", mixed)
+        .withColumn("__norm", TextOps.normalize(col("__mixed")))
+      TextOps.withLangId(staged, col("__mixed"), "pred_lang")
+        .select(col("doc_id"), md5(col("__norm")).as("norm_hash"),
+          length(col("__norm")).cast("long").as("norm_len"), col("pred_lang"))
+    }, {
+      val mwordsSql = """regexp_split_to_array(trim(mixed), '\s+')"""
+      def hitsSql(ms: Seq[String]): String =
+        s"len(list_filter($mwordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
+      val hs = langMarkers.map { case (l, ms) => l -> hitsSql(ms) }
+      val bestSql = s"greatest(${hs.map(_._2).mkString(", ")})"
+      val caseSql = hs.map { case (l, h) =>
+        s"WHEN $h = $bestSql AND $bestSql > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 0 THEN '$zhPrefix' || text
+              |         WHEN doc_id % 3 = 1 THEN '$ruPrefix' || text
+              |         ELSE text END AS mixed
+              |  FROM documents)
+              |SELECT doc_id,
+              | md5(${normalizeSql("mixed")}) AS norm_hash,
+              | length(${normalizeSql("mixed")}) AS norm_len,
+              | CASE $caseSql ELSE 'unk' END AS pred_lang
+              |FROM m""".stripMargin)
     })
 
   // ---------------------------------------------------------------------
@@ -744,6 +795,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
+    unicodePipeline,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,

@@ -34,9 +34,14 @@ object TextOps {
     */
   def wordCounts(text: Column): Column = NativeTextFunctions.wordCountsNative(text)
 
-  /** lowercase / strip non-alphanumerics / collapse whitespace. */
+  /** lowercase / strip punctuation / collapse whitespace — Unicode-aware:
+    * the kept class is any Unicode letter or digit (`\p{L}\p{N}`), so
+    * CJK/Cyrillic/Arabic text survives normalization instead of being
+    * stripped to empty. Same `\p{L}`/`\p{N}` classes exist in DuckDB's
+    * RE2, so the oracle can mirror the expression exactly.
+    */
   def normalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
 
   /** Number of MinHash permutations = 32-bit chunks of two md5 digests
     * (the plain digest + one salted re-digest).
@@ -183,11 +188,19 @@ object TextOps {
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
 
+  /** Marker stopwords per language — includes non-Latin scripts
+    * (Cyrillic `ru`, CJK `zh`) so the heuristic is not Latin-only; the
+    * tokenizer is whitespace-based, so CJK coverage assumes pre-segmented
+    * (space-delimited) tokens, the usual shape after an upstream
+    * segmenter.
+    */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "es" -> Seq("el", "la", "de"),
     "de" -> Seq("der", "und", "die"),
-    "fr" -> Seq("le", "la", "et"))
+    "fr" -> Seq("le", "la", "et"),
+    "ru" -> Seq("и", "в", "не"),
+    "zh" -> Seq("的", "是", "了"))
 
   /** Heuristic language-ID: argmax marker-word hits, first-language ties. */
   def langIdExpr(text: Column): Column = {

@@ -30,6 +30,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalize is Unicode-aware: CJK/Cyrillic/Arabic text survives") {
+    import spark.implicits._
+    val rows = Seq(
+      "Привет, мир! Как дела?",        // Cyrillic + punctuation
+      "你好，世界！这是 一个 测试。",      // CJK + fullwidth punctuation
+      "مرحبا بالعالم",                  // Arabic
+      "Mixed: English и русский 和 中文 123!?")
+      .toDF("text")
+      .select(TextOps.normalize(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "привет мир как дела")
+    assert(rows(1) == "你好 世界 这是 一个 测试")
+    assert(rows(2) == "مرحبا بالعالم")
+    assert(rows(3) == "mixed english и русский 和 中文 123")
+    rows.foreach(r => assert(r.nonEmpty, "non-Latin text normalized to empty"))
+  }
+
+  test("language-ID covers non-Latin scripts (ru, zh)") {
+    import spark.implicits._
+    val got = Seq(
+      ("и в не было ничего", "ru"),
+      ("的 是 了 数据 查询", "zh"),
+      ("the quick brown fox and the dog of war", "en"),
+      ("xyzzy plugh", "unk"))
+      .toDF("text", "expect")
+    val rows = TextOps.withLangId(got, col("text"), "pred").collect()
+    rows.foreach(r => assert(r.getAs[String]("pred") == r.getAs[String]("expect"),
+      s"text='${r.getAs[String]("text")}'"))
+  }
+
   test("scale probe smoke: every replicated copy lands in its base group") {
     val r = graft.app.TextScaleBench.run(
       spark, "/root/testdata/sf0.001/documents.parquet", copies = 2, partitions = 4)
