@@ -27,6 +27,20 @@ object Bench {
     */
   private val TailBudget = 1600
 
+  /** Query-subset selection for local perf iteration: empty = the full
+    * inventory; otherwise every requested name must resolve — a
+    * misspelled name silently benchmarking nothing is worse than failing.
+    */
+  private[graft] def select(args: Array[String]): Seq[Queries.Q] =
+    if (args.isEmpty) Queries.all
+    else {
+      val known = Queries.all.map(_.name).toSet
+      val unknown = args.filterNot(known)
+      require(unknown.isEmpty,
+        s"unknown bench queries: ${unknown.mkString(", ")}")
+      Queries.all.filter(q => args.contains(q.name))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,9 +60,7 @@ object Bench {
 
     // optional args = query-name subset for local perf iteration;
     // the driver passes none and gets the full inventory
-    val selected =
-      if (args.isEmpty) Queries.all
-      else Queries.all.filter(q => args.contains(q.name))
+    val selected = select(args)
     val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

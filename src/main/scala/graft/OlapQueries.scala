@@ -331,6 +331,54 @@ object OlapQueries {
         percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90_approx")),
     None)
 
+  /** Bound check for q_approx_distinct: the HLL++ estimate must land
+    * within 5% (5×rsd at rsd=0.01 — a ≥5σ envelope) of the exact
+    * distinct count. The DuckDB oracle cannot reproduce the
+    * engine-specific sketch, but it CAN pin the bound: the query emits
+    * only the per-group boolean, so a silently broken sketch flips a row
+    * to 0 → hash mismatch → red CORRECTNESS row. (The raw estimates stay
+    * in q_approx_distinct as the rows-only surface.)
+    */
+  val approxDistinctBound = Q("q_approx_distinct_bound",
+    (s, dir) => Queries.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("est"),
+        countDistinct(col("user_id")).as("exact"))
+      .select(col("event_type"),
+        (abs(col("est") - col("exact")).cast("double") / col("exact") <= 0.05)
+          .cast("long").as("within_bound")),
+    Some("""SELECT event_type, CAST(1 AS BIGINT) AS within_bound
+           |FROM events GROUP BY event_type""".stripMargin))
+
+  /** Bound check for q_approx_quantiles: percentile_approx(accuracy=1000)
+    * guarantees rank error ≤ n/accuracy; the check allows 1%·n + 1 (10×
+    * the nominal guarantee, robust to tie granularity) on the rank of the
+    * returned element. Same posture as q_approx_distinct_bound: the
+    * oracle pins the all-ones boolean surface, so a broken sketch turns
+    * the row red even though DuckDB never runs the sketch itself.
+    */
+  val approxQuantilesBound = Q("q_approx_quantiles_bound",
+    (s, dir) => {
+      val ev = Queries.events(s, dir)
+      val est = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.9), lit(1000)).as("p90"),
+          count(lit(1)).as("n"))
+      ev.join(est, "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("p90"), 1L).otherwise(0L)).as("r90"),
+          first(col("n")).as("n"))
+        .select(col("event_type"),
+          (abs(col("r50") - col("n") * 0.5) <= col("n") * 0.01 + 1)
+            .cast("long").as("p50_ok"),
+          (abs(col("r90") - col("n") * 0.9) <= col("n") * 0.01 + 1)
+            .cast("long").as("p90_ok"))
+    },
+    Some("""SELECT event_type, CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+           |FROM events GROUP BY event_type""".stripMargin))
+
   /** Built-in session windows (the streaming-native sessionization
     * operator, batch twin of its Structured Streaming form): events merge
     * while gaps stay under 30 min; the window is half-open, so an event
@@ -505,6 +553,7 @@ object OlapQueries {
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct, approxQuantiles, sessionWindow, jsonExtract,
+    hashSample, approxDistinct, approxQuantiles, approxDistinctBound,
+    approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery)
 }

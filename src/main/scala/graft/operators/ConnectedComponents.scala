@@ -33,16 +33,25 @@ object ConnectedComponents {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label for each node: min over neighbours' labels and own
+      // candidate label for each node: min over neighbours' labels and
+      // own. The own-label branch carries the previous label in a second
+      // column (null on neighbour rows, so min() recovers it exactly —
+      // each id has one own row), which folds the convergence check into
+      // the same join+aggregate: `changed` is a plain filter-count over
+      // the checkpointed result, not a second join against the old labels.
       val viaNeighbour = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"))
-      val next = viaNeighbour.union(labels)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .select(col("src").as("id"), col("component"),
+          lit(null).cast("long").as("own"))
+      val own = labels.select(col("id"), col("component"),
+        col("component").as("own"))
+      val next = viaNeighbour.union(own)
+        .groupBy(col("id")).agg(min(col("component")).as("component"),
+          min(col("own")).as("own"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
-      labels = next
+      // labels only shrink, so changed ⇔ component < previous label
+      changed = next.filter(col("component") < col("own")).count()
+      labels = next.select(col("id"), col("component"))
       iter += 1
     }
     // silent wrong answers are worse than failures: a component split
