@@ -104,42 +104,44 @@ object MlQueries {
     * randomness.
     */
   private object IvfOracle extends KmeansOracleGen(8, 3) {
-    /** Shared chain: quantizer k-means → cells → probes → IVF top-3 (`r`). */
-    private val ctes: String =
+    /** Shared base: quantizer k-means → cells, query side, query↔center
+      * distances (`cd`) — everything before the nprobe choice.
+      */
+    private val baseCtes: String =
       s"""$withClauses,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
          |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
          |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
          |cd AS (SELECT q.qid, q.qe, c.cl AS cell, ${sqdist("q.qe", "c.e")} AS dd
-         |       FROM q, c$Iters c),
-         |probes AS (
+         |       FROM q, c$Iters c)""".stripMargin
+
+    /** Probe-parameterized chain: nearest-`p`-cells probe → candidate
+      * fetch → cosine top ranking (`r_$p`). Mirrors the engine's
+      * `ivfTop3(nprobe = p)` with identical tie-breaks.
+      */
+    private def probeChain(p: Int): String =
+      s"""probes_$p AS (
          |  SELECT qid, qe, cell FROM (
          |    SELECT qid, qe, cell,
          |      row_number() OVER (PARTITION BY qid ORDER BY dd, cell) AS rn
-         |    FROM cd) WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.qid, p.qe, s.cid, s.ce
-         |  FROM probes p JOIN cells s ON s.cell = p.cell AND s.cid <> p.qid),
-         |d AS (SELECT qid, cid,
+         |    FROM cd) WHERE rn <= $p),
+         |cand_$p AS (
+         |  SELECT pr.qid, pr.qe, s.cid, s.ce
+         |  FROM probes_$p pr JOIN cells s ON s.cell = pr.cell AND s.cid <> pr.qid),
+         |d_$p AS (SELECT qid, cid,
          |        sum(qe[t.i] * ce[t.i]) AS dot,
          |        sum(qe[t.i] * qe[t.i]) AS nq,
          |        sum(ce[t.i] * ce[t.i]) AS nc
-         |      FROM cand, generate_series(1, ${this.D}) t(i) GROUP BY qid, cid),
-         |r AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
+         |      FROM cand_$p, generate_series(1, ${this.D}) t(i) GROUP BY qid, cid),
+         |r_$p AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
          |        row_number() OVER (PARTITION BY qid
          |                           ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
-         |      FROM d)""".stripMargin
+         |      FROM d_$p)""".stripMargin
 
-    val sql: String =
-      s"WITH $ctes\nSELECT qid, cid, round(cos, 6) AS cos_sim FROM r WHERE rn <= 3"
-
-    /** Per-query recall@3 of the IVF result vs the exact brute-force
-      * top-3 over the SAME candidate universe (everything but self).
-      */
-    val recallSql: String =
-      s"""WITH $ctes,
-         |bfd AS (SELECT q.qid, e.vec_id AS cid,
+    /** Exact brute-force top-3 per query over the same universe. */
+    private val bfCtes: String =
+      s"""bfd AS (SELECT q.qid, e.vec_id AS cid,
          |          sum(q.qe[t.i] * e.e[t.i]) AS dot,
          |          sum(q.qe[t.i] * q.qe[t.i]) AS nq,
          |          sum(e.e[t.i] * e.e[t.i]) AS nc
@@ -149,11 +151,44 @@ object MlQueries {
          |         row_number() OVER (PARTITION BY qid
          |                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
          |       FROM bfd),
-         |bf3 AS (SELECT qid, cid FROM bf WHERE rn <= 3),
-         |ivf3 AS (SELECT qid, cid FROM r WHERE rn <= 3)
+         |bf3 AS (SELECT qid, cid FROM bf WHERE rn <= 3)""".stripMargin
+
+    val sql: String =
+      s"""WITH $baseCtes,
+         |${probeChain(2)}
+         |SELECT qid, cid, round(cos, 6) AS cos_sim FROM r_2 WHERE rn <= 3""".stripMargin
+
+    /** Per-query recall@3 of the IVF result vs the exact brute-force
+      * top-3 over the SAME candidate universe (everything but self).
+      */
+    val recallSql: String =
+      s"""WITH $baseCtes,
+         |${probeChain(2)},
+         |$bfCtes,
+         |ivf3 AS (SELECT qid, cid FROM r_2 WHERE rn <= 3)
          |SELECT b.qid, round(sum(CASE WHEN i.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3
          |FROM bf3 b LEFT JOIN ivf3 i ON i.qid = b.qid AND i.cid = b.cid
          |GROUP BY b.qid""".stripMargin
+
+    /** The nprobe sweep evaluated by q_ann_ivf_recall_curve. */
+    val curveProbes: Seq[Int] = Seq(1, 2, 4)
+
+    /** recall@3 per (nprobe, query): the full recall/cost curve of the
+      * IVF dial, each point exactly replicated.
+      */
+    val recallCurveSql: String = {
+      val selects = curveProbes.map { p =>
+        s"""SELECT CAST($p AS BIGINT) AS nprobe, b.qid,
+           | round(sum(CASE WHEN i.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3
+           |FROM bf3 b LEFT JOIN (SELECT qid, cid FROM r_$p WHERE rn <= 3) i
+           |  ON i.qid = b.qid AND i.cid = b.cid
+           |GROUP BY b.qid""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $baseCtes,
+         |${curveProbes.map(probeChain).mkString(",\n")},
+         |$bfCtes
+         |$selects""".stripMargin
+    }
 
     /** Self-kNN (k=1) within quantizer cells: every vector's nearest
       * same-cell neighbour — replicates the engine's IVF 1-probe kNN
@@ -356,21 +391,23 @@ object MlQueries {
     ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       KMeans.fit(emb(s, dir), k = 8, iters = 3))
 
-  /** IVF top-3 per query with the running cosine: 2-probe cell pruning,
-    * self excluded (shared by q_ann_ivf and the recall evaluation).
+  /** IVF top-3 per query with the running cosine: nearest-`nprobe`-cells
+    * pruning, self excluded (shared by q_ann_ivf and the recall
+    * evaluations). nprobe is THE recall/cost dial: candidates scanned
+    * grow ~linearly with probed cells, recall approaches brute force.
     */
-  private def ivfTop3(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTop3(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val e = emb(s, dir)
     val model = ivfModel(s, dir)
     val cells = model.assign(e, "features")
       .select(col("id").as("cid"), col("features").as("ce"), col("label").as("cell"))
     val q = e.filter(col("id") < 5)
       .select(col("id").as("qid"), col("features").as("qe"))
-    // 2 nearest cells per query (centers are a tiny literal)
+    // nprobe nearest cells per query (centers are a tiny literal)
     val dists = model.distances(col("qe"))
     val probes = q.withColumn("cells",
         slice(array_sort(zip_with(dists, sequence(lit(0), lit(model.k - 1)),
-          (d0, i) => struct(d0.as("d"), i.as("cell")))), 1, 2))
+          (d0, i) => struct(d0.as("d"), i.as("cell")))), 1, nprobe))
       .select(col("qid"), col("qe"), explode(col("cells.cell")).as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     cells.join(broadcast(probes), Seq("cell"))
@@ -379,6 +416,23 @@ object MlQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("cid"), col("cos"))
+  }
+
+  /** Exact brute-force top-3 per query (self excluded) — the recall
+    * reference set shared by both recall evaluations.
+    */
+  private def bfTop3(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("features").as("qe"))
+    val cand = e.select(col("id").as("cid"), col("features").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", cosine(col("ce"), col("qe")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"))
   }
 
   val annIvf = Q("q_ann_ivf",
@@ -393,23 +447,30 @@ object MlQueries {
     */
   val annIvfRecall = Q("q_ann_ivf_recall",
     (s, dir) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("id") < 5)
-        .select(col("id").as("qid"), col("features").as("qe"))
-      val cand = e.select(col("id").as("cid"), col("features").as("ce"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      val bf3 = cand.crossJoin(broadcast(q))
-        .filter(col("cid") =!= col("qid"))
-        .withColumn("cos", cosine(col("ce"), col("qe")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select(col("qid"), col("cid"))
       val ivf3 = ivfTop3(s, dir).select(col("qid"), col("cid"), lit(1).as("m"))
-      bf3.join(ivf3, Seq("qid", "cid"), "left")
+      bfTop3(s, dir).join(ivf3, Seq("qid", "cid"), "left")
         .groupBy(col("qid"))
         .agg(round(sum(coalesce(col("m"), lit(0))) / 3.0, 6).as("recall3"))
     },
     Some(IvfOracle.recallSql))
+
+  /** Recall@3 as a function of nprobe ∈ {1, 2, 4} — the measured
+    * recall/cost curve of the IVF dial a real ANN user tunes. Exact
+    * rationals per (nprobe, query), so every point of the curve is
+    * oracle-checked, same construction as q_ann_ivf_recall.
+    */
+  val annIvfRecallCurve = Q("q_ann_ivf_recall_curve",
+    (s, dir) => {
+      val bf3 = bfTop3(s, dir)
+      IvfOracle.curveProbes.map { p =>
+        val ivf3 = ivfTop3(s, dir, p).select(col("qid"), col("cid"), lit(1).as("m"))
+        bf3.join(ivf3, Seq("qid", "cid"), "left")
+          .groupBy(col("qid"))
+          .agg(round(sum(coalesce(col("m"), lit(0))) / 3.0, 6).as("recall3"))
+          .select(lit(p.toLong).as("nprobe"), col("qid"), col("recall3"))
+      }.reduce(_ union _)
+    },
+    Some(IvfOracle.recallCurveSql))
 
   /** Embedding-cosine near-duplicate pairs (brute force at test scale;
     * the LSH/IVF variants are the scale path).
@@ -630,6 +691,6 @@ object MlQueries {
 
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
-    kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall,
+    kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     embeddingNearDup, embeddingNearDupLsh, embeddingLshPairs, simhash, simhashPairs)
 }
