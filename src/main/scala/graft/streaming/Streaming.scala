@@ -38,13 +38,63 @@ object Streaming {
 
   /** Incremental BFR over a chunk stream: round 1 initializes DS from the
     * first micro-batch, later rounds run the α-threshold assignment and
-    * fold matched points into DS via the summary monoid (M5/A4). RS
-    * points are carried in `state.rs` (driver-bounded; M6 spill applies).
-    * Assignments append to `outDir` as parquet.
+    * fold matched points into DS via the summary monoid (M5/A4).
+    * Assignments land in `outDir/batch=<id>` as parquet.
+    *
+    * Restart / exactly-once posture: the source offsets live in the
+    * Structured Streaming checkpoint; the BFR sufficient statistics are
+    * snapshotted to `<checkpoint>/graft-bfr-state/state-<batchId>` after
+    * every batch. On restart (or on re-delivery of a batch that failed
+    * after a partial write) the in-memory state re-syncs to the snapshot
+    * committed strictly BEFORE the delivered batch, and the batch's
+    * output directory is overwritten — so a replayed batch recomputes
+    * the identical rows instead of double-absorbing into DS or appending
+    * duplicates. Net: the assignment rows of an interrupted-and-restarted
+    * run are exactly those of an uninterrupted run.
     */
   final class BfrStreamState(cfg: BFR.Config) extends Serializable {
     @volatile var ds: IndexedSeq[ClusterSummary] = IndexedSeq.empty
     @volatile var rounds: Int = 0
+    /** Last batchId processed by THIS JVM (-1 = none): a gap between it
+      * and the next delivered batchId means restart or replay.
+      */
+    @volatile var lastBatch: Long = -1L
+  }
+
+  private def stateDir(checkpoint: String) = s"$checkpoint/graft-bfr-state"
+
+  /** Serialized snapshot = rounds + the N/SUM/SUMSQ triples; written via
+    * the checkpoint's Hadoop FileSystem (atomic-create semantics there),
+    * so the same code path works on HDFS/object stores in cluster mode.
+    */
+  private def saveSnapshot(spark: SparkSession, checkpoint: String,
+                           batchId: Long, ds: IndexedSeq[ClusterSummary],
+                           rounds: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir(checkpoint))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"state-$batchId"), true)
+    val oos = new java.io.ObjectOutputStream(out)
+    try { oos.writeInt(rounds); oos.writeObject(ds) } finally oos.close()
+  }
+
+  /** Latest snapshot with id < batchId, if any. */
+  private def loadSnapshotBelow(spark: SparkSession, checkpoint: String,
+                                batchId: Long): Option[(Int, IndexedSeq[ClusterSummary])] = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir(checkpoint))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).collect {
+        case n if n.startsWith("state-") => n.stripPrefix("state-").toLong
+      }.filter(_ < batchId)
+    if (ids.isEmpty) None
+    else {
+      val ois = new java.io.ObjectInputStream(
+        fs.open(new org.apache.hadoop.fs.Path(dir, s"state-${ids.max}")))
+      try Some((ois.readInt(), ois.readObject().asInstanceOf[IndexedSeq[ClusterSummary]]))
+      finally ois.close()
+    }
   }
 
   def bfrStream(spark: SparkSession, inputPath: String, outDir: String,
@@ -56,13 +106,24 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        if (state.lastBatch != batchId - 1) {
+          // restart or replay: re-sync to the state committed before this
+          // batch (never the batch's own snapshot — that would skip or
+          // double-count the delivered chunk)
+          loadSnapshotBelow(sess, checkpoint, batchId) match {
+            case Some((rounds, ds)) => state.ds = ds; state.rounds = rounds
+            case None => state.ds = IndexedSeq.empty; state.rounds = 0
+          }
+        }
         val chunk = batch.toDF()
+        val batchOut = s"$outDir/batch=$batchId"
         if (state.ds.isEmpty) {
           // round 1: reuse the batch init path on this single chunk
           val res = BFR.run(chunk.sparkSession, Seq(chunk),
             cfg.copy(rsClusterThreshold = Int.MaxValue))
           state.ds = res.ds
-          res.assignments.write.mode("append").parquet(outDir)
+          res.assignments.write.mode("overwrite").parquet(batchOut)
         } else {
           val (a, r) = BFR.assignToDsWithFeatures(chunk, state.ds, cfg.alphaAssign)
           // fold matched points into DS summaries (A4) via the shared
@@ -74,9 +135,11 @@ object Streaming {
           // driver's job; here we emit -1 like the reference's finalize)
           a.select("id", "cluster")
             .union(r.select(col("id"), lit(-1).cast("int").as("cluster")))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(batchOut)
         }
         state.rounds += 1
+        saveSnapshot(sess, checkpoint, batchId, state.ds, state.rounds)
+        state.lastBatch = batchId
       }
       .start()
     (q, state)

@@ -32,6 +32,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(nmi > 0.8, s"streaming BFR NMI $nmi below pass bar")
   }
 
+  test("bfrStream restart mid-stream is exactly-once vs an uninterrupted run") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val dir = Files.createTempDirectory("stream_eo_ds").toString
+    val truth = new AppAndIoSpec().writeChunkedDataset(dir, nChunks = 3)
+    val files = new java.io.File(dir).listFiles().filter(_.isFile).sortBy(_.getName)
+    // pin mod times so the file source's (modTime, path) order is the
+    // same in both runs regardless of copy latency
+    files.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000000000L + i * 60000L) }
+    val cfg = BFR.Config(k = 4)
+
+    // reference: one uninterrupted run over all 3 chunks
+    val outA = Files.createTempDirectory("stream_eo_outA").toString + "/assign"
+    val ckptA = Files.createTempDirectory("stream_eo_ckptA").toString
+    val (qa, sa) = Streaming.bfrStream(spark, dir, outA, cfg, ckptA)
+    qa.awaitTermination(120000)
+    assert(sa.rounds == 3)
+
+    // interrupted run: 2 chunks, stop, add the 3rd, restart on the SAME
+    // checkpoint with a FRESH in-memory state (= process restart)
+    val stage = Files.createTempDirectory("stream_eo_stage").toString
+    def copyIn(f: java.io.File): Unit = {
+      JFiles.copy(f.toPath, Paths.get(stage, f.getName))
+      new java.io.File(stage, f.getName).setLastModified(f.lastModified())
+    }
+    files.take(2).foreach(copyIn)
+    val outB = Files.createTempDirectory("stream_eo_outB").toString + "/assign"
+    val ckptB = Files.createTempDirectory("stream_eo_ckptB").toString
+    val (q1, s1) = Streaming.bfrStream(spark, stage, outB, cfg, ckptB)
+    q1.awaitTermination(120000)
+    assert(s1.rounds == 2, s"first segment rounds ${s1.rounds}")
+    files.drop(2).foreach(copyIn)
+    val (q2, s2) = Streaming.bfrStream(spark, stage, outB, cfg, ckptB)
+    q2.awaitTermination(120000)
+    // DS state resumed from the snapshot: rounds continue, not restart
+    assert(s2.rounds == 3, s"restart did not resume state: rounds ${s2.rounds}")
+
+    // exactly-once: the restarted run's (id, cluster) rows are EXACTLY
+    // the uninterrupted run's — nothing lost, nothing duplicated, and
+    // the resumed DS statistics produced identical assignments
+    val a = spark.read.parquet(outA).select("id", "cluster")
+    val b = spark.read.parquet(outB).select("id", "cluster")
+    assert(a.count() == truth.size && b.count() == truth.size)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "restarted run's rows differ from the uninterrupted run")
+    // final sufficient statistics match too (same points absorbed once)
+    assert(s2.ds.map(_.n).sorted == sa.ds.map(_.n).sorted,
+      s"DS sizes ${s2.ds.map(_.n)} vs ${sa.ds.map(_.n)}")
+  }
+
   test("windowed event counts with watermark (memory sink)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
