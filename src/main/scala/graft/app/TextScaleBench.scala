@@ -126,10 +126,14 @@ object TextScaleBench {
     val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the verify shuffle at 100× moves ~3G rows; partitions must be
+    // sized so a partition's sort fits executor memory (cluster rule:
+    // ~total-shuffle-bytes / 128MB). Overridable for the big probes.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-text-scale-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -143,10 +143,12 @@ object TextOps {
                      hotThreshold: Int = hotBucketThreshold): DataFrame = {
     val sizes = bands.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
-    val sized = bands.join(sizes, Seq("band", "bucket"))
+    // corpus-scale × corpus-scale: pin the shuffled merge join (see
+    // [[pairOverlap]] — static broadcast here killed the 100× probe)
+    val sized = bands.join(sizes.hint("shuffle_merge"), Seq("band", "bucket"))
     val normal = sized.filter(col("__n") <= hotThreshold)
       .select(col("band"), col("bucket"), col(idCol))
-    val l = normal.as("l"); val r = normal.as("r")
+    val l = normal.as("l"); val r = normal.hint("shuffle_merge").as("r")
     val normalPairs =
       l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col(s"l.$idCol") < col(s"r.$idCol"))
@@ -161,24 +163,31 @@ object TextOps {
     * exploded distinct shingles — the shared core of every set-similarity
     * measure (Jaccard, containment, overlap coefficient).
     *
-    * Scale shape: every join here is a plain equi-join — AQE broadcasts
-    * whichever side is actually small at runtime. The intersection join
-    * keys on (doc_b, shingle), so only (id, shingle-hash) pairs shuffle,
-    * never text; its output is Σ_pairs |shingles(A)| rows, the inherent
-    * verify cost, and stays distributed. (An earlier version broadcast
-    * that pairs×shingles intermediate — fine at test scale, OOM at 20×;
-    * caught by app.TextScaleBench.)
+    * Scale shape: every join here is a shuffled equi-join, PINNED with a
+    * SHUFFLE_MERGE hint. The inputs are localCheckpointed LogicalRDDs
+    * whose static size estimates derive from pre-checkpoint plan
+    * guesses, which under-estimate by orders of magnitude — at the 100×
+    * probe (500k docs) the unhinted plan chose BuildLeft broadcasts of
+    * the 26M-row corpus shingle table and the per-doc count table and
+    * died building the hash relation on the driver. Every side of every
+    * join here is O(corpus), so the shuffled join is the only plan that
+    * survives 100 TB; AQE still handles skew inside it. The intersection
+    * join keys on (doc_b, shingle), so only (id, shingle-hash) pairs
+    * shuffle, never text; its output is Σ_pairs |shingles(A)| rows, the
+    * inherent verify cost, and stays distributed.
     */
   def pairOverlap(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh"))
-    val aShingles = a.join(pairs, Seq("doc_a"))
-    val inter = b.join(aShingles, Seq("doc_b", "sh"))
+    val aShingles = a.join(pairs.hint("shuffle_merge"), Seq("doc_a"))
+    val inter = b.join(aShingles.hint("shuffle_merge"), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
     inter
-      .join(cnt.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(cnt.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(cnt.select(col(idCol).as("doc_a"), col("n").as("na")).hint("shuffle_merge"),
+        Seq("doc_a"))
+      .join(cnt.select(col(idCol).as("doc_b"), col("n").as("nb")).hint("shuffle_merge"),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("ni"), col("na"), col("nb"))
   }
 
