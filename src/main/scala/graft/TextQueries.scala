@@ -96,11 +96,19 @@ object TextQueries {
             | length(${normalizeSql("text")}) AS norm_len
             |FROM documents""".stripMargin))
 
-  /** BPE-ish subword tokenization by regex: runs of lowercase, a
+  /** BPE-ish subword tokenization by regex: runs of lowercase letters, a
     * capitalized prefix, digit runs, or single punctuation — the
     * whitespace tokenizer's finer-grained sibling for token accounting.
+    * Unicode classes (`\p{Ll}`/`\p{Lu}`/`\p{N}`), so non-Latin words
+    * count as subword runs instead of per-character punctuation; on
+    * ASCII text the alternation is literal-identical to the
+    * `[a-z]+|[A-Z][a-z]*|[0-9]+|...` form, and RE2 ≡ Java on the
+    * classes, so the oracle mirrors it verbatim. The `\p{L}+` fallback
+    * catches caseless scripts (CJK/Arabic are `\p{Lo}`, unreachable by
+    * the case-aware alternatives; a run is one subtoken) and never fires
+    * on ASCII, where every letter is `\p{Ll}`/`\p{Lu}`.
     */
-  private val bpePattern = """[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]"""
+  private val bpePattern = """\p{Ll}+|\p{Lu}\p{Ll}*|\p{N}+|\p{L}+|[^\p{L}\p{N}\s]"""
 
   val tokenBpe = Q("q_token_bpe",
     (s, dir) => docs(s, dir)

@@ -209,7 +209,8 @@ object TextOps {
     "de" -> Seq("der", "und", "die"),
     "fr" -> Seq("le", "la", "et"),
     "ru" -> Seq("и", "в", "не"),
-    "zh" -> Seq("的", "是", "了"))
+    "zh" -> Seq("的", "是", "了"),
+    "ar" -> Seq("في", "من", "على"))
 
   /** Heuristic language-ID: argmax marker-word hits, first-language ties. */
   def langIdExpr(text: Column): Column = {

@@ -52,6 +52,7 @@ class TextOpsSpec extends AnyFunSuite {
     val got = Seq(
       ("и в не было ничего", "ru"),
       ("的 是 了 数据 查询", "zh"),
+      ("في من على البيت", "ar"),
       ("the quick brown fox and the dog of war", "en"),
       ("xyzzy plugh", "unk"))
       .toDF("text", "expect")
