@@ -37,7 +37,7 @@ object KMeans {
       * whole-stage codegen).
       */
     def distances(features: Column): Column =
-      array(centers.map(c => sqDistNative(features, lit(c))): _*)
+      array(centers.toIndexedSeq.map(c => sqDistNative(features, lit(c))): _*)
 
     /** Argmin label (first minimum wins — ties to the lowest cluster id). */
     def labelFor(features: Column): Column = {
