@@ -601,52 +601,82 @@ object MlQueries {
   private def bandedBits(b: Int): Column = concat((b * LshPlanes until (b + 1) * LshPlanes).map(j =>
     when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Banded candidates → exact-cosine verify (> 0.35): (ida, idb, cos) —
+    * shared by the pair query and the grouping query.
+    */
+  private def bandedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val bucketed = e.select(Seq(col("id"), col("features"),
+        norm2(col("features")).as("nrm")) ++
+        (0 until BandedBandCount).map(b => bandedBits(b).as(s"bk$b")): _*)
+      .localCheckpoint(true)
+    val bands = (0 until BandedBandCount).map(b =>
+      bucketed.select(col("id"), lit(b).as("band"), col(s"bk$b").as("bucket")))
+      .reduce(_ union _)
+    val cand = TextOps.candidatePairs(bands, "id")
+    val l = bucketed.select(col("id").as("doc_a"), col("features").as("fa"), col("nrm").as("na"))
+    val r = bucketed.select(col("id").as("doc_b"), col("features").as("fb"), col("nrm").as("nb"))
+    cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
+      .withColumn("cos", dotNative(col("fa"), col("fb")) / (col("na") * col("nb")))
+      .filter(col("cos") > 0.35)
+      .select(col("doc_a").as("ida"), col("doc_b").as("idb"), col("cos"))
+  }
+
+  /** Banded plane → bit → band-bucket → candidate → verify CTE chain,
+    * shared by the pair and grouping oracles. `vp` = verified pairs.
+    */
+  private val bandedCtes: String =
+    s"""p AS (
+       |  SELECT j.j AS j, i.i AS i,
+       |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
+       |  FROM generate_series(0, ${BandedBandCount * LshPlanes - 1}) j(j),
+       |       generate_series(0, ${D - 1}) i(i)),
+       |b AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
+       |         THEN '1' ELSE '0' END AS bit
+       |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+       |k AS (
+       |  SELECT vec_id, j // $LshPlanes AS band, string_agg(bit, '' ORDER BY j) AS bucket
+       |  FROM b GROUP BY vec_id, j // $LshPlanes),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb
+       |  FROM k l JOIN k r ON l.band = r.band AND l.bucket = r.bucket
+       |    AND l.vec_id < r.vec_id),
+       |dd AS (SELECT c.ida, c.idb,
+       |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS dot,
+       |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
+       |        sum(CAST(bb.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS nb
+       |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
+       |                  JOIN embeddings bb ON bb.vec_id = c.idb,
+       |           generate_series(1, $D) t(i)
+       |      GROUP BY c.ida, c.idb),
+       |vp AS (SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dd
+       |       WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35)""".stripMargin
+
   val embeddingNearDupBanded = Q("q_embedding_near_dup_banded",
-    (s, dir) => {
-      val e = emb(s, dir)
-      val bucketed = e.select(Seq(col("id"), col("features"),
-          norm2(col("features")).as("nrm")) ++
-          (0 until BandedBandCount).map(b => bandedBits(b).as(s"bk$b")): _*)
-        .localCheckpoint(true)
-      val bands = (0 until BandedBandCount).map(b =>
-        bucketed.select(col("id"), lit(b).as("band"), col(s"bk$b").as("bucket")))
-        .reduce(_ union _)
-      val cand = TextOps.candidatePairs(bands, "id")
-      val l = bucketed.select(col("id").as("doc_a"), col("features").as("fa"), col("nrm").as("na"))
-      val r = bucketed.select(col("id").as("doc_b"), col("features").as("fb"), col("nrm").as("nb"))
-      cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
-        .withColumn("cos", dotNative(col("fa"), col("fb")) / (col("na") * col("nb")))
-        .filter(col("cos") > 0.35)
-        .select(col("doc_a").as("ida"), col("doc_b").as("idb"),
-          round(col("cos"), 6).as("cos_sim"))
-    },
-    Some(s"""WITH p AS (
-            |  SELECT j.j AS j, i.i AS i,
-            |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
-            |  FROM generate_series(0, ${BandedBandCount * LshPlanes - 1}) j(j),
-            |       generate_series(0, ${D - 1}) i(i)),
-            |b AS (
-            |  SELECT e.vec_id, p.j,
-            |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
-            |         THEN '1' ELSE '0' END AS bit
-            |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
-            |k AS (
-            |  SELECT vec_id, j // $LshPlanes AS band, string_agg(bit, '' ORDER BY j) AS bucket
-            |  FROM b GROUP BY vec_id, j // $LshPlanes),
-            |cand AS (
-            |  SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb
-            |  FROM k l JOIN k r ON l.band = r.band AND l.bucket = r.bucket
-            |    AND l.vec_id < r.vec_id),
-            |d AS (SELECT c.ida, c.idb,
-            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS dot,
-            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
-            |        sum(CAST(bb.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS nb
-            |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
-            |                  JOIN embeddings bb ON bb.vec_id = c.idb,
-            |           generate_series(1, $D) t(i)
-            |      GROUP BY c.ida, c.idb)
-            |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
-            |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35""".stripMargin))
+    (s, dir) => bandedNearDup(s, dir)
+      .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_sim")),
+    Some(s"WITH $bandedCtes\nSELECT ida, idb, round(cos, 6) AS cos_sim FROM vp"))
+
+  /** Embedding dedup GROUPS: connected components over the banded
+    * verified pairs — the vector twin of q_dedup_groups (text tier),
+    * sharing the same iterative min-label operator; oracle = recursive
+    * transitive closure over the same verified-pair CTE chain.
+    */
+  val embeddingDedupGroups = Q("q_embedding_dedup_groups",
+    (s, dir) => graft.operators.ConnectedComponents
+      .canonicalize(bandedNearDup(s, dir).select(col("ida"), col("idb")))
+      .select(col("doc_id").as("vec_id"), col("canonical_id")),
+    Some(s"""WITH RECURSIVE $bandedCtes,
+            |edges AS (
+            |  SELECT ida AS ea, idb AS eb FROM vp
+            |  UNION SELECT idb, ida FROM vp),
+            |reach(ra, rb) AS (
+            |  SELECT ea, eb FROM edges
+            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
+            |SELECT ra AS vec_id, least(min(rb), ra) AS canonical_id
+            |FROM reach GROUP BY ra""".stripMargin))
 
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)
@@ -755,5 +785,5 @@ object MlQueries {
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
-    embeddingLshPairs, simhash, simhashPairs)
+    embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs)
 }
