@@ -781,9 +781,63 @@ object MlQueries {
             |            JOIN sig b ON b.doc_id = c.doc_b
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin))
 
+  /** Embedding outlier screen — the filtering stage that drops vectors
+    * far from their group's semantic center (mislabeled / junk docs in a
+    * training corpus): per-label mean centroid, per-vector cosine to its
+    * own centroid, bottom-3 per label surfaced with their rank.
+    *
+    * Scale shape: the centroid is one partial+final avg over
+    * (label, dim) — a |labels|×d result that broadcasts back onto the
+    * long-form vector stream; the per-vector reduce is a bounded-key
+    * aggregation on vec_id. No pairwise anything. Spark's 0-based
+    * posexplode index and DuckDB's 1-based subscripts only ever meet
+    * through the (label, i) join keys, each consistent within its
+    * engine.
+    */
+  val embeddingOutliers = Q("q_embedding_outliers",
+    (s, dir) => {
+      val long = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "e")))
+        .withColumn("e", col("e").cast("double"))
+      val cent = long.groupBy(col("label"), col("i"))
+        .agg(avg(col("e")).as("c"))
+      val cos = long.join(broadcast(cent), Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("e") * col("c")).as("dot"),
+          sum(col("e") * col("e")).as("ne"),
+          sum(col("c") * col("c")).as("nc"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (sqrt(col("ne")) * sqrt(col("nc"))), 6)
+            .as("cos_centroid"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos_centroid"), col("vec_id"))
+      cos.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    },
+    Some("""WITH long AS (
+           |  SELECT vec_id, label,
+           |    generate_subscripts(embedding, 1) AS i,
+           |    CAST(unnest(embedding) AS DOUBLE) AS e
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT label, i, avg(e) AS c FROM long GROUP BY label, i),
+           |cos AS (
+           |  SELECT l.vec_id, l.label,
+           |    round(sum(l.e * c.c) / (sqrt(sum(l.e * l.e)) * sqrt(sum(c.c * c.c))), 6)
+           |      AS cos_centroid
+           |  FROM long l JOIN cent c ON c.label = l.label AND c.i = l.i
+           |  GROUP BY l.vec_id, l.label)
+           |SELECT vec_id, label, cos_centroid, rk FROM (
+           |  SELECT vec_id, label, cos_centroid,
+           |    row_number() OVER (PARTITION BY label
+           |      ORDER BY cos_centroid, vec_id) AS rk
+           |  FROM cos) WHERE rk <= 3""".stripMargin))
+
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
-    embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs)
+    embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
+    embeddingOutliers)
 }

@@ -340,10 +340,16 @@ object OlapQueries {
     * in q_approx_distinct as the rows-only surface.)
     */
   val approxDistinctBound = Q("q_approx_distinct_bound",
+    // pre-distinct on (event_type, user_id) instead of mixing distinct +
+    // plain aggs in one pass: the mixed form Expands the event stream
+    // (one copy per agg class); the distinct-first form is one map-side
+    // partial distinct, and the HLL estimate over the deduped keys is
+    // the same estimator
     (s, dir) => Queries.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("est"),
-        countDistinct(col("user_id")).as("exact"))
+        count(lit(1)).as("exact"))
       .select(col("event_type"),
         (abs(col("est") - col("exact")).cast("double") / col("exact") <= 0.05)
           .cast("long").as("within_bound")),
@@ -549,11 +555,106 @@ object OlapQueries {
            | concat_ws('|', c_mktsegment, c_name) AS tagged
            |FROM customer""".stripMargin))
 
+  /** Boundary navigation — first/last/nth order per customer over the
+    * full-partition frame (the default frame stops at CURRENT ROW for
+    * last_value, a classic silent-wrong-answer; both sides pin the
+    * UNBOUNDED FOLLOWING frame explicitly).
+    */
+  val firstLastValue = Q("q_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           | first_value(o_orderkey) OVER w AS first_key,
+           | last_value(o_orderkey) OVER w AS last_key,
+           | nth_value(o_orderkey, 2) OVER w AS second_key
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))
+
+  /** Ordered string aggregation (LISTAGG) — collect_list carries no
+    * ordering guarantee under distributed execution, so the engine sorts
+    * the collected array before joining; the oracle's ORDER BY inside
+    * string_agg yields the same multiset order.
+    */
+  val stringAgg = Q("q_string_agg",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        array_join(array_sort(collect_list(col("o_orderstatus"))), ",").as("statuses")),
+    Some("""SELECT o_custkey, count(*) AS n_orders,
+           | string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+           |FROM orders GROUP BY o_custkey""".stripMargin))
+
+  /** Median + deterministic mode per return flag. Spark's mode() breaks
+    * frequency ties arbitrarily, so the mode is computed as a
+    * count-then-rank with an explicit (freq DESC, value) tie-break —
+    * identical construction on both engines. Median interpolates the
+    * two middles; quantities are integral doubles, so round(4) is safe.
+    */
+  val medianMode = Q("q_median_mode",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").desc, col("l_quantity"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("c").as("mode_n"))
+      li.groupBy(col("l_returnflag"))
+        .agg(round(median(col("l_quantity")), 4).as("median_qty"))
+        .join(broadcast(mode), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("median_qty"), col("mode_qty"), col("mode_n"))
+    },
+    Some("""WITH c AS (
+           |  SELECT l_returnflag, l_quantity, count(*) AS c
+           |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+           |m AS (
+           |  SELECT l_returnflag, l_quantity AS mode_qty, c AS mode_n,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY c DESC, l_quantity) AS rn
+           |  FROM c)
+           |SELECT li.l_returnflag, round(median(li.l_quantity), 4) AS median_qty,
+           |  m.mode_qty, m.mode_n
+           |FROM lineitem li JOIN m ON m.l_returnflag = li.l_returnflag AND m.rn = 1
+           |GROUP BY li.l_returnflag, m.mode_qty, m.mode_n""".stripMargin))
+
+  /** Boolean and bitwise aggregates — bool_and/bool_or over predicates,
+    * bit_and/or/xor over line numbers. Booleans emitted as BIGINT (the
+    * repo's cross-engine hash convention) and line numbers widened to
+    * BIGINT so both engines agree on the aggregate type.
+    */
+  val boolBitAgg = Q("q_bool_bit_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .withColumn("ln", col("l_linenumber").cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("bool_and(l_quantity > 0)").cast("long").as("all_pos"),
+        expr("bool_or(l_discount > 0.07)").cast("long").as("any_deep_discount"),
+        expr("bit_and(ln)").as("ln_and"),
+        expr("bit_or(ln)").as("ln_or"),
+        expr("bit_xor(ln)").as("ln_xor")),
+    Some("""SELECT l_returnflag,
+           | CAST(bool_and(l_quantity > 0) AS BIGINT) AS all_pos,
+           | CAST(bool_or(l_discount > 0.07) AS BIGINT) AS any_deep_discount,
+           | bit_and(CAST(l_linenumber AS BIGINT)) AS ln_and,
+           | bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
+           | bit_xor(CAST(l_linenumber AS BIGINT)) AS ln_xor
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
     hashSample, approxDistinct, approxQuantiles, approxDistinctBound,
     approxQuantilesBound, sessionWindow, jsonExtract,
-    statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery)
+    statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
+    firstLastValue, stringAgg, medianMode, boolBitAgg)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -801,6 +802,140 @@ object TextQueries {
            |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
            |      FROM documents)""".stripMargin))
 
+  /** The dedup *action* (dedupGroups is the analysis): the corpus that
+    * survives near-dedup. Every doc maps to its connected-component
+    * canonical (itself when it has no near-dup), and `kept` marks the
+    * one survivor per group — the min doc_id, the usual "keep the
+    * earliest crawl" policy. Downstream stages filter on kept=1.
+    *
+    * Scale shape: the component table is |docs in any near-dup group|
+    * rows (≪ corpus), so the left join broadcasts it; the corpus side
+    * never shuffles.
+    */
+  val nearDedupKeep = Q("q_near_dedup_keep",
+    (s, dir) => {
+      val canon = graft.operators.ConnectedComponents
+        .canonicalize(lshCandidates(s, dir))
+      docs(s, dir).select(col("doc_id"))
+        .join(broadcast(canon), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+            .cast("long").as("kept"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            |canon AS (
+            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |  FROM reach GROUP BY s)
+            |SELECT d.doc_id,
+            |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+            |  CAST(CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
+            |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+            |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin))
+
+  /** Cross-source contamination matrix: pairwise shingle-set Jaccard
+    * between sources — how much two crawls/dumps overlap before they are
+    * mixed into one training corpus. Source-level distinct shingle sets
+    * via one dedup of the shared shingle stream; the pair join fans a
+    * shingle out only to the sources containing it (≤ |sources| rows
+    * each), and the aggregate key space is |sources|² — bounded, so the
+    * whole query is safe at any corpus size.
+    */
+  val sourceOverlap = Q("q_source_overlap",
+    (s, dir) => {
+      val srcSh = artifacts(s, dir).shingles
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("sh")).distinct()
+      val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      srcSh.as("a")
+        .join(srcSh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+        .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          floor(lit(1e6) * col("n_shared").cast("double")
+            / (col("na") + col("nb") - col("n_shared")))
+            .cast("long").as("jaccard_micro"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |ss AS (SELECT DISTINCT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)),
+            |n AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+            |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+            |      FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+            |      GROUP BY a.source, b.source)
+            |SELECT i.src_a, i.src_b, i.n_shared,
+            |  CAST(floor(1e6 * i.n_shared / CAST(na.n + nb.n - i.n_shared AS DOUBLE)) AS BIGINT)
+            |    AS jaccard_micro
+            |FROM i JOIN n na ON na.source = i.src_a
+            |       JOIN n nb ON nb.source = i.src_b""".stripMargin))
+
+  /** Training-mixture weights: per-source token share and the capped
+    * resampling weight that moves the mix toward uniform-over-sources
+    * (upweight small sources by tot/nsrc/n_tokens, never above 1 — the
+    * standard no-oversampling policy). The window runs over the
+    * |sources|-row aggregate, not the corpus.
+    */
+  val sourceMix = Q("q_source_mix",
+    (s, dir) => {
+      val w = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      docs(s, dir)
+        .select(col("source"), size(wordsCol).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(w))
+        .withColumn("nsrc", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          floor(lit(1e6) * col("n_tokens").cast("double") / col("tot"))
+            .cast("long").as("share_micro"),
+          least(lit(1000000L),
+            floor(lit(1e6) * (col("tot").cast("double") / col("nsrc")) / col("n_tokens"))
+              .cast("long")).as("weight_micro"))
+    },
+    Some(s"""WITH b AS (
+            |  SELECT source, count(*) AS n_docs, sum(len($wordsSql)) AS n_tokens
+            |  FROM documents GROUP BY source),
+            |t AS (SELECT sum(n_tokens) AS tot, count(*) AS nsrc FROM b)
+            |SELECT b.source, b.n_docs, b.n_tokens,
+            |  CAST(floor(1e6 * b.n_tokens / CAST(t.tot AS DOUBLE)) AS BIGINT) AS share_micro,
+            |  least(1000000, CAST(floor(1e6 * (CAST(t.tot AS DOUBLE) / t.nsrc) / b.n_tokens)
+            |    AS BIGINT)) AS weight_micro
+            |FROM b, t""".stripMargin))
+
+  /** Array set algebra over the tokenized doc — distinct vocabulary,
+    * which stopwords appear, and content-word count via set difference.
+    * Pure map-side projection (codegen'd array kernels), zero shuffle.
+    */
+  val arrayOps = Q("q_array_ops",
+    (s, dir) => {
+      val stopArr = array(stopLits.map(lit): _*)
+      val distinctWords = array_distinct(wordsCol)
+      docs(s, dir).select(col("doc_id"),
+        size(distinctWords).cast("long").as("n_distinct"),
+        array_join(array_sort(array_intersect(distinctWords, stopArr)), ",")
+          .as("stops_present"),
+        size(array_except(distinctWords, stopArr)).cast("long").as("n_content"))
+    },
+    Some {
+      val stops = stopLits.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         | len(list_distinct($wordsSql)) AS n_distinct,
+         | coalesce(array_to_string(list_sort(list_intersect(list_distinct($wordsSql), $stops)), ','), '')
+         |   AS stops_present,
+         | len(list_filter(list_distinct($wordsSql), w -> NOT list_contains($stops, w)))
+         |   AS n_content
+         |FROM documents""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     unicodePipeline,
@@ -809,5 +944,6 @@ object TextQueries {
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
-    dupSpanFraction, bigramPredictability)
+    dupSpanFraction, bigramPredictability,
+    nearDedupKeep, sourceOverlap, sourceMix, arrayOps)
 }

@@ -99,4 +99,24 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_mahalanobis")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast of summaries:\n$p")
   }
+
+  test("q_source_overlap / q_near_dedup_keep: equi-joins only, no cross join") {
+    for (name <- Seq("q_source_overlap", "q_near_dedup_keep")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not cross-join the corpus:\n$p")
+    }
+  }
+
+  test("q_embedding_outliers: centroid side broadcasts, no cross join") {
+    val p = plan("q_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of centroids:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"outlier screen must not cross-join:\n$p")
+  }
+
+  test("q_array_ops: per-document array algebra is map-side only") {
+    val p = plan("q_array_ops")
+    assert(!p.contains("Exchange"), s"per-doc array ops must not shuffle:\n$p")
+  }
 }
