@@ -602,9 +602,19 @@ object MlQueries {
     when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0"))): _*)
 
   /** Banded candidates → exact-cosine verify (> 0.35): (ida, idb, cos) —
-    * shared by the pair query and the grouping query.
+    * shared by the pair query and the grouping query. Memoized per
+    * (session, dir) and checkpointed, same policy as the text-side
+    * shingle artifacts: stages of one pipeline are materialized once and
+    * fanned out, not recomputed per consumer.
     */
-  private def bandedNearDup(s: SparkSession, dir: String): DataFrame = {
+  private val bandedCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def bandedNearDup(s: SparkSession, dir: String): DataFrame =
+    bandedCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      bandedNearDupUncached(s, dir).localCheckpoint(true))
+
+  private def bandedNearDupUncached(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val bucketed = e.select(Seq(col("id"), col("features"),
         norm2(col("features")).as("nrm")) ++

@@ -649,6 +649,55 @@ object OlapQueries {
            | bit_xor(CAST(l_linenumber AS BIGINT)) AS ln_xor
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
 
+  /** TPC-H-Q5-shaped star join — revenue per nation for one region and a
+    * two-year window. The canonical 100 TB join topology: the fact chain
+    * (lineitem ⋈ orders ⋈ customer) shuffles on its keys with the date
+    * filter pushed to the orders scan, while the nation/region dimension
+    * spokes broadcast (the region filter prunes BEFORE the broadcast, so
+    * the fact side drops non-ASIA rows in the probe, never shuffling for
+    * a dimension). Revenue is exact at 4 decimals (2-dec price × 2-dec
+    * discount), so round(4) reproduces the exact rational — a 2-dec round
+    * could land on a .xx50 half where the engines' tie modes differ.
+    */
+  val starJoin = Q("q_star_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    Some("""SELECT n_name,
+           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | count(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+           |GROUP BY n_name""".stripMargin))
+
+  /** Global ORDER BY ... LIMIT — the top-k that must NOT be a total sort
+    * at 100 TB: each task keeps a local top-100, the driver merges k×tasks
+    * rows (Spark's TakeOrderedAndProject, plan-pinned). The (n_chars,
+    * doc_id) composite makes the top-100 set unique.
+    */
+  val orderByLimit = Q("q_order_by_limit",
+    (s, dir) => t(s, dir, "documents")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars")),
+    Some("SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100"))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
@@ -656,5 +705,5 @@ object OlapQueries {
     hashSample, approxDistinct, approxQuantiles, approxDistinctBound,
     approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
-    firstLastValue, stringAgg, medianMode, boolBitAgg)
+    firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit)
 }

@@ -936,6 +936,49 @@ object TextQueries {
          |FROM documents""".stripMargin
     })
 
+  /** Token-budget corpus selection — "keep the best docs until the token
+    * budget is spent" WITHOUT a global sort: the greedy-knapsack is
+    * re-expressed as histogram-threshold selection (same idea as
+    * operators.Selection). Docs are ranked by n_chars; per-rank token
+    * sums form a bounded histogram (distinct lengths, not docs), the
+    * cumulative sum over that histogram runs in one single-partition
+    * window over ≤ a few hundred rows, and the data-dependent threshold
+    * T = min rank still inside budget comes back as one broadcast
+    * scalar. The corpus itself is touched only by map-side projections —
+    * this is exactly how a 100 TB "select top docs by score up to N
+    * tokens" should plan. Budget = half the corpus tokens, derived from
+    * the same aggregate.
+    */
+  val tokenBudget = Q("q_token_budget",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        size(wordsCol).cast("long").as("n_tok"))
+      val wCum = Window.orderBy(col("n_chars").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val thr = d.groupBy(col("n_chars")).agg(sum(col("n_tok")).as("btok"))
+        .withColumn("cum", sum(col("btok")).over(wCum))
+        .withColumn("budget", floor(sum(col("btok")).over(wAll) / 2))
+        .filter(col("cum") <= col("budget"))
+        .agg(min(col("n_chars")).as("thr"))
+      d.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_chars") >= col("thr"), lit(false))
+            .cast("long").as("kept"))
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, n_chars, len($wordsSql) AS n_tok FROM documents),
+            |b AS (SELECT n_chars, sum(n_tok) AS btok FROM d GROUP BY n_chars),
+            |c AS (SELECT n_chars,
+            |        sum(btok) OVER (ORDER BY n_chars DESC ROWS UNBOUNDED PRECEDING) AS cum,
+            |        sum(btok) OVER () AS total
+            |      FROM b),
+            |t AS (SELECT min(n_chars) AS thr FROM c WHERE cum <= floor(total / 2))
+            |SELECT d.doc_id, d.n_tok,
+            |  CAST(coalesce(d.n_chars >= t.thr, FALSE) AS BIGINT) AS kept
+            |FROM d, t""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     unicodePipeline,
@@ -945,5 +988,5 @@ object TextQueries {
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
-    nearDedupKeep, sourceOverlap, sourceMix, arrayOps)
+    nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget)
 }

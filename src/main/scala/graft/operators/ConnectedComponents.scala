@@ -3,15 +3,27 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the dedup
-  * clustering stage: near-dup candidate PAIRS (from MinHash-LSH / SimHash
-  * / embedding buckets) become dedup GROUPS, each keyed by its minimum
-  * member id (the canonical document).
+/** Connected components — the dedup clustering stage: near-dup candidate
+  * PAIRS (from MinHash-LSH / SimHash / embedding buckets) become dedup
+  * GROUPS, each keyed by its minimum member id (the canonical document).
   *
-  * Distributed shape: each iteration is one join + one min-aggregate on
-  * the edge list (both sides partitioned by the join key); lineage is cut
-  * per iteration with an eager localCheckpoint. Converges in O(diameter)
-  * iterations — near-dup clusters are small and dense, so typically 2-3.
+  * Algorithm: HASH-to-MIN (Rastogi et al., "Finding Connected Components
+  * in Map-Reduce in Logarithmic Rounds", ICDE 2013). Each node keeps a
+  * cluster C(v), initially {v} ∪ N(v); every round each cluster sends its
+  * min to all members and all members to its min. Converges in O(log d)
+  * rounds — plain min-label propagation is O(d), and real near-dup graphs
+  * DO produce long sparse chains (a cos-threshold component measured
+  * diameter ≈ 64 at sf0.1, i.e. 65 propagation rounds vs 10 here).
+  *
+  * Distributed shape: each round is one min-aggregate + one equi-join +
+  * one distinct on the cluster-membership list, lineage cut by an eager
+  * localCheckpoint. Intermediate state is bounded by Σ|component| + edge
+  * list (the hub row fan-in at the component's min node is exactly the
+  * output size). Termination is certified, not assumed: the loop exits
+  * only when every edge's endpoints carry the same label — labels are
+  * reachable mins, so label-equality across all edges proves every label
+  * IS its component minimum (the min node labels itself, and the label is
+  * constant on the component).
   */
 object ConnectedComponents {
 
@@ -19,46 +31,47 @@ object ConnectedComponents {
     * @return (id, component) — component = min id reachable
     */
   def run(edges: DataFrame, maxIter: Int = 100): DataFrame = {
-    val spark = edges.sparkSession
+    // materialize the (possibly expensive) pair pipeline ONCE before
+    // symmetrizing — union's two branches would otherwise each re-run it
     val e = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
     // symmetrize once; self-loops are harmless
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v)
+    var c = sym.select(col("src").as("v"), col("dst").as("u"))
+      .union(sym.select(col("src").as("v"), col("src").as("u")))
+      .distinct()
       .localCheckpoint(true)
 
-    var changed = 1L
+    def labelsOf(state: DataFrame): DataFrame =
+      state.groupBy(col("v")).agg(min(col("u")).as("component"))
+
+    var done = false
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      // candidate label for each node: min over neighbours' labels and
-      // own. The own-label branch carries the previous label in a second
-      // column (null on neighbour rows, so min() recovers it exactly —
-      // each id has one own row), which folds the convergence check into
-      // the same join+aggregate: `changed` is a plain filter-count over
-      // the checkpointed result, not a second join against the old labels.
-      val viaNeighbour = sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("component"),
-          lit(null).cast("long").as("own"))
-      val own = labels.select(col("id"), col("component"),
-        col("component").as("own"))
-      val next = viaNeighbour.union(own)
-        .groupBy(col("id")).agg(min(col("component")).as("component"),
-          min(col("own")).as("own"))
+    while (!done && iter < maxIter) {
+      val withMin = c.join(labelsOf(c).withColumnRenamed("component", "m"), Seq("v"))
+      c = withMin.select(col("u").as("v"), col("m").as("u"))
+        .union(withMin.select(col("m").as("v"), col("u")))
+        .distinct()
         .localCheckpoint(true)
-      // labels only shrink, so changed ⇔ component < previous label
-      changed = next.filter(col("component") < col("own")).count()
-      labels = next.select(col("id"), col("component"))
+      // exit only when both endpoints of every edge agree — this CERTIFIES
+      // the labelling (see scaladoc), it does not just detect quiescence
+      val lbl = labelsOf(c)
+      done = sym
+        .join(lbl.select(col("v").as("src"), col("component").as("la")), Seq("src"))
+        .join(lbl.select(col("v").as("dst"), col("component").as("lb")), Seq("dst"))
+        .filter(col("la") =!= col("lb"))
+        .isEmpty
       iter += 1
     }
     // silent wrong answers are worse than failures: a component split
     // across labels would make dedup keep multiple "canonicals"
-    require(changed == 0,
+    require(done,
       s"connected components did not converge in $maxIter iterations")
-    labels
+    labelsOf(c).select(col("v").as("id"), col("component"))
   }
 
   /** Dedup grouping: pairs → (id, canonical_id); singletons (docs in no

@@ -119,4 +119,21 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_array_ops")
     assert(!p.contains("Exchange"), s"per-doc array ops must not shuffle:\n$p")
   }
+
+  test("q_order_by_limit: top-k merge (TakeOrderedAndProject), no global Sort") {
+    val p = plan("q_order_by_limit")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global order-by-limit must plan as per-task top-k merge:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"must not range-shuffle for a limit:\n$p")
+  }
+
+  test("q_star_join: date filter pushed to the orders scan, dims broadcast") {
+    val p = plan("q_star_join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed to the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dimension spokes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"star join must stay equi-join only:\n$p")
+  }
 }
