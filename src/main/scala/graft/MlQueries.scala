@@ -35,55 +35,64 @@ object MlQueries {
     * bit-identical (after round-6) at sf0.001/0.01/0.1. MATERIALIZED is
     * load-bearing: inlined CTEs re-evaluate the chain exponentially.
     */
-  private[graft] class KmeansOracleGen(val K: Int, val Iters: Int, val D: Int = 64) {
+  private[graft] class KmeansOracleGen(val K: Int, val Iters: Int, val D: Int = 64,
+      prefix: String = "",
+      embExpr: String = "list_transform(embedding, x -> CAST(x AS DOUBLE))") {
 
     private[graft] def sqdist(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1,$D), i -> pow($a[i]-$b[i],2)))"
+
+    /** CTE name under this generator's namespace — a non-empty prefix
+      * lets several unrolled k-means chains (e.g. one per PQ subspace)
+      * coexist in a single WITH clause.
+      */
+    private[graft] def p(n: String): String = prefix + n
 
     /** The WITH-clause body (no `WITH` prefix): emb → seeds → c0 →
       * a0..c{Iters} → afin (final assignment against the final centers).
       */
     val withClauses: String = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
-      parts += "emb AS MATERIALIZED (SELECT vec_id, " +
-        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
-      parts += "sd0 AS MATERIALIZED (SELECT e FROM emb ORDER BY vec_id LIMIT 1)"
-      parts += s"m0 AS MATERIALIZED (SELECT vec_id, emb.e AS e, ${sqdist("emb.e", "s.e")} AS md FROM emb, sd0 s)"
+      parts += s"${p("emb")} AS MATERIALIZED (SELECT vec_id, " +
+        s"$embExpr AS e FROM embeddings)"
+      parts += s"${p("sd0")} AS MATERIALIZED (SELECT e FROM ${p("emb")} ORDER BY vec_id LIMIT 1)"
+      parts += s"${p("m0")} AS MATERIALIZED (SELECT vec_id, emb.e AS e, ${sqdist("emb.e", "s.e")} AS md " +
+        s"FROM ${p("emb")} emb, ${p("sd0")} s)"
       for (j <- 1 until K) {
-        parts += s"sd$j AS MATERIALIZED (SELECT e FROM m${j - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+        parts += s"${p(s"sd$j")} AS MATERIALIZED (SELECT e FROM ${p(s"m${j - 1}")} ORDER BY md DESC, vec_id LIMIT 1)"
         if (j < K - 1)
-          parts += s"m$j AS MATERIALIZED (SELECT vec_id, m.e AS e, " +
-            s"least(md, ${sqdist("m.e", "s.e")}) AS md FROM m${j - 1} m, sd$j s)"
+          parts += s"${p(s"m$j")} AS MATERIALIZED (SELECT vec_id, m.e AS e, " +
+            s"least(md, ${sqdist("m.e", "s.e")}) AS md FROM ${p(s"m${j - 1}")} m, ${p(s"sd$j")} s)"
       }
-      parts += s"c0 AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM sd$j").mkString(" UNION ALL ")})"
+      parts += s"${p("c0")} AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM ${p(s"sd$j")}").mkString(" UNION ALL ")})"
       for (t <- 0 until Iters) {
-        parts += s"a$t AS MATERIALIZED (SELECT vec_id, e, cl FROM (" +
+        parts += s"${p(s"a$t")} AS MATERIALIZED (SELECT vec_id, e, cl FROM (" +
           s"SELECT p.vec_id, p.e AS e, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
-          s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM emb p, c$t c) WHERE rn = 1)"
-        parts += s"g$t AS MATERIALIZED (SELECT cl, t.i AS i, avg(e[t.i]) AS m " +
-          s"FROM a$t, generate_series(1,$D) t(i) GROUP BY cl, t.i)"
-        parts += s"cn$t AS MATERIALIZED (SELECT cl, list(m ORDER BY i) AS e FROM g$t GROUP BY cl)"
-        parts += s"c${t + 1} AS MATERIALIZED (SELECT c.cl, coalesce(n.e, c.e) AS e " +
-          s"FROM c$t c LEFT JOIN cn$t n ON n.cl = c.cl)"
+          s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM ${p("emb")} p, ${p(s"c$t")} c) WHERE rn = 1)"
+        parts += s"${p(s"g$t")} AS MATERIALIZED (SELECT cl, t.i AS i, avg(e[t.i]) AS m " +
+          s"FROM ${p(s"a$t")}, generate_series(1,$D) t(i) GROUP BY cl, t.i)"
+        parts += s"${p(s"cn$t")} AS MATERIALIZED (SELECT cl, list(m ORDER BY i) AS e FROM ${p(s"g$t")} GROUP BY cl)"
+        parts += s"${p(s"c${t + 1}")} AS MATERIALIZED (SELECT c.cl, coalesce(n.e, c.e) AS e " +
+          s"FROM ${p(s"c$t")} c LEFT JOIN ${p(s"cn$t")} n ON n.cl = c.cl)"
       }
-      parts += s"afin AS MATERIALIZED (SELECT vec_id, cl FROM (" +
+      parts += s"${p("afin")} AS MATERIALIZED (SELECT vec_id, cl FROM (" +
         s"SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
-        s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM emb p, c$Iters c) WHERE rn = 1)"
+        s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM ${p("emb")} p, ${p(s"c$Iters")} c) WHERE rn = 1)"
       parts.mkString(",\n")
     }
 
     val centersSql: String =
       s"""WITH $withClauses
          |SELECT cl AS cluster, CAST(t.i - 1 AS BIGINT) AS pos, round(e[t.i], 6) AS c
-         |FROM c$Iters, generate_series(1, $D) t(i)""".stripMargin
+         |FROM ${p(s"c$Iters")}, generate_series(1, $D) t(i)""".stripMargin
 
     val assignSql: String =
-      s"WITH $withClauses\nSELECT vec_id AS id, cl AS cluster FROM afin"
+      s"WITH $withClauses\nSELECT vec_id AS id, cl AS cluster FROM ${p("afin")}"
 
     val nmiSql: String =
       s"""WITH $withClauses,
          |cont AS (SELECT f.cl AS yp, e.label AS yt, count(*) AS c
-         |         FROM afin f JOIN embeddings e ON e.vec_id = f.vec_id GROUP BY 1, 2),
+         |         FROM ${p("afin")} f JOIN embeddings e ON e.vec_id = f.vec_id GROUP BY 1, 2),
          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cont),
          |pp AS (SELECT yp, CAST(sum(c) AS DOUBLE) AS cp FROM cont GROUP BY yp),
          |tt AS (SELECT yt, CAST(sum(c) AS DOUBLE) AS ct FROM cont GROUP BY yt),
@@ -791,6 +800,194 @@ object MlQueries {
             |            JOIN sig b ON b.doc_id = c.doc_b
             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ/ADC) — the memory-bound ANN scale path
+  // ---------------------------------------------------------------------
+
+  private val PqM = 8      // subspaces
+  private val PqDsub = 8   // dims per subspace (D = 64)
+  private val PqK = 4      // codewords per subspace
+  private val PqIters = 2
+
+  private val pqCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Array[KMeans.Model]]()
+
+  /** One deterministic k-means codebook per subspace, trained on the
+    * sliced sub-vectors (same seeding/Lloyd/tie-break rules as every
+    * other k-means here, so the unrolled SQL oracle reproduces each
+    * codebook exactly).
+    */
+  private def pqModels(s: SparkSession, dir: String): Array[KMeans.Model] =
+    pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val e = emb(s, dir)
+      (0 until PqM).toArray.map { m =>
+        KMeans.fit(
+          e.select(col("id"), slice(col("features"), m * PqDsub + 1, PqDsub).as("features")),
+          k = PqK, iters = PqIters)
+      }
+    })
+
+  /** PQ-coded ANN with asymmetric distance computation (ADC): vectors
+    * are stored as M=8 one-byte codes (nearest codeword per 8-dim
+    * subspace — 64 floats compressed 32×), queries stay exact, and the
+    * approximate distance is the sum over subspaces of
+    * ‖q_m − codeword(code_m)‖². Everything after training is map-side
+    * codegen: the codebooks are literal arrays folded into the per-row
+    * expressions (encode = argmin over 4 sqdists per subspace; ADC = one
+    * element_at per subspace), the 5-query side broadcasts, and the
+    * top-3 ranking reuses the bounded per-query window. At 100 TB this
+    * is the tier between IVF cell pruning and exact rerank: the corpus
+    * never holds raw vectors in the scan, only codes.
+    *
+    * Fully oracle-exact: 8 unrolled k-means chains (one per subspace,
+    * CTE-prefixed) reproduce the codebooks, codes, and ADC sums with the
+    * engine's tie-breaks.
+    */
+  /** Full PQ/ADC ranking per query: (qid, cid, adist, rn). */
+  private def pqRanked(s: SparkSession, dir: String): DataFrame = {
+    val models = pqModels(s, dir)
+    val e = emb(s, dir)
+    def sub(c: Column, m: Int): Column = slice(c, m * PqDsub + 1, PqDsub)
+    // encode: per subspace, argmin over the 4 codeword sqdists
+    def codeCol(feat: Column, m: Int): Column = {
+      val dists = array(models(m).centers.toIndexedSeq.map(cw =>
+        graft.functions.NativeVectorFunctions.sqDistNative(sub(feat, m), lit(cw))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = e.select(col("id").as("cid") +:
+      (0 until PqM).map(m => codeCol(col("features"), m).as(s"code$m")): _*)
+    val q = e.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("features").as("qe"))
+    // ADC: per subspace, look the code up in the query's distance table
+    val adist = (0 until PqM).map { m =>
+      val lut = array(models(m).centers.toIndexedSeq.map(cw =>
+        graft.functions.NativeVectorFunctions.sqDistNative(sub(col("qe"), m), lit(cw))): _*)
+      element_at(lut, col(s"code$m") + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    codes.join(broadcast(q), col("cid") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w).cast("long"))
+  }
+
+  /** Shared oracle CTE body: 8 prefixed unrolled k-means chains → codes →
+    * ADC distances (`ad`), ending unterminated so consumers append.
+    */
+  private lazy val pqBaseCtes: String = {
+    val gens = (0 until PqM).map(m => new KmeansOracleGen(PqK, PqIters, PqDsub,
+      prefix = s"pq${m}_",
+      embExpr = s"list_transform(list_slice(embedding, ${m * PqDsub + 1}, ${(m + 1) * PqDsub}), x -> CAST(x AS DOUBLE))"))
+    val chains = gens.map(_.withClauses).mkString(",\n")
+    val codeJoins = (0 until PqM).map(m =>
+      s"JOIN pq${m}_afin x$m ON x$m.vec_id = e.vec_id").mkString("\n  ")
+    val codeCols = (0 until PqM).map(m => s"x$m.cl AS code$m").mkString(", ")
+    val cwJoins = (0 until PqM).map(m =>
+      s"JOIN pq${m}_c$PqIters k$m ON k$m.cl = c.code$m").mkString("\n  ")
+    val adcTerms = (0 until PqM).map(m =>
+      s"list_sum(list_transform(generate_series(1,$PqDsub), " +
+        s"i -> pow(CAST(q.embedding[${m * PqDsub} + i] AS DOUBLE) - k$m.e[i], 2)))")
+      .mkString("\n   + ")
+    s"""$chains,
+       |codes AS MATERIALIZED (
+       |  SELECT e.vec_id AS cid, $codeCols
+       |  FROM embeddings e
+       |  $codeJoins),
+       |ad AS (
+       |  SELECT q.vec_id AS qid, c.cid,
+       |    ($adcTerms) AS adist
+       |  FROM codes c
+       |  JOIN embeddings q ON q.vec_id < 5 AND c.cid <> q.vec_id
+       |  $cwJoins),
+       |pqrank AS (
+       |  SELECT qid, cid, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |  FROM ad),
+       |pq3 AS (SELECT qid, cid, adist, rn FROM pqrank WHERE rn <= 3)""".stripMargin
+  }
+
+  val annPq = Q("q_ann_pq",
+    (s, dir) => pqRanked(s, dir)
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("cid"), round(col("adist"), 6).as("adist_r"), col("rn")),
+    Some(s"""WITH $pqBaseCtes
+            |SELECT qid, cid, round(adist, 6) AS adist_r, rn FROM pq3""".stripMargin))
+
+  private val PqShortlist = 50
+
+  /** Recall@3 of the PQ tiers against the exact-L2 top-3 over the same
+    * candidate universe — what 32× compression costs, per tier: raw ADC
+    * ranking (`recall3_adc` — near zero HERE because the synthetic
+    * embeddings are isotropic random unit vectors, the worst case for a
+    * 16-bit code; real clustered embeddings fare far better) and the
+    * production pattern, ADC top-50 shortlist → exact rerank
+    * (`recall3_rerank` — the rerank touches 10% of candidates and
+    * recovers most of the loss). Both exact rationals, so the
+    * approximation's QUALITY is oracle-checked, like the IVF curve.
+    */
+  val annPqRecall = Q("q_ann_pq_recall",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val sqd = (a: Column, b: Column) =>
+        graft.functions.NativeVectorFunctions.sqDistNative(a, b)
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("features").as("qe"))
+      val cand = e.select(col("id").as("cid"), col("features").as("ce"))
+      val wd = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+      val bf = cand.crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("d2", sqd(col("ce"), col("qe")))
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"))
+      val ranked = pqRanked(s, dir)
+      val adc3 = ranked.filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), lit(1).as("m_adc"))
+      val rerank3 = ranked.filter(col("rn") <= PqShortlist)
+        .select(col("qid"), col("cid"))
+        .join(cand, Seq("cid"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("d2", sqd(col("ce"), col("qe")))
+        .withColumn("rrn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+        .filter(col("rrn") <= 3)
+        .select(col("qid"), col("cid"), lit(1).as("m_rr"))
+      bf.join(adc3, Seq("qid", "cid"), "left")
+        .join(rerank3, Seq("qid", "cid"), "left")
+        .groupBy(col("qid"))
+        .agg(round(sum(coalesce(col("m_adc"), lit(0))) / 3.0, 6).as("recall3_adc"),
+          round(sum(coalesce(col("m_rr"), lit(0))) / 3.0, 6).as("recall3_rerank"))
+    },
+    Some {
+      val fullSq =
+        s"""list_sum(list_transform(generate_series(1,${PqM * PqDsub}),
+           |          i -> pow(CAST(q.embedding[i] AS DOUBLE) - CAST(x.embedding[i] AS DOUBLE), 2)))""".stripMargin
+      s"""WITH $pqBaseCtes,
+         |bf AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, x.vec_id AS cid,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        $fullSq,
+         |        x.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings x
+         |      ON q.vec_id < 5 AND x.vec_id <> q.vec_id) WHERE rn <= 3),
+         |rr AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT s.qid, s.cid,
+         |      row_number() OVER (PARTITION BY s.qid ORDER BY
+         |        $fullSq,
+         |        s.cid) AS rrn
+         |    FROM pqrank s
+         |    JOIN embeddings q ON q.vec_id = s.qid
+         |    JOIN embeddings x ON x.vec_id = s.cid
+         |    WHERE s.rn <= $PqShortlist) WHERE rrn <= 3)
+         |SELECT b.qid,
+         |  round(sum(CASE WHEN p.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3_adc,
+         |  round(sum(CASE WHEN r.cid IS NULL THEN 0 ELSE 1 END) / 3.0, 6) AS recall3_rerank
+         |FROM bf b LEFT JOIN pq3 p ON p.qid = b.qid AND p.cid = b.cid
+         |          LEFT JOIN rr r ON r.qid = b.qid AND r.cid = b.cid
+         |GROUP BY b.qid""".stripMargin
+    })
+
   /** Embedding outlier screen — the filtering stage that drops vectors
     * far from their group's semantic center (mislabeled / junk docs in a
     * training corpus): per-label mean centroid, per-vector cosine to its
@@ -849,5 +1046,5 @@ object MlQueries {
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
     embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
-    embeddingOutliers)
+    embeddingOutliers, annPq, annPqRecall)
 }
