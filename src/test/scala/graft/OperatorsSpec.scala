@@ -29,6 +29,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components on a sparse random graph ≡ driver union-find") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val n = 2000
+    val ids = rng.shuffle((0 until n).map(_.toLong * 31 + 7).toVector).toArray
+    // ~1.2 edges per node: below the giant-component threshold's dense
+    // regime, so the graph has many components including long thin chains
+    val edges = (0 until n * 12 / 10)
+      .map(_ => (ids(rng.nextInt(n)), ids(rng.nextInt(n))))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    // maxIter 25 also pins the log-round convergence HASH-to-MIN promises
+    val got = ConnectedComponents.run(edges.toDF("src", "dst"), maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("dedup canonicalize groups LSH pairs by min doc id") {
     import spark.implicits._
     val pairs = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("doc_a", "doc_b")
