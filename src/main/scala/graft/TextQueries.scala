@@ -979,6 +979,57 @@ object TextQueries {
             |  CAST(coalesce(d.n_chars >= t.thr, FALSE) AS BIGINT) AS kept
             |FROM d, t""".stripMargin))
 
+  /** End-to-end corpus assembly as ONE driver-visible query — the
+    * operators compose: near-dedup survivors (connected-component
+    * canonical policy) → deterministic per-language cap (md5 rank ≤ 50,
+    * WindowGroupLimit keeps local top-k before the shuffle) → md5-bucket
+    * 80/10/10 split. The same composition `app.CorpusPipelineApp` runs
+    * as a pipeline, here hash-checked stage-for-stage against the
+    * chained DuckDB CTEs.
+    */
+  val corpusAssembly = Q("q_corpus_assembly",
+    (s, dir) => {
+      val canon = graft.operators.ConnectedComponents
+        .canonicalize(lshCandidates(s, dir))
+      val kept = docs(s, dir)
+        .join(broadcast(canon), Seq("doc_id"), "left")
+        .filter(coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      kept.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            |canon AS (
+            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |  FROM reach GROUP BY s),
+            |kept AS (
+            |  SELECT d.doc_id, d.lang FROM documents d
+            |  LEFT JOIN canon c USING (doc_id)
+            |  WHERE coalesce(c.canonical_id, d.doc_id) = d.doc_id),
+            |capped AS (
+            |  SELECT doc_id, lang FROM (
+            |    SELECT doc_id, lang,
+            |      row_number() OVER (PARTITION BY lang
+            |        ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            |    FROM kept) WHERE rk <= 50)
+            |SELECT doc_id, lang,
+            |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            |FROM (SELECT doc_id, lang,
+            |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+            |      FROM capped)""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     unicodePipeline,
@@ -988,5 +1039,6 @@ object TextQueries {
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
-    nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget)
+    nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
+    corpusAssembly)
 }
