@@ -809,15 +809,18 @@ object TextQueries {
     * earliest crawl" policy. Downstream stages filter on kept=1.
     *
     * Scale shape: the component table is |docs in any near-dup group|
-    * rows (≪ corpus), so the left join broadcasts it; the corpus side
-    * never shuffles.
+    * rows — often small, but a heavily-duplicated web crawl can put a
+    * large fraction of the corpus in it, and it is a checkpointed
+    * LogicalRDD whose size the planner can only guess, so the join is
+    * pinned SHUFFLE_MERGE (the corpus×corpus-safe strategy) rather than
+    * broadcast.
     */
   val nearDedupKeep = Q("q_near_dedup_keep",
     (s, dir) => {
       val canon = graft.operators.ConnectedComponents
         .canonicalize(lshCandidates(s, dir))
       docs(s, dir).select(col("doc_id"))
-        .join(broadcast(canon), Seq("doc_id"), "left")
+        .join(canon.hint("shuffle_merge"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"),
           (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
@@ -991,8 +994,10 @@ object TextQueries {
     (s, dir) => {
       val canon = graft.operators.ConnectedComponents
         .canonicalize(lshCandidates(s, dir))
+      // same SHUFFLE_MERGE pin as q_near_dedup_keep: the component table
+      // can be corpus-scale and its LogicalRDD size is a guess
       val kept = docs(s, dir)
-        .join(broadcast(canon), Seq("doc_id"), "left")
+        .join(canon.hint("shuffle_merge"), Seq("doc_id"), "left")
         .filter(coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
