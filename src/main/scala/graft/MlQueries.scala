@@ -1003,20 +1003,40 @@ object MlQueries {
     */
   val embeddingOutliers = Q("q_embedding_outliers",
     (s, dir) => {
+      // centroid pass: partial+final avg over (label, dim) — the result
+      // is |labels|×d, K-bounded, so it comes back to the driver and is
+      // folded into map-side literals (the same policy as k-means
+      // centers). The scoring pass then shuffles NOTHING per dimension:
+      // one codegen dot against the label-selected centroid literal, and
+      // the only exchange left is the final per-label rank window over
+      // n rows (not n×d).
       val long = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("i", "e")))
         .withColumn("e", col("e").cast("double"))
-      val cent = long.groupBy(col("label"), col("i"))
+      val centRows = long.groupBy(col("label"), col("i"))
         .agg(avg(col("e")).as("c"))
-      val cos = long.join(broadcast(cent), Seq("label", "i"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sum(col("e") * col("c")).as("dot"),
-          sum(col("e") * col("e")).as("ne"),
-          sum(col("c") * col("c")).as("nc"))
+        .collect()
+      val centroids: Map[Int, Array[Double]] = centRows
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      val centOf = {
+        val pairs = centroids.toSeq.sortBy(_._1)
+        element_at(
+          map(pairs.flatMap { case (l, c) => Seq(lit(l), lit(c)) }: _*),
+          col("label"))
+      }
+      val sqd = graft.functions.NativeVectorFunctions.dotNative _
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"),
-          round(col("dot") / (sqrt(col("ne")) * sqrt(col("nc"))), 6)
-            .as("cos_centroid"))
+          transform(col("embedding"), _.cast("double")).as("f"))
+        .withColumn("cent", centOf)
+      val nc = sqrt(sqd(col("cent"), col("cent")))
+      val cos = e.select(col("vec_id"), col("label"),
+        round(sqd(col("f"), col("cent"))
+          / (sqrt(sqd(col("f"), col("f"))) * nc), 6).as("cos_centroid"))
       val w = Window.partitionBy(col("label"))
         .orderBy(col("cos_centroid"), col("vec_id"))
       cos.withColumn("rk", row_number().over(w).cast("long"))

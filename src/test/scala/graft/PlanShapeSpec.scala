@@ -108,11 +108,11 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q_embedding_outliers: centroid side broadcasts, no cross join") {
+  test("q_embedding_outliers: centroid literals fold map-side — no join, one exchange") {
     val p = plan("q_embedding_outliers")
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast of centroids:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"outlier screen must not cross-join:\n$p")
+    assert(!p.contains("Join"), s"scoring pass must not join (centroids are literals):\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"only the rank window may shuffle:\n$p")
   }
 
   test("q_array_ops: per-document array algebra is map-side only") {
