@@ -128,8 +128,13 @@ object TextScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // the verify shuffle at 100× moves ~3G rows; partitions must be
     // sized so a partition's sort fits executor memory (cluster rule:
-    // ~total-shuffle-bytes / 128MB). Overridable for the big probes.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // ~total-shuffle-bytes / 128MB). The shuffle volume scales with the
+    // replication factor, so default to ~2.5 partitions per copy (256 at
+    // 100×, the setting the probe was validated with) — running the big
+    // probe at the bench default of 32 OOMs the verify sort. Env
+    // override wins.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt, copies * 5 / 2).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-text-scale-bench")

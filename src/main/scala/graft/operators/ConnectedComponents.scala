@@ -49,27 +49,40 @@ object ConnectedComponents {
     def labelsOf(state: DataFrame): DataFrame =
       state.groupBy(col("v")).agg(min(col("u")).as("component"))
 
-    var done = false
+    // labels only decrease, so Σ labels strictly decreases on any change:
+    // an unchanged sum is a sound PER-ROUND quiescence test at node-scale
+    // cost (the edge-scale certification join runs once, after the loop,
+    // not every round)
+    def labelSum(state: DataFrame): Long =
+      labelsOf(state).agg(sum(col("component"))).head().getLong(0)
+
+    // exit is only legal when both endpoints of every edge agree — this
+    // CERTIFIES the labelling (see scaladoc): silent wrong answers are
+    // worse than failures, a component split across labels would make
+    // dedup keep multiple "canonicals". A quiescent round that fails
+    // certification (possible mid-convergence: state still moving while
+    // labels pause) just keeps iterating.
+    def certify(lbl: DataFrame): Boolean = sym
+      .join(lbl.select(col("v").as("src"), col("component").as("la")), Seq("src"))
+      .join(lbl.select(col("v").as("dst"), col("component").as("lb")), Seq("dst"))
+      .filter(col("la") =!= col("lb"))
+      .isEmpty
+
+    var prevSum = Option.empty[Long]
     var iter = 0
-    while (!done && iter < maxIter) {
+    var certified = false
+    while (!certified && iter < maxIter) {
       val withMin = c.join(labelsOf(c).withColumnRenamed("component", "m"), Seq("v"))
       c = withMin.select(col("u").as("v"), col("m").as("u"))
         .union(withMin.select(col("m").as("v"), col("u")))
         .distinct()
         .localCheckpoint(true)
-      // exit only when both endpoints of every edge agree — this CERTIFIES
-      // the labelling (see scaladoc), it does not just detect quiescence
-      val lbl = labelsOf(c)
-      done = sym
-        .join(lbl.select(col("v").as("src"), col("component").as("la")), Seq("src"))
-        .join(lbl.select(col("v").as("dst"), col("component").as("lb")), Seq("dst"))
-        .filter(col("la") =!= col("lb"))
-        .isEmpty
+      val s = labelSum(c)
+      if (prevSum.contains(s)) certified = certify(labelsOf(c))
+      prevSum = Some(s)
       iter += 1
     }
-    // silent wrong answers are worse than failures: a component split
-    // across labels would make dedup keep multiple "canonicals"
-    require(done,
+    require(certified,
       s"connected components did not converge in $maxIter iterations")
     labelsOf(c).select(col("v").as("id"), col("component"))
   }
