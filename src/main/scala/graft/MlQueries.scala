@@ -815,12 +815,29 @@ object MlQueries {
   /** One deterministic k-means codebook per subspace, trained on the
     * sliced sub-vectors (same seeding/Lloyd/tie-break rules as every
     * other k-means here, so the unrolled SQL oracle reproduces each
-    * codebook exactly).
+    * codebook exactly). When the corpus fits KMeans' local-fit budget,
+    * the vectors are collected ONCE and sliced driver-side — one job for
+    * all 8 codebooks instead of 8 probe+collect pairs (identical result:
+    * fitLocal over a slice ≡ fit over the sliced column). Above the
+    * budget, per-subspace distributed fits — at real scale PQ codebooks
+    * are trained on a bounded sample anyway.
     */
   private def pqModels(s: SparkSession, dir: String): Array[KMeans.Model] =
     pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val e = emb(s, dir)
-      (0 until PqM).toArray.map { m =>
+      val probe = e.agg(count(lit(1)).as("n"),
+        first(size(col("features"))).as("d")).head()
+      val n = probe.getLong(0)
+      val d = probe.getInt(1)
+      if (n * d <= KMeans.LocalFitCells) {
+        val rows = e.select(col("id").cast("long").as("__id"), col("features"))
+          .orderBy(col("__id")).collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        (0 until PqM).toArray.map { m =>
+          KMeans.fitLocal(rows.map(_.slice(m * PqDsub, (m + 1) * PqDsub)),
+            PqK, PqIters, firstSeedRank = 0)
+        }
+      } else (0 until PqM).toArray.map { m =>
         KMeans.fit(
           e.select(col("id"), slice(col("features"), m * PqDsub + 1, PqDsub).as("features")),
           k = PqK, iters = PqIters)

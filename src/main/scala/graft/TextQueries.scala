@@ -1035,9 +1035,38 @@ object TextQueries {
             |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
             |      FROM capped)""".stripMargin))
 
+  /** Character-entropy quality signal (a Dolma/Gopher-style tagger):
+    * Shannon entropy of the per-document character distribution —
+    * near-zero flags degenerate docs (whitespace runs, repeated
+    * boilerplate glyphs), high values mark natural text. Computed as
+    * log2(n) − Σ c·log2(c) / n so one bounded-key aggregation per doc
+    * suffices (distinct characters per doc is small); round(4) absorbs
+    * the cross-engine summation-order ulps like every FP aggregate here.
+    */
+  val charEntropy = Q("q_char_entropy",
+    (s, dir) => {
+      val chars = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_chars_tot"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clc"))
+        .select(col("doc_id"), col("n_chars_tot"), col("n_distinct_chars"),
+          round(log2(col("n_chars_tot")) - col("clc") / col("n_chars_tot"), 4)
+            .as("entropy"))
+    },
+    Some("""WITH ch AS (
+           |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+           |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
+           |SELECT doc_id, sum(c) AS n_chars_tot, count(*) AS n_distinct_chars,
+           |  round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 4) AS entropy
+           |FROM pc GROUP BY doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
-    unicodePipeline,
+    unicodePipeline, charEntropy,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
