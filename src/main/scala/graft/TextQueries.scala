@@ -1064,9 +1064,60 @@ object TextQueries {
            |  round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 4) AS entropy
            |FROM pc GROUP BY doc_id""".stripMargin))
 
+  /** Corpus dedup report — the one-row health summary a pipeline
+    * publishes after every crawl merge: exact-duplicate redundancy and
+    * near-dup group stats side by side, with the removal rate the
+    * keep-policy (q_near_dedup_keep) would apply. Three bounded scalar
+    * aggregates cross-joined — each input is a corpus-scale scan, but
+    * every output is one row, so the join is trivially broadcast.
+    */
+  val dedupReport = Q("q_dedup_report",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val totals = d.agg(count(lit(1)).as("n_docs"))
+      val exact = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_exact_distinct"),
+          sum(when(col("c") > 1, col("c") - 1).otherwise(0)).cast("long")
+            .as("n_exact_redundant"))
+      val near = graft.operators.ConnectedComponents
+        .canonicalize(lshCandidates(s, dir))
+        .agg(count(lit(1)).as("n_in_near_groups"),
+          countDistinct(col("canonical_id")).as("n_near_groups"))
+      totals.crossJoin(exact).crossJoin(near)
+        .select(col("n_docs"), col("n_exact_distinct"), col("n_exact_redundant"),
+          col("n_in_near_groups"), col("n_near_groups"),
+          floor(lit(1e6) * (col("n_in_near_groups") - col("n_near_groups")).cast("double")
+            / col("n_docs")).cast("long").as("near_removal_micro"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            |canon AS (
+            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |  FROM reach GROUP BY s),
+            |t AS (SELECT count(*) AS n_docs FROM documents),
+            |x AS (
+            |  SELECT count(*) AS n_exact_distinct,
+            |    CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+            |      AS n_exact_redundant
+            |  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))),
+            |nr AS (
+            |  SELECT count(*) AS n_in_near_groups,
+            |    count(DISTINCT canonical_id) AS n_near_groups
+            |  FROM canon)
+            |SELECT t.n_docs, x.n_exact_distinct, x.n_exact_redundant,
+            |  nr.n_in_near_groups, nr.n_near_groups,
+            |  CAST(floor(1e6 * (nr.n_in_near_groups - nr.n_near_groups)
+            |       / CAST(t.n_docs AS DOUBLE)) AS BIGINT) AS near_removal_micro
+            |FROM t, x, nr""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
-    unicodePipeline, charEntropy,
+    unicodePipeline, charEntropy, dedupReport,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
     vocabDf, tfidf, stratifiedSample,
