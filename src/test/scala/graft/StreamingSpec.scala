@@ -23,7 +23,7 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("stream_ckpt").toString
     val (q, state) = Streaming.bfrStream(spark, dir, outDir,
       BFR.Config(k = 4), ckpt)
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     assert(state.rounds == 3, s"expected 3 micro-batches, got ${state.rounds}")
     assert(state.ds.size == 4)
     val assigned = spark.read.parquet(outDir)
@@ -47,7 +47,7 @@ class StreamingSpec extends AnyFunSuite {
     val outA = Files.createTempDirectory("stream_eo_outA").toString + "/assign"
     val ckptA = Files.createTempDirectory("stream_eo_ckptA").toString
     val (qa, sa) = Streaming.bfrStream(spark, dir, outA, cfg, ckptA)
-    qa.awaitTermination(120000)
+    qa.awaitTermination(300000)
     assert(sa.rounds == 3)
 
     // interrupted run: 2 chunks, stop, add the 3rd, restart on the SAME
@@ -61,11 +61,11 @@ class StreamingSpec extends AnyFunSuite {
     val outB = Files.createTempDirectory("stream_eo_outB").toString + "/assign"
     val ckptB = Files.createTempDirectory("stream_eo_ckptB").toString
     val (q1, s1) = Streaming.bfrStream(spark, stage, outB, cfg, ckptB)
-    q1.awaitTermination(120000)
+    q1.awaitTermination(300000)
     assert(s1.rounds == 2, s"first segment rounds ${s1.rounds}")
     files.drop(2).foreach(copyIn)
     val (q2, s2) = Streaming.bfrStream(spark, stage, outB, cfg, ckptB)
-    q2.awaitTermination(120000)
+    q2.awaitTermination(300000)
     // DS state resumed from the snapshot: rounds continue, not restart
     assert(s2.rounds == 3, s"restart did not resume state: rounds ${s2.rounds}")
 
