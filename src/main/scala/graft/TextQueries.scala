@@ -342,13 +342,26 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** The canonical near-dup mapping (doc_id → min-id group
+    * representative), memoized per (session, dir) like the shingle
+    * artifacts: four consumers (groups, keep, assembly, report) fan out
+    * from ONE connected-components run instead of re-propagating labels
+    * each.
+    */
+  private val canonCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private[graft] def canonical(s: SparkSession, dir: String): DataFrame =
+    canonCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.operators.ConnectedComponents
+        .canonicalize(lshCandidates(s, dir)).localCheckpoint(true))
+
   /** Dedup end-to-end: LSH candidate pairs → connected components → each
     * doc mapped to its canonical (minimum-id) group representative.
     * Oracle = transitive closure via recursive CTE.
     */
   val dedupGroups = Q("q_dedup_groups",
-    (s, dir) => graft.operators.ConnectedComponents
-      .canonicalize(lshCandidates(s, dir)),
+    (s, dir) => canonical(s, dir),
     Some(s"""WITH RECURSIVE $pairsCtes,
             |edges AS (
             |  SELECT doc_a AS s, doc_b AS d FROM pairs
@@ -817,8 +830,7 @@ object TextQueries {
     */
   val nearDedupKeep = Q("q_near_dedup_keep",
     (s, dir) => {
-      val canon = graft.operators.ConnectedComponents
-        .canonicalize(lshCandidates(s, dir))
+      val canon = canonical(s, dir)
       docs(s, dir).select(col("doc_id"))
         .join(canon.hint("shuffle_merge"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -992,8 +1004,7 @@ object TextQueries {
     */
   val corpusAssembly = Q("q_corpus_assembly",
     (s, dir) => {
-      val canon = graft.operators.ConnectedComponents
-        .canonicalize(lshCandidates(s, dir))
+      val canon = canonical(s, dir)
       // same SHUFFLE_MERGE pin as q_near_dedup_keep: the component table
       // can be corpus-scale and its LogicalRDD size is a guess
       val kept = docs(s, dir)
@@ -1079,8 +1090,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_exact_distinct"),
           sum(when(col("c") > 1, col("c") - 1).otherwise(0)).cast("long")
             .as("n_exact_redundant"))
-      val near = graft.operators.ConnectedComponents
-        .canonicalize(lshCandidates(s, dir))
+      val near = canonical(s, dir)
         .agg(count(lit(1)).as("n_in_near_groups"),
           countDistinct(col("canonical_id")).as("n_near_groups"))
       totals.crossJoin(exact).crossJoin(near)
