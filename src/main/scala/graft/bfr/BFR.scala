@@ -126,9 +126,18 @@ object BFR {
     * chunk through one merge, the init-stage scale killer at 100 TB.
     * Ids are unique, so `id <= kth` is exactly the size-sampleN prefix.
     */
-  private[graft] def initSample(chunk: DataFrame, sampleN: Int): DataFrame = {
+  private[graft] def initSample(chunk: DataFrame, sampleN: Int): DataFrame =
+    initSampleWithThreshold(chunk, sampleN)._1
+
+  /** Sample plus the kth-smallest-id threshold that defines it, so the
+    * caller can take the complement as the map-side filter `id > kth`
+    * instead of a chunk-scale anti-join (ids are unique: the two filters
+    * partition the chunk exactly).
+    */
+  private[graft] def initSampleWithThreshold(
+      chunk: DataFrame, sampleN: Int): (DataFrame, Long) = {
     val threshold = graft.operators.Selection.kthSmallestLong(chunk, "id", sampleN)
-    chunk.filter(col("id") <= threshold)
+    (chunk.filter(col("id") <= threshold), threshold)
   }
 
   /** Run BFR over an ordered sequence of chunk DataFrames, each with
@@ -158,8 +167,8 @@ object BFR {
         // --- init (M4, code/bfr.py:393-429) ---
         val n = chunkN
         val sampleN = math.ceil(cfg.initSampleFraction * n).toInt
-        val sample = initSample(chunk, sampleN)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val (sample0, kth) = initSampleWithThreshold(chunk, sampleN)
+        val sample = sample0.persist(StorageLevel.MEMORY_AND_DISK)
         // cluster sample into 3K; singleton labels -> RS (A7 + P3)
         val coarse = KMeans.fit(sample, math.min(cfg.seedKMult * cfg.k, sampleN),
           cfg.kmeansIters, firstSeedRank = cfg.seedRank)
@@ -199,8 +208,10 @@ object BFR {
             element_at(relabelExpr, col("label")).cast("int").as("cluster")))
         discardedSoFar += byLabel.values.map(_.n).sum // sample inliers
         rs = rsInit
-        // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429)
-        val rest = chunk.join(sample.select("id"), Seq("id"), "left_anti")
+        // rest of chunk 1 through the normal DS/RS path (code/bfr.py:429):
+        // the exact complement of the `id <= kth` sample, as a map-side
+        // filter — not an anti-join, which would shuffle the whole chunk
+        val rest = chunk.filter(col("id") > kth)
         val (a2, r2) = assignToDsWithFeatures(rest, ds, cfg.alphaAssign)
         assigned = unionAssign(assigned, a2.select("id", "cluster"))
         // A4: assigned points fold into their DS summaries (the reference

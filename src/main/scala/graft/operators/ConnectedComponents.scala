@@ -40,6 +40,11 @@ object ConnectedComponents {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
 
+    // a clean corpus produces zero candidate pairs — short-circuit before
+    // the loop (labelSum's global sum() is NULL on an empty label table)
+    if (sym.isEmpty)
+      return sym.select(col("src").as("id"), col("dst").as("component"))
+
     // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v)
     var c = sym.select(col("src").as("v"), col("dst").as("u"))
       .union(sym.select(col("src").as("v"), col("src").as("u")))
@@ -49,10 +54,10 @@ object ConnectedComponents {
     def labelsOf(state: DataFrame): DataFrame =
       state.groupBy(col("v")).agg(min(col("u")).as("component"))
 
-    // labels only decrease, so Σ labels strictly decreases on any change:
-    // an unchanged sum is a sound PER-ROUND quiescence test at node-scale
-    // cost (the edge-scale certification join runs once, after the loop,
-    // not every round)
+    // heuristic quiescence trigger, NOT the exit condition: hash-to-min
+    // does not keep v ∈ C(v), so a node's min can transiently rise and the
+    // sum can fluctuate — an unchanged sum merely schedules the edge-scale
+    // certify() below, which is the only thing that ends the loop
     def labelSum(state: DataFrame): Long =
       labelsOf(state).agg(sum(col("component"))).head().getLong(0)
 

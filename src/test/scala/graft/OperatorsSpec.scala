@@ -56,6 +56,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components on an empty edge set returns empty (clean corpus)") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = ConnectedComponents.run(edges)
+    assert(got.columns.toSeq == Seq("id", "component"))
+    assert(got.isEmpty)
+    assert(ConnectedComponents.canonicalize(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).isEmpty)
+  }
+
   test("dedup canonicalize groups LSH pairs by min doc id") {
     import spark.implicits._
     val pairs = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("doc_a", "doc_b")
@@ -88,6 +98,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"init sample must be a filter, not a global sort:\n$p")
     assert(sample.count() == 200)
     assert(sample.agg(max(col("id"))).head().getLong(0) == 199L)
+  }
+
+  test("BFR rest-of-chunk is the map-side complement filter, not an anti-join") {
+    import spark.implicits._
+    val pts = (0 until 1000).map(i => (i.toLong, Seq(i.toDouble)))
+      .toDF("id", "features").repartition(8)
+    val (sample, kth) = graft.bfr.BFR.initSampleWithThreshold(pts, 200)
+    val rest = pts.filter(col("id") > kth)
+    val p = rest.queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"complement must be a filter (no join, no hash shuffle):\n$p")
+    // the two filters partition the chunk exactly (ids unique)
+    assert(sample.count() + rest.count() == 1000)
+    assert(rest.agg(min(col("id"))).head().getLong(0) == 200L)
   }
 
   test("bucketed tables join without a shuffle (co-located layout)") {
