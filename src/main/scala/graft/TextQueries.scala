@@ -342,6 +342,28 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** REAL image-header decode end-to-end: every document's bytes travel
+    * inside a valid PNG container (signature + CRC-correct IHDR) whose
+    * dimensions derive from the document's own fields, and the engine
+    * recovers them by PARSING THE ACTUAL HEADER BYTES
+    * ([[graft.multimodal.Multimodal.HeaderCodec]]) — no hash-derived
+    * fakes in this path. The oracle recomputes the planted dims
+    * closed-form from the raw table, so a parser that misreads offsets,
+    * endianness, or channels goes hash-red.
+    */
+  val multimodalRealMeta = Q("q_multimodal_real_meta",
+    (s, dir) => graft.multimodal.Multimodal.extractImageFeatures(
+        graft.multimodal.Multimodal.mediaWithPlantedHeaders(s, dir))
+      .toDF()
+      .select(col("id"), col("width"), col("height"), col("channels"),
+        col("n_bytes")),
+    Some("""SELECT doc_id AS id,
+           | CAST(n_chars % 1920 + 1 AS INT) AS width,
+           | CAST(doc_id % 1080 + 1 AS INT) AS height,
+           | CAST(3 AS INT) AS channels,
+           | CAST(33 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+           |FROM documents""".stripMargin))
+
   /** The canonical near-dup mapping (doc_id → min-id group
     * representative), memoized per (session, dir) like the shingle
     * artifacts: four consumers (groups, keep, assembly, report) fan out
@@ -868,8 +890,12 @@ object TextQueries {
         .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("sh")).distinct()
       val counts = srcSh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      srcSh.as("a")
-        .join(srcSh.as("b"),
+      // srcSh derives from the localCheckpointed shingle artifact whose
+      // LogicalRDD stats are pre-checkpoint guesses — pin SHUFFLE_MERGE on
+      // both sides (same hazard pairOverlap fixed after the 100× probe: a
+      // statically-planned broadcast of a corpus-scale table is driver OOM)
+      srcSh.hint("shuffle_merge").as("a")
+        .join(srcSh.hint("shuffle_merge").as("b"),
           col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
@@ -917,7 +943,7 @@ object TextQueries {
               .cast("long")).as("weight_micro"))
     },
     Some(s"""WITH b AS (
-            |  SELECT source, count(*) AS n_docs, sum(len($wordsSql)) AS n_tokens
+            |  SELECT source, count(*) AS n_docs, CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
             |  FROM documents GROUP BY source),
             |t AS (SELECT sum(n_tokens) AS tot, count(*) AS nsrc FROM b)
             |SELECT b.source, b.n_docs, b.n_tokens,
@@ -1071,7 +1097,7 @@ object TextQueries {
     Some("""WITH ch AS (
            |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
            |pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch)
-           |SELECT doc_id, sum(c) AS n_chars_tot, count(*) AS n_distinct_chars,
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_tot, count(*) AS n_distinct_chars,
            |  round(log2(sum(c)) - sum(CAST(c AS DOUBLE) * log2(c)) / sum(c), 4) AS entropy
            |FROM pc GROUP BY doc_id""".stripMargin))
 
@@ -1130,6 +1156,7 @@ object TextQueries {
     unicodePipeline, charEntropy, dedupReport,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
+    multimodalRealMeta,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,

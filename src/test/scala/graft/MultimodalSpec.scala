@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.StubCodec
+import graft.multimodal.Multimodal.{HeaderCodec, StubCodec}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
@@ -53,5 +53,52 @@ class MultimodalSpec extends AnyFunSuite {
     val a = "hello world".getBytes
     assert(StubCodec.decodeImage(a) == StubCodec.decodeImage(a.clone()))
     assert(!StubCodec.resize(a, 10, 10).sameElements(StubCodec.resize(a, 20, 20)))
+  }
+
+  test("header codec parses a real PNG IHDR (round-trip through pngWrap)") {
+    val png = Multimodal.pngWrap(640, 480, "payload".getBytes)
+    assert(HeaderCodec.decodeImage(png).contains((640, 480, 3)))
+    // big dims exercise all four IHDR bytes
+    assert(HeaderCodec.decodeImage(Multimodal.pngWrap(70000, 1, Array[Byte]()))
+      .contains((70000, 1, 3)))
+    // a corrupted signature must NOT parse
+    val bad = png.clone(); bad(0) = 0x00
+    assert(HeaderCodec.decodePng(bad).isEmpty)
+  }
+
+  test("header codec parses real JPEG SOF and GIF logical-screen bytes") {
+    // minimal JFIF: SOI, APP0 (16 bytes), SOF0 with h=333 w=257 3 comps
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val jpeg = b(0xff, 0xd8) ++
+      b(0xff, 0xe0, 0x00, 0x10) ++ Array.fill[Byte](14)(0) ++ // APP0 len 16
+      b(0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x4d, 0x01, 0x01, 3) ++
+      Array.fill[Byte](9)(0)
+    assert(HeaderCodec.decodeJpeg(jpeg).contains((257, 333, 3)))
+    // progressive JPEG: SOF2 marker, same layout
+    val prog = jpeg.clone(); prog(21) = 0xc2.toByte
+    assert(HeaderCodec.decodeJpeg(prog).contains((257, 333, 3)))
+    // DHT (0xc4) must be skipped, not parsed as a frame header
+    val withDht = b(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x04, 0, 0) ++ jpeg.drop(2)
+    assert(HeaderCodec.decodeJpeg(withDht).contains((257, 333, 3)))
+    val gif = "GIF89a".getBytes("US-ASCII") ++ b(0x40, 0x01, 0xf0, 0x00) // 320x240 LE
+    assert(HeaderCodec.decodeGif(gif).contains((320, 240, 3)))
+    // raw text is no image: falls through to None (stub handles it)
+    assert(HeaderCodec.decodeImage("not an image".getBytes).isEmpty)
+  }
+
+  test("planted-header media: engine recovers the real planted dimensions") {
+    val media = Multimodal.mediaWithPlantedHeaders(spark, sfDir).repartition(8)
+    val feats = Multimodal.extractImageFeatures(media).collect()
+    assert(feats.length == 500)
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), octet_length(col("text")).as("nb"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) % 1920 + 1).toInt,
+        (r.getLong(0) % 1080 + 1).toInt, 33L + r.getInt(2))).toMap
+    feats.foreach { f =>
+      val (w, h, nb) = expected(f.id)
+      assert(f.width == w && f.height == h && f.channels == 3 && f.n_bytes == nb,
+        s"id=${f.id}: got (${f.width},${f.height},${f.channels},${f.n_bytes}) want ($w,$h,3,$nb)")
+    }
   }
 }

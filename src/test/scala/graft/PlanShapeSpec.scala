@@ -108,6 +108,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_overlap: shingle self-join is shuffle-merge, never broadcast") {
+    // srcSh derives from the localCheckpointed shingle artifact, whose
+    // LogicalRDD stats are pre-checkpoint guesses — a statically-planned
+    // broadcast of the corpus-scale distinct-shingle table is a driver
+    // OOM at 100 TB. Only the two |sources|-row count dims may broadcast.
+    val p = plan("q_source_overlap")
+    assert("SortMergeJoin \\[sh".r.findFirstIn(p).nonEmpty,
+      s"the sh self-join must be a shuffle merge:\n$p")
+    assert("BroadcastHashJoin \\[sh".r.findFirstIn(p).isEmpty,
+      s"the corpus-scale shingle side must never broadcast:\n$p")
+  }
+
   test("q_embedding_outliers: centroid literals fold map-side — no join, one exchange") {
     val p = plan("q_embedding_outliers")
     assert(!p.contains("Join"), s"scoring pass must not join (centroids are literals):\n$p")
