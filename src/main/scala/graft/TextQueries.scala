@@ -342,6 +342,37 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** Incremental dedup — the crawl-merge path
+    * ([[graft.operators.IncrementalDedup]]): the corpus is split into a
+    * persisted "yesterday" base (doc_id % 5 ≠ 0) and a fresh batch
+    * (doc_id % 5 = 0); the base's canonical mapping is computed the
+    * normal way, then the batch folds in via star edges + delta-only
+    * bucket collisions — connected components run on the delta graph,
+    * never the full corpus. The ORACLE IS THE FULL RECOMPUTE (the same
+    * transitive-closure SQL as q_dedup_groups), so the hash-equality gate
+    * proves incremental ≡ from-scratch.
+    */
+  val dedupIncremental = Q("q_dedup_incremental",
+    (s, dir) => {
+      val sig = artifacts(s, dir).signature
+      val isNew = col("doc_id") % 5 === 0
+      val baseBands = TextOps.lshBands(sig.filter(!isNew), "doc_id")
+      val newBands = TextOps.lshBands(sig.filter(isNew), "doc_id")
+      val baseCanon = graft.operators.ConnectedComponents.canonicalize(
+        TextOps.candidatePairs(baseBands, "doc_id"))
+      graft.operators.IncrementalDedup.mergeBatch(
+        baseCanon, newBands, baseBands.union(newBands), "doc_id")
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+            |SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |FROM reach GROUP BY s""".stripMargin))
+
   /** REAL image-header decode end-to-end: every document's bytes travel
     * inside a valid PNG container (signature + CRC-correct IHDR) whose
     * dimensions derive from the document's own fields, and the engine
@@ -1155,7 +1186,7 @@ object TextQueries {
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
     unicodePipeline, charEntropy, dedupReport,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
-    dedupGroups, decontaminate, multimodalMeta, multimodalFeatures,
+    dedupGroups, dedupIncremental, decontaminate, multimodalMeta, multimodalFeatures,
     multimodalRealMeta,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,

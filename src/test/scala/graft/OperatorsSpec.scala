@@ -74,6 +74,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 100L -> 100L, 101L -> 100L))
   }
 
+  test("incremental dedup merge ≡ full recompute on a random bucket layout") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    import graft.operators.IncrementalDedup
+    val rng = new scala.util.Random(11)
+    // 400 docs over 120 buckets, ~2 bands each — plenty of collisions,
+    // components of mixed base/new membership
+    val bandRows = (0L until 400L).flatMap { id =>
+      Seq.fill(2)((id, rng.nextInt(4), s"b${rng.nextInt(120)}"))
+    }.distinct
+    val all = bandRows.toDF("doc_id", "band", "bucket")
+      .select(col("doc_id"), col("band"), col("bucket"))
+    val full = ConnectedComponents.canonicalize(
+      TextOps.candidatePairs(all, "doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // split: new batch = doc_id % 5 == 0, base = rest (like the query)
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val baseCanon = ConnectedComponents.canonicalize(
+      TextOps.candidatePairs(base, "doc_id"))
+    val got = IncrementalDedup.mergeBatch(baseCanon, batch, all, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+  }
+
+  test("incremental dedup from a PERSISTED canon table (cold-session path)") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    import graft.operators.IncrementalDedup
+    val all = Seq(
+      (1L, 0, "x"), (2L, 0, "x"), (3L, 0, "y"), (4L, 0, "y"), // base groups
+      (5L, 0, "x"),                                           // new joins {1,2}
+      (10L, 0, "z"), (11L, 0, "z"),                           // new-only group
+      (20L, 0, "w")                                           // new singleton
+    ).toDF("doc_id", "band", "bucket")
+    val base = all.filter(col("doc_id") < 5)
+    val batch = all.filter(col("doc_id") >= 5)
+    val dir = Files.createTempDirectory("canon").toString
+    ConnectedComponents.canonicalize(TextOps.candidatePairs(base, "doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/canon.parquet")
+    val persisted = spark.read.parquet(s"$dir/canon.parquet")
+    val got = IncrementalDedup.mergeBatch(persisted, batch, all, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L)) // 20 shares no bucket: absent (singleton)
+  }
+
+  test("incremental dedup hot-bucket guard stays component-exact") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    import graft.operators.IncrementalDedup
+    // one degenerate bucket with 50 members (15 of them new) + a normal pair
+    val hot = (0L until 50L).map(i => (i, 0, "degenerate"))
+    val all = (hot ++ Seq((100L, 1, "p"), (101L, 1, "p")))
+      .toDF("doc_id", "band", "bucket")
+    val base = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val full = ConnectedComponents.canonicalize(
+      TextOps.candidatePairs(all, "doc_id", hotThreshold = 8)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseCanon = ConnectedComponents.canonicalize(
+      TextOps.candidatePairs(base, "doc_id", hotThreshold = 8))
+    val got = IncrementalDedup.mergeBatch(baseCanon, batch, all, "doc_id",
+      hotThreshold = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full)
+    assert(full.values.toSet == Set(0L, 100L)) // sanity: two components
+  }
+
   test("kth-smallest selection ≡ orderBy.limit prefix, without the sort") {
     import spark.implicits._
     // non-contiguous, shuffled ids spanning several histogram widths
