@@ -103,6 +103,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g.sameElements(u), "guarded components differ from unguarded")
   }
 
+  test("char split is code-point exact on non-BMP text (Spark ≡ DuckDB)") {
+    import spark.implicits._
+    // expected counts verified against DuckDB string_split(text, '') —
+    // BOTH engines split into code points: astral chars (surrogate pairs
+    // in UTF-16) stay whole, ZWJ and combining marks count separately.
+    // A parser that split UTF-16 code units would double-count every
+    // astral char and hash-red q_char_entropy on real web text.
+    val fixtures = Seq(
+      // (doc, expected distinct, expected total code points) — strings are
+      // explicit UTF-16 escapes so composed-vs-decomposed source-file
+      // ambiguity cannot skew the expectations
+      ("hi \uD83D\uDE00\uD83D\uDE00 ok", 6L, 8L),     // U+1F600 x2
+      ("\uD83D\uDC68\u200D\uD83D\uDC69\u200D\uD83D\uDC67", 4L, 5L), // ZWJ family
+      ("cafe\u0301 e\u0301e\u0301", 6L, 10L),           // combining acute
+      ("\uD840\uDC00\uD840\uDC00\uD869\uDED6", 2L, 3L))  // CJK ext B (U+20000 x2, U+2A6D6)
+    val df = fixtures.map(_._1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // the exact q_char_entropy split stage
+    val counts = df
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("ch")).as("nd"), sum(col("c")).as("tot"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    fixtures.zipWithIndex.foreach { case ((t, nd, tot), i) =>
+      assert(counts(i.toLong) == (nd, tot),
+        s"fixture $i '$t': got ${counts(i.toLong)}, want ($nd, $tot)")
+    }
+    // no surrogate halves may ever surface as "characters"
+    val chars = df.select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "").collect().map(_.getString(0))
+    assert(chars.forall(c => !c.exists(ch => Character.isSurrogate(ch) && c.length == 1)),
+      "a lone UTF-16 surrogate half leaked out of the char split")
+  }
+
   test("native word counts ≡ explode + groupBy counts") {
     import spark.implicits._
     val docs = Seq(
