@@ -80,15 +80,31 @@ object TextScaleBench {
     */
   final case class SkewResult(
       docs: Long, base: Long, planted: Int, candidates: Long,
-      dupPairs: Long, plantedGrouped: Long, stageSeconds: Map[String, Double])
+      dupPairs: Long, plantedGrouped: Long, stageSeconds: Map[String, Double],
+      verifySkewSplits: Int, verifyMaxTaskS: Double, verifyTasks: Long)
 
+  /** The hub-star output of a hot bucket concentrates the VERIFY join on
+    * one key: pairOverlap joins corpus shingles to pairs on doc_a, and
+    * every star pair carries the same doc_a = hub — planted×|sh(hub)|
+    * rows land on a single shuffle key. The shuffle-merge pin makes that
+    * join AQE-splittable (a broadcast would instead hold the whole
+    * corpus-side relation); this probe measures it: `longBoiler` plants
+    * ~150 distinct shingles on the hub so the hot key carries real
+    * weight, a listener records max-task wall-clock across the verify
+    * stage, and the executed adaptive plan is scanned for skew-split
+    * sort-merge joins. Pass = verify completes with no one-task stall
+    * (max task ≪ stage wall-clock) and, above the lowered AQE threshold,
+    * `skew=true` joins in the final plan.
+    */
   def runSkewed(spark: SparkSession, docsPath: String, planted: Int,
-                partitions: Int): SkewResult = {
+                partitions: Int, longBoiler: Boolean = false): SkewResult = {
     val raw = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
     val base = raw.count()
     val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
-    val boiler = Seq.fill(8)(
-      "this page is intentionally left blank copyright all rights reserved").mkString(" ")
+    val boiler =
+      if (longBoiler) (0 until 150).map(i => s"boilerword$i").mkString(" ")
+      else Seq.fill(8)(
+        "this page is intentionally left blank copyright all rights reserved").mkString(" ")
     val corpus = raw.union(
         spark.range(planted).select((col("id") + maxId + 1).as("doc_id"),
           lit(boiler).as("text")))
@@ -104,10 +120,31 @@ object TextScaleBench {
       .localCheckpoint(true)
     val nCand = cand.count()
     val t2 = System.nanoTime()
-    val dupPairs = TextOps.jaccardOverPairs(sh, "doc_id", cand)
+    // verify WITHOUT an eager checkpoint first: the executed adaptive
+    // plan (inspectable only after an action) reveals whether AQE split
+    // the hot doc_a key, and the task listener bounds the stall
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
+        val d = t.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val verified = TextOps.jaccardOverPairs(sh, "doc_id", cand)
       .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    val nDup = dupPairs.count()
+      .select(col("doc_a"), col("doc_b"))
+    // execute THIS QueryExecution (count() would plan its own) so the
+    // final adaptive plan is inspectable for skew-split joins
+    val nDup = verified.queryExecution.toRdd.count()
+    val skewSplits = "skew=true".r
+      .findAllIn(verified.queryExecution.executedPlan.toString).length
+    spark.sparkContext.removeSparkListener(listener)
+    val dupPairs = verified.localCheckpoint(true)
     val t3 = System.nanoTime()
     val groups = ConnectedComponents.canonicalize(dupPairs)
     // every planted doc must land in one group keyed by the first planted
@@ -119,7 +156,8 @@ object TextScaleBench {
     SkewResult(n, base, planted, nCand, nDup, plantedGrouped, Map(
       "signature_s" -> sec(t0, t1), "lsh_s" -> sec(t1, t2),
       "verify_s" -> sec(t2, t3), "components_s" -> sec(t3, t4),
-      "total_s" -> sec(t0, t4)))
+      "total_s" -> sec(t0, t4)),
+      skewSplits, math.rint(maxTaskMs.get() / 100.0) / 10, nTasks.get())
   }
 
   def main(args: Array[String]): Unit = {
@@ -144,12 +182,19 @@ object TextScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     if (args.lift(2).contains("--skew")) {
       val planted = args.lift(3).map(_.toInt).getOrElse(10000)
-      val r = runSkewed(spark, docsPath, planted, cpus.toInt)
+      // lower the AQE skew threshold so the probe proves the SPLIT fires
+      // inside the pinned merge joins at probe scale (at 100 TB the
+      // default 256 MB threshold trips on its own)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      val r = runSkewed(spark, docsPath, planted, cpus.toInt, longBoiler = true)
       val stages = Seq("signature_s", "lsh_s", "verify_s", "components_s", "total_s")
         .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
       println(s"""{"mode":"skew","docs":${r.docs},"base":${r.base},""" +
         s""""planted":${r.planted},"candidates":${r.candidates},""" +
-        s""""dup_pairs":${r.dupPairs},"planted_grouped":${r.plantedGrouped},$stages}""")
+        s""""dup_pairs":${r.dupPairs},"planted_grouped":${r.plantedGrouped},""" +
+        s""""verify_skew_splits":${r.verifySkewSplits},""" +
+        s""""verify_max_task_s":${r.verifyMaxTaskS},"verify_tasks":${r.verifyTasks},$stages}""")
     } else {
       val r = run(spark, docsPath, copies, cpus.toInt)
       val stages = Seq("shingle_s", "signature_s", "lsh_s", "verify_s",

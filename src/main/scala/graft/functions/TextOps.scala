@@ -176,11 +176,47 @@ object TextOps {
     * shuffle, never text; its output is Σ_pairs |shingles(A)| rows, the
     * inherent verify cost, and stays distributed.
     */
-  def pairOverlap(sh: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  /** A doc_a carrying more than this many pairs (a hub-star center or an
+    * organically over-shared doc) takes the SALTED verify path below.
+    * Empirically the AQE skew-split CANNOT be relied on inside this plan:
+    * the runtime filter AQE injects into the shingle side reshapes the
+    * stage graph and the split stops firing (measured on the 100k-planted
+    * probe — max task stays one full hub fan-out). Salting is
+    * deterministic and plan-independent.
+    */
+  val hotPairThreshold: Int = 4096
+
+  /** Salt fan-out for hot doc_a keys: hub shingle rows are replicated
+    * `verifySalts`× (bounded: only hot docs' shingles), hub pairs spread
+    * over `verifySalts` shuffle keys.
+    */
+  val verifySalts: Int = 16
+
+  def pairOverlap(sh: DataFrame, idCol: String, pairs: DataFrame,
+                  hotThreshold: Int = hotPairThreshold): DataFrame = {
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val a = sh.select(col(idCol).as("doc_a"), col("sh"))
     val b = sh.select(col(idCol).as("doc_b"), col("sh"))
-    val aShingles = a.join(pairs.hint("shuffle_merge"), Seq("doc_a"))
+    // hot-key census on doc_a (doc_b cannot go hot the same way: hub
+    // stars put the hub on the a side, and organic doc_b fan-in is
+    // bounded by bucket sizes). The hot list is by construction tiny
+    // (docs with > hotPairThreshold pairs), so it broadcasts.
+    val perA = pairs.groupBy(col("doc_a")).agg(count(lit(1)).as("__np"))
+    val hotA = perA.filter(col("__np") > hotThreshold).select(col("doc_a"))
+    val coldPairs = pairs.join(broadcast(hotA), Seq("doc_a"), "left_anti")
+    val aCold = a.join(coldPairs.hint("shuffle_merge"), Seq("doc_a"))
+    // salted hot path: a hub's pairs spread over verifySalts shuffle keys
+    // (salt = doc_b mod S, deterministic), the hub's OWN shingle rows —
+    // small by definition, one doc's shingles — replicate S× to meet
+    // them. Equi-join on (doc_a, salt) ≡ join on doc_a, restricted to
+    // hot keys; no single task ever sees a whole hub fan-out.
+    val hotPairs = pairs.join(broadcast(hotA), Seq("doc_a"), "left_semi")
+      .withColumn("__salt", pmod(col("doc_b"), lit(verifySalts.toLong)))
+    val aHot = a.join(broadcast(hotA), Seq("doc_a"), "left_semi")
+      .withColumn("__salt", explode(sequence(lit(0L), lit(verifySalts.toLong - 1))))
+    val aHotJ = aHot.join(hotPairs.hint("shuffle_merge"), Seq("doc_a", "__salt"))
+      .drop("__salt")
+    val aShingles = aCold.unionByName(aHotJ)
     val inter = b.join(aShingles.hint("shuffle_merge"), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
     inter

@@ -48,6 +48,40 @@ class PruningSpec extends AnyFunSuite {
     assert(open == expected && open > 0)
   }
 
+  test("AQE splits a skewed partition inside a pinned shuffle-merge join") {
+    // the pairOverlap/candidatePairs joins are pinned SHUFFLE_MERGE for
+    // size-safety; their skew story is "AQE splits hot keys at runtime".
+    // This pin proves the mechanism actually fires in a hinted SMJ: one
+    // key holding ~2M rows against a tiny median must come back from
+    // execution as a skew-handled join, not one straggler task.
+    val spark0 = spark
+    import spark0.implicits._
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // ~2M rows on key 0, 1..99 tiny; right side 100 keys
+      val left = spark.range(2000000)
+        .select(when(col("id") % 20 === 0, col("id") % 100).otherwise(0L).as("k"),
+          col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.hint("shuffle_merge").join(right.hint("shuffle_merge"), Seq("k"))
+      // execute THIS dataframe's QueryExecution (count() would plan its
+      // own) so the adaptive plan below is the final, executed one
+      assert(j.queryExecution.toRdd.count() == 2000000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected a skew-split sort-merge join in the adaptive plan:\n${p.take(2500)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("runtime bloom filter: selective side prunes the big side's shuffle") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",

@@ -103,6 +103,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g.sameElements(u), "guarded components differ from unguarded")
   }
 
+  test("salted hot-key verify path ≡ unsalted pairOverlap") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    // 60 docs, randomized shingle sets; doc 1 is a hub paired with all
+    // others (hot under a threshold of 10), plus random cold pairs
+    val sh = (1L to 60L).flatMap { id =>
+      val words = (0 until 5 + rng.nextInt(20)).map(_ => s"w${rng.nextInt(40)}")
+      words.distinct.map(w => (id, w))
+    }.toDF("doc_id", "sh")
+    val pairs = ((2L to 60L).map(b => (1L, b)) ++
+      (0 until 40).map { _ =>
+        val x = 2L + rng.nextInt(58); val y = 2L + rng.nextInt(58)
+        (math.min(x, y), math.max(x, y))
+      }.filter(p => p._1 != p._2)).distinct.toDF("doc_a", "doc_b")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val salted = rows(TextOps.pairOverlap(sh, "doc_id", pairs, hotThreshold = 10))
+    val unsalted = rows(TextOps.pairOverlap(sh, "doc_id", pairs,
+      hotThreshold = Int.MaxValue))
+    assert(salted == unsalted, "salted verify path changed the overlap results")
+    assert(salted.nonEmpty)
+  }
+
   test("char split is code-point exact on non-BMP text (Spark ≡ DuckDB)") {
     import spark.implicits._
     // expected counts verified against DuckDB string_split(text, '') —
