@@ -182,4 +182,19 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
   }
+
+  test("StreamingBench smoke: throughput counts + watermark-bounded state") {
+    val nd = graft.app.StreamingBench.runNearDup(
+      spark, "/root/testdata/sf0.001", copies = 2, files = 3)
+    assert(nd.rowsIn == 500 * 2, s"got ${nd.rowsIn}") // 500 docs x 2 copies
+    assert(nd.rowsOut > 0 && nd.rowsOut < nd.rowsIn,
+      s"near-dup must suppress some rows: ${nd.rowsOut} of ${nd.rowsIn}")
+    // state must stay bounded by the watermark horizon, not total ingest
+    assert(nd.maxStateRows < nd.rowsIn, s"state grew to ${nd.maxStateRows}")
+    assert(nd.batches == 3)
+    val bf = graft.app.StreamingBench.runBfrStream(
+      spark, "/root/testdata/sf0.001", chunks = 3)
+    assert(bf.assigned == bf.rowsIn, s"${bf.assigned} of ${bf.rowsIn} assigned")
+    assert(bf.rounds == 3 && bf.dsClusters > 0)
+  }
 }
