@@ -224,6 +224,29 @@ object MlQueries {
          |       FROM pd)
          |SELECT qid AS vec_id, cid AS nn_id, round(cos, 6) AS cos_sim
          |FROM pk WHERE rn = 1""".stripMargin
+
+    /** SemDeDup-style keep mask: a vector is a duplicate iff some
+      * SMALLER-id vector in its quantizer cell has cosine ≥ τ
+      * (keep-the-earliest policy, mirroring the engine exactly).
+      */
+    def semanticDedupSql(tau: Double): String =
+      s"""WITH $withClauses,
+         |cells AS MATERIALIZED (
+         |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
+         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |pr AS (
+         |  SELECT l.cid AS vid, l.ce AS qe, r.cid AS nn, r.ce AS ce
+         |  FROM cells l JOIN cells r ON l.cell = r.cell AND r.cid < l.cid),
+         |pd AS (SELECT vid, nn,
+         |         sum(qe[t.i] * ce[t.i]) AS dot,
+         |         sum(qe[t.i] * qe[t.i]) AS nq,
+         |         sum(ce[t.i] * ce[t.i]) AS nc
+         |       FROM pr, generate_series(1, ${this.D}) t(i) GROUP BY vid, nn),
+         |dup AS (SELECT DISTINCT vid FROM pd
+         |        WHERE dot / (sqrt(nq) * sqrt(nc)) >= $tau)
+         |SELECT c.cid AS vec_id,
+         |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cells c LEFT JOIN dup d ON d.vid = c.cid""".stripMargin
   }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -504,6 +527,59 @@ object MlQueries {
       }.reduce(_ union _)
     },
     Some(IvfOracle.recallCurveSql))
+
+  /** Within-cell self-kNN: every vector's nearest neighbour inside its
+    * IVF quantizer cell (1-probe kNN join) — the "find each example's
+    * closest sibling" primitive semantic dedup and curriculum mining
+    * build on. Scale shape: the pairwise join is CELL-BOUNDED (Σ n_cell²,
+    * never corpus²) and the quantizer is the persisted ModelStore
+    * artifact; at real scale cells are capped/split so the bound holds.
+    * Vectors alone in their cell emit no row (both engines).
+    */
+  val semanticKnn = Q("q_semantic_knn",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cells = ivfModel(s, dir).assign(e, "features")
+        .select(col("id"), col("features"), col("label").as("cell"))
+      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"), col("cell"))
+      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"), col("cell"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+      l.join(r, Seq("cell")).filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", cosine(col("ce"), col("qe")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos_sim"))
+    },
+    Some(IvfOracle.knnSql))
+
+  private val semanticTau = 0.95
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embeddings are
+    * partitioned into quantizer cells, and within each cell a vector is
+    * a DUPLICATE iff some smaller-id vector sits at cosine ≥ τ —
+    * keep-the-earliest, exactly the near-dup keep-policy transplanted to
+    * embedding space. The quadratic is cell-bounded by construction
+    * (that is SemDeDup's entire point at 100 TB scale), and the oracle
+    * replicates cells + pairwise cosine + the keep mask closed-form.
+    * Cross-cell near-dups are deliberately out of contract (documented
+    * approximation; the banded-LSH tier catches them).
+    */
+  val semanticDedup = Q("q_semantic_dedup",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cells = ivfModel(s, dir).assign(e, "features")
+        .select(col("id"), col("features"), col("label").as("cell"))
+      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"), col("cell"))
+      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"), col("cell"))
+      val dup = l.join(r, Seq("cell"))
+        .filter(col("nn_id") < col("vec_id"))
+        .filter(cosine(col("ce"), col("qe")) >= semanticTau)
+        .select(col("vec_id")).distinct()
+      cells.select(col("id").as("vec_id"))
+        .join(dup.withColumn("__d", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (coalesce(col("__d"), lit(0L)) === 0L).cast("long").as("kept"))
+    },
+    Some(IvfOracle.semanticDedupSql(semanticTau)))
 
   /** Embedding-cosine near-duplicate pairs (brute force at test scale;
     * the LSH/IVF variants are the scale path).
@@ -1105,6 +1181,7 @@ object MlQueries {
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
+    semanticKnn, semanticDedup,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
     embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
     embeddingOutliers, annPq, annPqRecall)

@@ -342,6 +342,57 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** PII scrubbing — the redaction stage every training-data pipeline
+    * runs before packing: emails, E.164-ish phone numbers and IPv4
+    * addresses are counted and replaced with type tokens, and the
+    * redacted text is hash-verified. The corpus is only touched by
+    * map-side regex projections (codegen'd, zero shuffle). PII is
+    * PLANTED deterministically from each doc's own fields (synthetic
+    * corpus carries none organically), so detection counts and the
+    * redacted-text hash are closed-form checkable; the regexes are
+    * Java ≡ RE2 compatible (no lookaround/backrefs) so both engines
+    * scrub identically — including any accidental matches in the
+    * original text.
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+\\d(?:[- ]?\\d){6,14}"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  val piiScrub = Q("q_pii_scrub",
+    (s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com ip 10."),
+        col("doc_id") % 256, lit(".0.1 call +1-555-"),
+        format_string("%04d", col("doc_id") % 10000))
+      val redacted = regexp_replace(
+        regexp_replace(
+          regexp_replace(planted, emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"),
+        ipPat, "<IP>")
+      docs(s, dir).select(col("doc_id"),
+        regexp_count(planted, lit(emailPat)).cast("long").as("n_email"),
+        regexp_count(planted, lit(phonePat)).cast("long").as("n_phone"),
+        regexp_count(planted, lit(ipPat)).cast("long").as("n_ip"),
+        md5(redacted).as("redacted_hash"))
+    },
+    Some {
+      val plantedSql = "text || ' contact user' || doc_id || '@example.com ip 10.' || " +
+        "(doc_id % 256) || '.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      s"""WITH p AS (SELECT doc_id, $plantedSql AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailPat', '<EMAIL>', 'g'),
+         |    '$phonePat', '<PHONE>', 'g'),
+         |    '$ipPat', '<IP>', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ip,
+         |  md5(red) AS redacted_hash
+         |FROM r""".stripMargin
+    })
+
   /** Incremental dedup — the crawl-merge path
     * ([[graft.operators.IncrementalDedup]]): the corpus is split into a
     * persisted "yesterday" base (doc_id % 5 ≠ 0) and a fresh batch
@@ -1193,5 +1244,5 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
     nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
-    corpusAssembly)
+    corpusAssembly, piiScrub)
 }

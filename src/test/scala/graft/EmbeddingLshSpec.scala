@@ -15,6 +15,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmbeddingLshSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
 
+  test("semantic dedup marks planted same-cell duplicates, keeps the earliest") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // synthetic embeddings table: 200 random unit vectors + 3 exact
+    // copies of vector 0 (ids 500..502) and a copy of vector 7 (id 510)
+    val rng = new scala.util.Random(5)
+    def vec(): Seq[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = (0L until 200L).map(i => (i, vec(), i % 5))
+    val dups = Seq(500L, 501L, 502L).map(i => (i, base(0)._2, 0L)) :+
+      ((510L, base(7)._2, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("semdedup").toString
+    (base ++ dups).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = MlQueries.semanticDedup.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact copies share the cell by construction (identical vectors);
+    // the smallest id of each dup family is kept, the rest marked
+    assert(got(0L) == 1L && got(500L) == 0L && got(501L) == 0L && got(502L) == 0L)
+    assert(got(7L) == 1L && got(510L) == 0L)
+    // random vectors at ~0 cosine are never marked
+    assert((1L until 200L).filterNot(_ == 7L).forall(got(_) == 1L))
+  }
+
   test("banded hyperplane LSH catches more planted near-dups than single-band") {
     val dir = Files.createTempDirectory("banded_lsh").toString
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
