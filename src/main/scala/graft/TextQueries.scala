@@ -342,6 +342,49 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** Context-window chunking — long documents split into overlapping
+    * token windows (width 32, stride 24 — sized so the synthetic docs
+    * actually produce multi-window explosions) before sequence packing: the
+    * standard "document → training examples" explosion. Pure map-side:
+    * tokenize once, compute the window count arithmetically, explode a
+    * bounded index sequence and slice — no shuffle, output rows ≈
+    * Σ ceil(n/stride) which IS the training-example count. Every window
+    * is hash-verified (content, not just counts), so an off-by-one in
+    * stride/width/last-window handling goes red. Short docs (n ≤ width)
+    * emit exactly one window.
+    */
+  private val chunkW = 32
+  private val chunkS = 24
+
+  val docChunks = Q("q_doc_chunks",
+    (s, dir) => {
+      val ws = wordsCol
+      val extra = greatest(ceil((size(ws) - chunkW).cast("double") / chunkS), lit(0.0))
+        .cast("long")
+      docs(s, dir)
+        .select(col("doc_id"), ws.as("__ws"),
+          explode(sequence(lit(0L), extra)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("__ws"), (col("chunk_idx") * chunkS + 1).cast("int"), lit(chunkW)))
+            .cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ",
+            slice(col("__ws"), (col("chunk_idx") * chunkS + 1).cast("int"), lit(chunkW))))
+            .as("chunk_hash"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+            |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+            |c AS (SELECT doc_id, ws,
+            |        unnest(generate_series(0,
+            |          CAST(greatest(ceil((n - $chunkW) / CAST($chunkS AS DOUBLE)), 0) AS BIGINT)))
+            |          AS chunk_idx
+            |      FROM n)
+            |SELECT doc_id, chunk_idx,
+            |  CAST(len(ws[(chunk_idx * $chunkS + 1):(chunk_idx * $chunkS + $chunkW)]) AS BIGINT)
+            |    AS n_chunk_tokens,
+            |  md5(array_to_string(ws[(chunk_idx * $chunkS + 1):(chunk_idx * $chunkS + $chunkW)], ' '))
+            |    AS chunk_hash
+            |FROM c""".stripMargin))
+
   /** PII scrubbing — the redaction stage every training-data pipeline
     * runs before packing: emails, E.164-ish phone numbers and IPv4
     * addresses are counted and replaced with type tokens, and the
@@ -1244,5 +1287,5 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
     nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
-    corpusAssembly, piiScrub)
+    corpusAssembly, piiScrub, docChunks)
 }

@@ -127,6 +127,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the rank window may shuffle:\n$p")
   }
 
+  test("q_doc_chunks / q_pii_scrub: per-document explosion/redaction is map-side only") {
+    for (name <- Seq("q_doc_chunks", "q_pii_scrub")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
   test("q_array_ops: per-document array algebra is map-side only") {
     val p = plan("q_array_ops")
     assert(!p.contains("Exchange"), s"per-doc array ops must not shuffle:\n$p")
