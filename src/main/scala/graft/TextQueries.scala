@@ -342,6 +342,78 @@ object TextQueries {
            | CAST(('0x' || substring(md5(text), 5, 4))::BIGINT % 1080 AS BIGINT) AS fake_height
            |FROM documents""".stripMargin))
 
+  /** Source-preference keep policy — dedup keep rules are PLUGGABLE:
+    * instead of keep-the-earliest (q_near_dedup_keep), keep the group
+    * member from the most-preferred SOURCE (curated beats crawl), doc_id
+    * as the final tie-break. Same memoized connected-components canon,
+    * same SHUFFLE_MERGE pin; only the window ordering changes — which is
+    * exactly how a production pipeline swaps keep policies.
+    */
+  val nearDedupKeepPref = Q("q_near_dedup_keep_pref",
+    (s, dir) => {
+      val canon = canonical(s, dir)
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("source"), col("doc_id"))
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(canon.hint("shuffle_merge"), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("canonical_id"), col("doc_id")))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("grp").as("group_id"),
+          (col("rk") === 1).cast("long").as("kept"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS s, doc_b AS d FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(s, d) AS (
+            |  SELECT s, d FROM edges
+            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+            |canon AS (
+            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
+            |  FROM reach GROUP BY s)
+            |SELECT d.doc_id,
+            |  coalesce(c.canonical_id, d.doc_id) AS group_id,
+            |  CAST(CASE WHEN row_number() OVER (
+            |      PARTITION BY coalesce(c.canonical_id, d.doc_id)
+            |      ORDER BY d.source, d.doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT)
+            |    AS kept
+            |FROM documents d LEFT JOIN canon c USING (doc_id)""".stripMargin))
+
+  /** CCNet-style quality bucketing: per language, documents rank into
+    * head/middle/tail terciles by stopword ratio (micro-units, so the
+    * ordering key is integer-exact on both engines), doc_id tie-break.
+    * The bucket is what downstream sampling weights key on. One window
+    * over per-language partitions — no global sort.
+    */
+  val qualityBuckets = Q("q_quality_buckets",
+    (s, dir) => {
+      val words = wordsCol
+      val stopArr = array(stopLits.map(lit): _*)
+      val ratioMicro = floor(lit(1e6) *
+        size(filter(words, w => array_contains(stopArr, w))).cast("double") /
+        size(words)).cast("long")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("q").desc, col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), ratioMicro.as("q"))
+        .withColumn("b", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("q").as("stop_ratio_micro"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    },
+    Some {
+      val stops = "['the','a','and','of','to','in','is','on']"
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(1e6 * len(list_filter($wordsSql, w -> list_contains($stops, w)))
+         |      / CAST(len($wordsSql) AS DOUBLE)) AS BIGINT) AS q
+         |  FROM documents)
+         |SELECT doc_id, lang, q AS stop_ratio_micro,
+         |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM q""".stripMargin
+    })
+
   /** Context-window chunking — long documents split into overlapping
     * token windows (width 32, stride 24 — sized so the synthetic docs
     * actually produce multi-window explosions) before sequence packing: the
@@ -1287,5 +1359,5 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
     nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
-    corpusAssembly, piiScrub, docChunks)
+    corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets)
 }
