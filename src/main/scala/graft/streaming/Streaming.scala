@@ -188,6 +188,55 @@ object Streaming {
       .drop("__sig", "__sigkey")
   }
 
+  /** Streaming incremental near-dedup — the crawl-merge loop as a
+    * continuous query: each micro-batch of new documents computes its
+    * LSH band rows MAP-SIDE (native signature kernel), folds into the
+    * PERSISTED corpus artifacts (band table + canonical mapping, both
+    * parquet — exactly what the batch [[graft.operators.IncrementalDedup]]
+    * consumes), and rewrites the canonical mapping via connected
+    * components on the star + delta graph only.
+    *
+    * Restart/replay safety: band rows land in `artifacts/bands/batch=<id>`
+    * with per-batch overwrite (idempotent re-delivery), and the canon
+    * rewrite is a fixpoint — re-merging an already-merged batch
+    * reconstructs the same components (stars already contain the batch's
+    * docs; the delta edges are a subset), so the mapping is unchanged.
+    */
+  def incrementalDedupStream(spark: SparkSession, docsStream: DataFrame,
+                             artifactsDir: String, checkpoint: String)
+      : StreamingQuery = {
+    import graft.functions.TextOps
+    docsStream
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sess = batch.sparkSession
+        val sig = TextOps.signatureFromText(batch.toDF(), "doc_id", col("text"))
+        val newBands = TextOps.lshBands(sig, "doc_id")
+        newBands.write.mode("overwrite")
+          .parquet(s"$artifactsDir/bands/batch=$batchId")
+        val allBands = sess.read.parquet(s"$artifactsDir/bands/batch=*")
+        val canonPath = s"$artifactsDir/canon.parquet"
+        val existing =
+          try sess.read.parquet(canonPath)
+          catch { case scala.util.control.NonFatal(_) =>
+            sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("canonical_id",
+                  org.apache.spark.sql.types.LongType))))
+          }
+        val merged = graft.operators.IncrementalDedup
+          .mergeBatch(existing, newBands, allBands, "doc_id")
+          .localCheckpoint(true) // cut lineage BEFORE overwriting the input
+        merged.write.mode("overwrite").parquet(canonPath)
+      }
+      .start()
+  }
+
   /** Stream-stream inner join with a time bound: pair each left event
     * with right events for the same key within `boundSeconds` after it.
     * Watermarks on both sides bound the join state.

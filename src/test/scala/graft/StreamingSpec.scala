@@ -183,6 +183,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
   }
 
+  test("streaming incremental dedup converges to the batch recompute") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextOps
+    val work = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // three "daily crawls" as micro-batch files
+    for (f <- 0 until 3) {
+      docs.filter(pmod(col("doc_id"), lit(3)) === f)
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/in/f$f")
+      Thread.sleep(5)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+    val q = Streaming.incrementalDedupStream(spark, in,
+      s"$work/artifacts", s"$work/ckpt")
+    q.awaitTermination(300000)
+    val got = spark.read.parquet(s"$work/artifacts/canon.parquet")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.ConnectedComponents.canonicalize(
+      TextOps.candidatePairs(TextOps.lshBands(
+        TextOps.signatureFromText(docs, "doc_id", col("text")), "doc_id"), "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == full, s"streamed canon (${got.size}) != batch recompute (${full.size})")
+    assert(got.nonEmpty) // sf0.001 carries planted near-dups
+  }
+
   test("StreamingBench smoke: throughput counts + watermark-bounded state") {
     val nd = graft.app.StreamingBench.runNearDup(
       spark, "/root/testdata/sf0.001", copies = 2, files = 3)
