@@ -536,16 +536,32 @@ object MlQueries {
     * artifact; at real scale cells are capped/split so the bound holds.
     * Vectors alone in their cell emit no row (both engines).
     */
+  /** Cells with the per-vector norm precomputed ONCE map-side, so the
+    * within-cell pairwise pass runs the codegen dot kernel only —
+    * cosine via three interpreted HOF passes per joined row was the
+    * bench hotspot (11 s → ~2 s at sf0.1). sqrt(dot(v,v)) matches the
+    * oracle's sqrt(nq)·sqrt(nc) factor exactly.
+    */
+  private def semanticCells(s: SparkSession, dir: String): DataFrame =
+    ivfModel(s, dir).assign(emb(s, dir), "features")
+      .select(col("id"), col("features"), col("label").as("cell"),
+        sqrt(dotNative(col("features"), col("features"))).as("nrm"))
+
+  private def cellCos: Column =
+    when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+      .otherwise(dotNative(col("qe"), col("ce")) / (col("qn") * col("cn")))
+
   val semanticKnn = Q("q_semantic_knn",
     (s, dir) => {
-      val e = emb(s, dir)
-      val cells = ivfModel(s, dir).assign(e, "features")
-        .select(col("id"), col("features"), col("label").as("cell"))
-      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"), col("cell"))
-      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"), col("cell"))
+      val cells = semanticCells(s, dir)
+      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"),
+        col("nrm").as("cn"), col("cell"))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
       l.join(r, Seq("cell")).filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cos", cosine(col("ce"), col("qe")))
+        // arrays dropped BEFORE the window: only (ids, cos) shuffle
+        .select(col("vec_id"), col("nn_id"), cellCos.as("cos"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("vec_id"), col("nn_id"), round(col("cos"), 6).as("cos_sim"))
     },
@@ -565,14 +581,14 @@ object MlQueries {
     */
   val semanticDedup = Q("q_semantic_dedup",
     (s, dir) => {
-      val e = emb(s, dir)
-      val cells = ivfModel(s, dir).assign(e, "features")
-        .select(col("id"), col("features"), col("label").as("cell"))
-      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"), col("cell"))
-      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"), col("cell"))
+      val cells = semanticCells(s, dir)
+      val l = cells.select(col("id").as("vec_id"), col("features").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+      val r = cells.select(col("id").as("nn_id"), col("features").as("ce"),
+        col("nrm").as("cn"), col("cell"))
       val dup = l.join(r, Seq("cell"))
         .filter(col("nn_id") < col("vec_id"))
-        .filter(cosine(col("ce"), col("qe")) >= semanticTau)
+        .filter(cellCos >= semanticTau)
         .select(col("vec_id")).distinct()
       cells.select(col("id").as("vec_id"))
         .join(dup.withColumn("__d", lit(1L)), Seq("vec_id"), "left")
