@@ -127,6 +127,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the rank window may shuffle:\n$p")
   }
 
+  test("q_semantic_knn / q_semantic_dedup: cell-bounded equi-joins, no cartesian") {
+    for (name <- Seq("q_semantic_knn", "q_semantic_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay a cell equi-join:\n$p")
+    }
+  }
+
   test("q_doc_chunks / q_pii_scrub: per-document explosion/redaction is map-side only") {
     for (name <- Seq("q_doc_chunks", "q_pii_scrub")) {
       val p = plan(name)
