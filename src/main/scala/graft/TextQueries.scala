@@ -473,39 +473,140 @@ object TextQueries {
   private val phonePat = "\\+\\d(?:[- ]?\\d){6,14}"
   private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** Deterministically planted PII (the synthetic corpus carries none)
+    * and its redaction — shared by q_pii_scrub and the composed
+    * q_training_examples pipeline.
+    */
+  private def piiPlanted: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id"), lit("@example.com ip 10."),
+    col("doc_id") % 256, lit(".0.1 call +1-555-"),
+    format_string("%04d", col("doc_id") % 10000))
+
+  private def piiRedacted(planted: Column): Column = regexp_replace(
+    regexp_replace(
+      regexp_replace(planted, emailPat, "<EMAIL>"),
+      phonePat, "<PHONE>"),
+    ipPat, "<IP>")
+
+  private val piiPlantedSql =
+    "text || ' contact user' || doc_id || '@example.com ip 10.' || " +
+      "(doc_id % 256) || '.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  private def piiRedactedSql(t: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($t,
+       |    '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g'),
+       |    '$ipPat', '<IP>', 'g')""".stripMargin
+
   val piiScrub = Q("q_pii_scrub",
     (s, dir) => {
-      val planted = concat(col("text"),
-        lit(" contact user"), col("doc_id"), lit("@example.com ip 10."),
-        col("doc_id") % 256, lit(".0.1 call +1-555-"),
-        format_string("%04d", col("doc_id") % 10000))
-      val redacted = regexp_replace(
-        regexp_replace(
-          regexp_replace(planted, emailPat, "<EMAIL>"),
-          phonePat, "<PHONE>"),
-        ipPat, "<IP>")
+      val planted = piiPlanted
+      val redacted = piiRedacted(planted)
       docs(s, dir).select(col("doc_id"),
         regexp_count(planted, lit(emailPat)).cast("long").as("n_email"),
         regexp_count(planted, lit(phonePat)).cast("long").as("n_phone"),
         regexp_count(planted, lit(ipPat)).cast("long").as("n_ip"),
         md5(redacted).as("redacted_hash"))
     },
-    Some {
-      val plantedSql = "text || ' contact user' || doc_id || '@example.com ip 10.' || " +
-        "(doc_id % 256) || '.0.1 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
-      s"""WITH p AS (SELECT doc_id, $plantedSql AS t FROM documents),
-         |r AS (SELECT doc_id, t,
-         |  regexp_replace(regexp_replace(regexp_replace(t,
-         |    '$emailPat', '<EMAIL>', 'g'),
-         |    '$phonePat', '<PHONE>', 'g'),
-         |    '$ipPat', '<IP>', 'g') AS red
+    Some(
+      s"""WITH p AS (SELECT doc_id, $piiPlantedSql AS t FROM documents),
+         |r AS (SELECT doc_id, t, ${piiRedactedSql("t")} AS red
          |  FROM p)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
          |  CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phone,
          |  CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ip,
          |  md5(red) AS redacted_hash
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin))
+
+  /** THE CAPSTONE COMPOSITION — the whole LLM-training-data pipeline as
+    * ONE driver-visible, hash-verified query: near-dedup survivors
+    * (connected-component canonical policy) → PII redaction → quality
+    * gate (per-language head+middle terciles; tail dropped) → the
+    * REDACTED text exploded into overlapping context windows →
+    * leakage-safe train/val/test split (the md5 bucket keys on the
+    * DOCUMENT, so every window of a doc lands in the same split —
+    * chunk-level splitting would leak overlapping windows across
+    * train/test). Every stage reuses an individually-oracle-checked
+    * fragment; the composed DuckDB CTE chain hash-checks the pipeline
+    * end-to-end, exactly what `app.CorpusPipelineApp` would ship.
+    */
+  val trainingExamples = Q("q_training_examples",
+    (s, dir) => {
+      val canon = canonical(s, dir)
+      val kept = docs(s, dir)
+        .join(canon.hint("shuffle_merge"), Seq("doc_id"), "left")
+        .filter(coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+      val stopArr = array(stopLits.map(lit): _*)
+      val ratioMicro = floor(lit(1e6) *
+        size(filter(wordsCol, w => array_contains(stopArr, w))).cast("double") /
+        size(wordsCol)).cast("long")
+      val wq = Window.partitionBy(col("lang")).orderBy(col("q").desc, col("doc_id"))
+      val qual = kept
+        .withColumn("__red", piiRedacted(piiPlanted))
+        .withColumn("q", ratioMicro)
+        .withColumn("__b", ntile(3).over(wq))
+        .filter(col("__b") <= 2)
+      val rws = TextOps.words(col("__red"))
+      val extra = greatest(ceil((size(col("__ws")) - chunkW).cast("double") / chunkS),
+        lit(0.0)).cast("long")
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      qual.withColumn("__ws", rws)
+        .select(col("doc_id"), col("__ws"),
+          explode(sequence(lit(0L), extra)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("__ws"), (col("chunk_idx") * chunkS + 1).cast("int"),
+            lit(chunkW))).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", slice(col("__ws"),
+            (col("chunk_idx") * chunkS + 1).cast("int"), lit(chunkW))))
+            .as("chunk_hash"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"))
+    },
+    Some {
+      val stops = "['the','a','and','of','to','in','is','on']"
+      s"""WITH RECURSIVE $pairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |canon AS (
+         |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
+         |  FROM reach GROUP BY s),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  LEFT JOIN canon c USING (doc_id)
+         |  WHERE coalesce(c.canonical_id, d.doc_id) = d.doc_id),
+         |red AS (SELECT doc_id, lang, text,
+         |    ${piiRedactedSql(s"($piiPlantedSql)")} AS red
+         |  FROM kept),
+         |qv AS (SELECT doc_id, lang, red,
+         |    CAST(floor(1e6 * len(list_filter($wordsSql, w -> list_contains($stops, w)))
+         |      / CAST(len($wordsSql) AS DOUBLE)) AS BIGINT) AS q
+         |  FROM red),
+         |qb AS (SELECT doc_id, red FROM (
+         |    SELECT doc_id, red,
+         |      ntile(3) OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS b
+         |    FROM qv) WHERE b <= 2),
+         |wsx AS (SELECT doc_id, regexp_split_to_array(trim(red), '\\s+') AS ws FROM qb),
+         |nx AS (SELECT doc_id, ws, len(ws) AS n FROM wsx),
+         |cx AS (SELECT doc_id, ws,
+         |    unnest(generate_series(0,
+         |      CAST(greatest(ceil((n - $chunkW) / CAST($chunkS AS DOUBLE)), 0) AS BIGINT)))
+         |      AS chunk_idx
+         |  FROM nx)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(ws[(chunk_idx * $chunkS + 1):(chunk_idx * $chunkS + $chunkW)]) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(ws[(chunk_idx * $chunkS + 1):(chunk_idx * $chunkS + $chunkW)], ' '))
+         |    AS chunk_hash,
+         |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cx""".stripMargin
     })
 
   /** Incremental dedup — the crawl-merge path
@@ -1359,5 +1460,6 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
     nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
-    corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets)
+    corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
+    trainingExamples)
 }
