@@ -198,9 +198,15 @@ object Streaming {
     *
     * Restart/replay safety: band rows land in `artifacts/bands/batch=<id>`
     * with per-batch overwrite (idempotent re-delivery), and the canon
-    * rewrite is a fixpoint — re-merging an already-merged batch
+    * mapping is written as BATCH-VERSIONED snapshots
+    * (`artifacts/canon/batch=<id>`) — each merge reads the latest
+    * snapshot that finished committing (parquet `_SUCCESS` marker), so a
+    * write torn by a crash is simply skipped, never read back as an
+    * empty mapping (which would silently drop every earlier group). The
+    * merge itself is a fixpoint: re-merging an already-merged batch
     * reconstructs the same components (stars already contain the batch's
-    * docs; the delta edges are a subset), so the mapping is unchanged.
+    * docs; the delta edges are a subset), so replay leaves the mapping
+    * unchanged.
     */
   def incrementalDedupStream(spark: SparkSession, docsStream: DataFrame,
                              artifactsDir: String, checkpoint: String)
@@ -218,23 +224,37 @@ object Streaming {
         newBands.write.mode("overwrite")
           .parquet(s"$artifactsDir/bands/batch=$batchId")
         val allBands = sess.read.parquet(s"$artifactsDir/bands/batch=*")
-        val canonPath = s"$artifactsDir/canon.parquet"
-        val existing =
-          try sess.read.parquet(canonPath)
-          catch { case scala.util.control.NonFatal(_) =>
-            sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("doc_id",
-                  org.apache.spark.sql.types.LongType),
-                org.apache.spark.sql.types.StructField("canonical_id",
-                  org.apache.spark.sql.types.LongType))))
-          }
+        val existing = latestCanonSnapshot(sess, artifactsDir).getOrElse(
+          sess.createDataFrame(sess.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("canonical_id",
+                org.apache.spark.sql.types.LongType)))))
         val merged = graft.operators.IncrementalDedup
           .mergeBatch(existing, newBands, allBands, "doc_id")
-          .localCheckpoint(true) // cut lineage BEFORE overwriting the input
-        merged.write.mode("overwrite").parquet(canonPath)
+          .localCheckpoint(true) // cut lineage off the snapshot being read
+        merged.write.mode("overwrite")
+          .parquet(s"$artifactsDir/canon/batch=$batchId")
       }
       .start()
+  }
+
+  /** Latest canonical-mapping snapshot whose parquet commit COMPLETED
+    * (`_SUCCESS` present) — torn writes are skipped, not read as empty.
+    */
+  def latestCanonSnapshot(spark: SparkSession,
+                          artifactsDir: String): Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$artifactsDir/canon")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return None
+    val committed = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .sortBy(_.getName.stripPrefix("batch=").toLong)
+    committed.lastOption.map(p => spark.read.parquet(p.toString))
   }
 
   /** Stream-stream inner join with a time bound: pair each left event

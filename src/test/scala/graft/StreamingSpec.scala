@@ -205,7 +205,12 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streaming.incrementalDedupStream(spark, in,
       s"$work/artifacts", s"$work/ckpt")
     q.awaitTermination(300000)
-    val got = spark.read.parquet(s"$work/artifacts/canon.parquet")
+    // a torn (no _SUCCESS) later snapshot must be skipped, not read empty
+    val torn = new java.io.File(s"$work/artifacts/canon/batch=99")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/artifacts/canon/batch=99/part-0.parquet"), "torn")
+    val got = Streaming.latestCanonSnapshot(spark, s"$work/artifacts").get
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val full = graft.operators.ConnectedComponents.canonicalize(
       TextOps.candidatePairs(TextOps.lshBands(
