@@ -277,18 +277,25 @@ object MlQueries {
   /** Persisted-quantizer store path, content-keyed: a production ANN tier
     * trains codebooks once and serves many sessions from the stored
     * artifact ([[graft.kmeans.ModelStore]]). The key fingerprints the
-    * corpus (dir + row count + id sum + dimensionality) so regenerated
-    * testdata can never serve a stale codebook; the fingerprint probe is
-    * one bounded aggregate, memoized per session.
+    * corpus — dir + row count + id sum + dimensionality + a VALUE
+    * checksum (order-independent long sum of per-row crc32s, so it is
+    * deterministic across parallelism levels) — and the caller appends
+    * its fit hyperparameters to the artifact name, so neither
+    * regenerated testdata (same layout, new values) nor a k/iters
+    * change can ever serve a stale codebook. One bounded aggregate,
+    * memoized per session.
     */
   private val modelKeyCache =
     new scala.collection.concurrent.TrieMap[(String, String), String]()
   private def modelPath(s: SparkSession, dir: String, name: String): String = {
     val key = modelKeyCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val r = emb(s, dir).agg(count(lit(1)), sum(col("id")),
-        first(size(col("features")))).head()
+        first(size(col("features"))),
+        sum(crc32(concat_ws(",", col("id"),
+          element_at(col("features"), 1), element_at(col("features"), -1))))).head()
       java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|${r.getLong(0)}|${r.getLong(1)}|${r.getInt(2)}".getBytes("UTF-8"))
+        .digest(s"$dir|${r.getLong(0)}|${r.getLong(1)}|${r.getInt(2)}|${r.getLong(3)}"
+          .getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     })
     s"${sys.props("java.io.tmpdir")}/graft_models/$key/$name.parquet"
@@ -444,7 +451,7 @@ object MlQueries {
     ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       // load-if-persisted, train-and-persist otherwise: a second cold
       // session serves the identical quantizer without refitting
-      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "ivf"),
+      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "ivf-k8-i3"),
         Array(KMeans.fit(emb(s, dir), k = 8, iters = 3))).head)
 
   /** IVF top-3 per query with the running cosine: nearest-`nprobe`-cells
@@ -939,7 +946,8 @@ object MlQueries {
     */
   private def pqModels(s: SparkSession, dir: String): Array[KMeans.Model] =
     pqCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "pq"), {
+      graft.kmeans.ModelStore.getOrFit(s,
+        modelPath(s, dir, s"pq-m$PqM-d$PqDsub-k$PqK-i$PqIters"), {
       val e = emb(s, dir)
       val probe = e.agg(count(lit(1)).as("n"),
         first(size(col("features"))).as("d")).head()

@@ -698,8 +698,11 @@ object TextQueries {
     * SQL on the raw table.
     */
   val multimodalFeatures = Q("q_multimodal_features",
+    // stub-only: this query's oracle IS the stub's closed form, and a
+    // text blob may legitimately start with an ASCII image signature
     (s, dir) => graft.multimodal.Multimodal.extractImageFeatures(
-        graft.multimodal.Multimodal.mediaFromDocuments(s, dir))
+        graft.multimodal.Multimodal.mediaFromDocuments(s, dir),
+        preferHeader = false)
       .toDF(),
     Some("""SELECT doc_id AS id,
            | CAST(('0x' || substring(md5(text), 1, 4))::BIGINT % 1920 AS INT) AS width,

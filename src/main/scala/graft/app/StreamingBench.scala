@@ -61,6 +61,11 @@ object StreamingBench {
       StructField("ts", TimestampType)))
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+    // recentProgress keeps only the last N entries (default 100); with
+    // one batch per file, a large `files` run would silently truncate
+    // rowsIn / maxStateRows — retain every batch's progress
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (files + 16).toString)
     val t0 = System.nanoTime()
     val q = Streaming.nearDupStream(in, "text", "ts", "10 minutes")
       .writeStream.outputMode("append")

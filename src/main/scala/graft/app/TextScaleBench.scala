@@ -138,13 +138,14 @@ object TextScaleBench {
     val verified = TextOps.jaccardOverPairs(sh, "doc_id", cand)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
-    // execute THIS QueryExecution (count() would plan its own) so the
-    // final adaptive plan is inspectable for skew-split joins
-    val nDup = verified.queryExecution.toRdd.count()
+    // the eager localCheckpoint executes THIS QueryExecution exactly once
+    // (a count() would plan its own), so the adaptive plan below is the
+    // final executed one and the verify stage is paid for a single time
+    val dupPairs = verified.localCheckpoint(true)
+    val nDup = dupPairs.count() // cheap: counts the checkpointed blocks
     val skewSplits = "skew=true".r
       .findAllIn(verified.queryExecution.executedPlan.toString).length
     spark.sparkContext.removeSparkListener(listener)
-    val dupPairs = verified.localCheckpoint(true)
     val t3 = System.nanoTime()
     val groups = ConnectedComponents.canonicalize(dupPairs)
     // every planted doc must land in one group keyed by the first planted

@@ -139,10 +139,19 @@ object TextOps {
     * any single key's output linearly. With no hot bucket the output is
     * identical to the unguarded join (oracle-checked).
     */
+  /** Per-(band, bucket) census: member count and the min-id hub — the
+    * SHARED input of every hot-bucket guard (batch candidate generation
+    * here and the incremental crawl-merge in
+    * [[graft.operators.IncrementalDedup]]). One definition, so the
+    * incremental ≡ full-recompute equivalence cannot drift.
+    */
+  def bucketCensus(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
+
   def candidatePairs(bands: DataFrame, idCol: String,
                      hotThreshold: Int = hotBucketThreshold): DataFrame = {
-    val sizes = bands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
+    val sizes = bucketCensus(bands, idCol)
     // corpus-scale × corpus-scale: pin the shuffled merge join (see
     // [[pairOverlap]] — static broadcast here killed the 100× probe)
     val sized = bands.join(sizes.hint("shuffle_merge"), Seq("band", "bucket"))

@@ -82,25 +82,32 @@ object Multimodal {
 
     /** JPEG: walk the marker segments to the first frame header (SOF0-15
       * except DHT/JPG/DAC): height/width at +5/+7, components at +9.
+      * 0xFF fill (padding) bytes before a marker are legal and skipped;
+      * the walk stops at SOS (entropy-coded data follows, a frame header
+      * cannot) and EOI.
       */
     def decodeJpeg(a: Array[Byte]): Option[(Int, Int, Int)] = {
       if (a.length < 4 || u8(a(0)) != 0xff || u8(a(1)) != 0xd8) return None
       var i = 2
       while (i + 3 < a.length) {
         if (u8(a(i)) != 0xff) return None
-        val marker = u8(a(i + 1))
-        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) {
-          i += 2 // standalone markers carry no length
+        var j = i + 1
+        while (j < a.length && u8(a(j)) == 0xff) j += 1 // fill bytes
+        if (j + 2 >= a.length) return None
+        val marker = u8(a(j))
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 1 // standalone markers carry no length
         } else {
-          val len = be16(a, i + 2)
+          val len = be16(a, j + 1)
           if (len < 2) return None
           val isSof = marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc
           if (isSof) {
-            if (i + 9 >= a.length) return None
-            return Some((be16(a, i + 7), be16(a, i + 5), u8(a(i + 9))))
+            if (j + 8 >= a.length) return None
+            return Some((be16(a, j + 6), be16(a, j + 4), u8(a(j + 8))))
           }
-          i += 2 + len
+          i = j + 1 + len
         }
       }
       None
@@ -162,16 +169,22 @@ object Multimodal {
 
   /** Batched decode + feature extraction: one partition = one batch, the
     * decoder is invoked inside the executor iterator (mapInPandas shape).
-    * Blobs with a real PNG/JPEG/GIF header get their ACTUAL dimensions
-    * ([[HeaderCodec]]); anything else falls back to the deterministic
-    * stub (the raw-text testdata adapter produces such blobs).
+    * With `preferHeader` (the default — the real metadata pass), blobs
+    * with a real PNG/JPEG/GIF header get their ACTUAL dimensions
+    * ([[HeaderCodec]]) and anything else falls back to the deterministic
+    * stub. Pass `preferHeader = false` for stub-only decoding — the
+    * raw-text adapter's oracle-checked queries need it, because a text
+    * blob can legitimately START with an ASCII image signature ("GIF89a
+    * is a format...") and must not be header-parsed there.
     */
-  def extractImageFeatures(ds: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+  def extractImageFeatures(ds: Dataset[MediaRow],
+                           preferHeader: Boolean = true): Dataset[ImageFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { batch =>
       batch.map { row =>
-        val (w, h, c) = HeaderCodec.decodeImage(row.content)
-          .getOrElse(StubCodec.decodeImage(row.content))
+        val (w, h, c) =
+          (if (preferHeader) HeaderCodec.decodeImage(row.content) else None)
+            .getOrElse(StubCodec.decodeImage(row.content))
         ImageFeatures(row.id, w, h, c, row.content.length.toLong,
           StubCodec.brightness(row.content))
       }

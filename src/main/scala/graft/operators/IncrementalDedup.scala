@@ -55,13 +55,14 @@ object IncrementalDedup {
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id").as("src"), col("canonical_id").as("dst"))
 
-    // same skew guard as candidatePairs, on the MERGED bucket census: a
-    // batch doc landing in a degenerate bucket must not fan out to every
+    // same skew guard as candidatePairs, on the MERGED bucket census
+    // (the census definition is SHARED — TextOps.bucketCensus — so the
+    // incremental ≡ full-recompute equivalence cannot drift): a batch
+    // doc landing in a degenerate bucket must not fan out to every
     // member. Hot buckets connect all their members to the bucket hub
     // (component-preserving, linear); base-only hub edges are redundant
     // with the stars but harmless to CC.
-    val sizes = allBands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
+    val sizes = graft.functions.TextOps.bucketCensus(allBands, idCol)
     val sizedNew = newBands.join(sizes.hint("shuffle_merge"), Seq("band", "bucket"))
     val coldNew = sizedNew.filter(col("__n") <= hotThreshold)
       .select(col("band"), col("bucket"), col(idCol))

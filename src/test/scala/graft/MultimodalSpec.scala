@@ -84,6 +84,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(HeaderCodec.decodeGif(gif).contains((320, 240, 3)))
     // raw text is no image: falls through to None (stub handles it)
     assert(HeaderCodec.decodeImage("not an image".getBytes).isEmpty)
+    // legal 0xFF fill bytes before markers must be skipped, not parsed
+    val filled = b(0xff, 0xd8, 0xff, 0xff, 0xff, 0xe0, 0x00, 0x10) ++
+      Array.fill[Byte](14)(0) ++
+      b(0xff, 0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0x4d, 0x01, 0x01, 3) ++
+      Array.fill[Byte](9)(0)
+    assert(HeaderCodec.decodeJpeg(filled).contains((257, 333, 3)))
+    // the walk stops at SOS/EOI instead of scanning entropy-coded data
+    val truncated = b(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0) ++
+      Array.fill[Byte](32)(0x42)
+    assert(HeaderCodec.decodeJpeg(truncated).isEmpty)
+  }
+
+  test("stub-oracled features path never header-parses text blobs") {
+    val s = spark
+    import s.implicits._
+    // a TEXT document that legitimately starts with an ASCII image
+    // signature — the GIF89a signature is plain text, so this happens
+    // in real corpora ("GIF89a is a format...")
+    val trap = "GIF89a is an image format from 1989 that supports animation"
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", trap.getBytes("UTF-8"), Map.empty))
+      .toDS()
+    // header-first parses it as a (garbage-dimension) GIF...
+    assert(HeaderCodec.decodeImage(trap.getBytes("UTF-8")).nonEmpty)
+    // ...so the stub-oracled query path must force stub-only decoding
+    val stubOnly = Multimodal.extractImageFeatures(media, preferHeader = false)
+      .collect().head
+    val expected = StubCodec.decodeImage(trap.getBytes("UTF-8"))
+    assert((stubOnly.width, stubOnly.height, stubOnly.channels) == expected)
   }
 
   test("planted-header media: engine recovers the real planted dimensions") {
