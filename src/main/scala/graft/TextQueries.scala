@@ -1253,6 +1253,48 @@ object TextQueries {
             |    AS BIGINT)) AS weight_micro
             |FROM b, t""".stripMargin))
 
+  /** APPLYING the training mixture — the step after q_source_mix
+    * computes per-source resampling weights: each document keeps with
+    * probability weight via a deterministic md5 coin (hash-bucket <
+    * weight in micro-units), so the sampled corpus is reproducible
+    * row-for-row and the realized per-source keep counts track the
+    * weights. The |sources|-row weight table broadcasts back onto the
+    * corpus scan — one map-side join, no shuffle of the documents.
+    */
+  val applyMixture = Q("q_apply_mixture",
+    (s, dir) => {
+      val w = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val weights = docs(s, dir)
+        .select(col("source"), size(wordsCol).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(w))
+        .withColumn("nsrc", count(lit(1)).over(w))
+        .select(col("source"),
+          least(lit(1000000L),
+            floor(lit(1e6) * (col("tot").cast("double") / col("nsrc")) / col("n_tokens"))
+              .cast("long")).as("weight_micro"))
+      val coin = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 1000000L
+      docs(s, dir).select(col("doc_id"), col("source"))
+        .join(broadcast(weights), Seq("source"))
+        .select(col("doc_id"), col("source"), col("weight_micro"),
+          (coin < col("weight_micro")).cast("long").as("kept"))
+    },
+    Some(s"""WITH b AS (
+            |  SELECT source, CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+            |  FROM documents GROUP BY source),
+            |t AS (SELECT sum(n_tokens) AS tot, count(*) AS nsrc FROM b),
+            |wt AS (SELECT b.source,
+            |  least(1000000, CAST(floor(1e6 * (CAST(t.tot AS DOUBLE) / t.nsrc) / b.n_tokens)
+            |    AS BIGINT)) AS weight_micro
+            |  FROM b, t)
+            |SELECT d.doc_id, d.source, wt.weight_micro,
+            |  CAST(('0x' || substring(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 1000000
+            |    < wt.weight_micro AS BIGINT) AS kept
+            |FROM documents d JOIN wt USING (source)""".stripMargin))
+
   /** Array set algebra over the tokenized doc — distinct vocabulary,
     * which stopwords appear, and content-word count via set difference.
     * Pure map-side projection (codegen'd array kernels), zero shuffle.
@@ -1462,7 +1504,7 @@ object TextQueries {
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
     dupSpanFraction, bigramPredictability,
-    nearDedupKeep, sourceOverlap, sourceMix, arrayOps, tokenBudget,
+    nearDedupKeep, sourceOverlap, sourceMix, applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)
 }
