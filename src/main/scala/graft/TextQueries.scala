@@ -1011,6 +1011,83 @@ object TextQueries {
             |             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_frac_micro
             |FROM sh s JOIN dfreq d USING (sh) GROUP BY s.doc_id""".stripMargin))
 
+  /** C4/RefinedWeb-style span-level dedup — the cleanup stage that
+    * REWRITES documents rather than dropping them (dupSpanFraction is
+    * the diagnostic; this is the action). The text is cut into
+    * non-overlapping 8-token segments — the "line" granularity this
+    * newline-free corpus supports — and a segment survives iff it is
+    * the FIRST corpus-wide occurrence of its content (C4's rule: later
+    * duplicates of any span are removed) AND its content appears in
+    * fewer than 4 distinct documents (the boilerplate rule: ubiquitous
+    * lines — headers, footers, license banners — are removed even at
+    * their first occurrence). Each doc's surviving segments are
+    * re-joined in order; output is the rewritten text's md5 + length so
+    * an off-by-one in segmentation, ordering, or the keep rule goes
+    * hash-red.
+    *
+    * "First occurrence" is the lexicographic min of (doc_id, seg_idx),
+    * encoded as one BIGINT `doc_id * 100000 + g` so both engines take a
+    * plain min() (seg_idx < 100000 at any plausible doc length; a
+    * production run on unbounded ids would min a struct instead).
+    *
+    * Scale shape: segment census = one groupBy on the segment hash with
+    * map-side partial min/partial-distinct (no window — a window over a
+    * hot boilerplate hash would put every occurrence of "click here to
+    * subscribe" in ONE task; min-agg + join back keeps it partially
+    * aggregable), then one equi-join back (SHUFFLE_MERGE-pinned: the
+    * census has one row per DISTINCT segment, corpus-scale at 100 TB,
+    * never broadcastable; AQE skew-split handles hot hashes), then one
+    * doc_id regroup — the only shuffle that moves text.
+    */
+  val lineDedup = Q("q_line_dedup", {
+    val W = 8
+    (s, dir) => {
+      val segs = docs(s, dir)
+        .withColumn("__ws", wordsCol)
+        .withColumn("g", explode(sequence(lit(0),
+          ((size(col("__ws")) + lit(W - 1)) / lit(W)).cast("int") - 1)))
+        .select(col("doc_id"), col("g"),
+          concat_ws(" ", slice(col("__ws"), col("g") * W + 1, lit(W))).as("seg"))
+        .withColumn("h", md5(col("seg")))
+        .withColumn("pos", col("doc_id") * lit(100000L) + col("g"))
+      val census = segs.groupBy(col("h"))
+        .agg(min(col("pos")).as("min_pos"), countDistinct(col("doc_id")).as("df"))
+      segs.join(census.hint("shuffle_merge"), Seq("h"))
+        .withColumn("keep", col("pos") === col("min_pos") && col("df") < 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sort_array(collect_list(when(col("keep"),
+            struct(col("g"), col("seg"))))).as("__ks"))
+        .withColumn("__clean",
+          concat_ws(" ", transform(col("__ks"), x => x.getField("seg"))))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          md5(col("__clean")).as("clean_h"),
+          length(col("__clean")).cast("long").as("n_chars_clean"))
+    }
+  },
+    Some(s"""WITH ws AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+            |segs AS (
+            |  SELECT doc_id, g,
+            |    array_to_string(list_slice(ws, g * 8 + 1, g * 8 + 8), ' ') AS seg
+            |  FROM (SELECT doc_id, ws,
+            |          unnest(generate_series(0, (len(ws) + 7) // 8 - 1)) AS g
+            |        FROM ws)),
+            |pos AS (SELECT doc_id, g, seg, md5(seg) AS h,
+            |          doc_id * 100000 + g AS pos FROM segs),
+            |census AS (SELECT h, min(pos) AS min_pos,
+            |             count(DISTINCT doc_id) AS df FROM pos GROUP BY h),
+            |k AS (SELECT p.doc_id, p.g, p.seg,
+            |        (p.pos = c.min_pos AND c.df < 4) AS keep
+            |      FROM pos p JOIN census c USING (h))
+            |SELECT doc_id, count(*) AS n_segs,
+            |  count(CASE WHEN keep THEN 1 END) AS n_kept,
+            |  md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY g), ''))
+            |    AS clean_h,
+            |  CAST(length(coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY g), ''))
+            |    AS BIGINT) AS n_chars_clean
+            |FROM k GROUP BY doc_id""".stripMargin))
+
   /** Per-document mean conditional bigram probability under the corpus
     * MLE bigram model — a KenLM-style predictability/quality score
     * computed with no external model: P(w2|w1) = c(w1 w2) / c(w1 ·) over
@@ -1503,7 +1580,7 @@ object TextQueries {
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
-    dupSpanFraction, bigramPredictability,
+    dupSpanFraction, bigramPredictability, lineDedup,
     nearDedupKeep, sourceOverlap, sourceMix, applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)

@@ -120,6 +120,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus-scale shingle side must never broadcast:\n$p")
   }
 
+  test("q_line_dedup: census join is shuffle-merge, never broadcast, no cross join") {
+    // The segment census has one row per DISTINCT 8-token segment —
+    // corpus-scale at 100 TB, never broadcastable. The keep rule is
+    // min-agg + join back (partially aggregable) rather than a window,
+    // so a hot boilerplate hash cannot concentrate in one task.
+    val p = plan("q_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_line_dedup must not cross-join:\n$p")
+    assert("SortMergeJoin \\[h".r.findFirstIn(p).nonEmpty,
+      s"the census join must be a shuffle merge:\n$p")
+    assert("BroadcastHashJoin \\[h".r.findFirstIn(p).isEmpty,
+      s"the corpus-scale census must never broadcast:\n$p")
+    assert(!p.contains("Window"), s"keep rule must be agg+join, not a window:\n$p")
+  }
+
   test("q_embedding_outliers: centroid literals fold map-side — no join, one exchange") {
     val p = plan("q_embedding_outliers")
     assert(!p.contains("Join"), s"scoring pass must not join (centroids are literals):\n$p")
