@@ -698,6 +698,57 @@ object OlapQueries {
       .select(col("doc_id"), col("n_chars")),
     Some("SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100"))
 
+  /** Time-bucket gap-fill with forward fill — the densification step a
+    * metrics/feature pipeline runs before modeling: per user, hourly
+    * buckets from first to last observation, missing hours emitted with
+    * n_events = 0 and the last observed per-bucket max carried forward.
+    *
+    * The spine is generated per user from the (min, max) bucket
+    * aggregate — `sequence` + explode, bounded by the time horizon (one
+    * year of hours = 8.8k rows/user), never a calendar crossJoin against
+    * the user dimension. The fill is `last(ignoreNulls)` over a
+    * per-user window; partitions are horizon-bounded, so no global sort
+    * and no skew beyond the horizon itself. The filled value is emitted
+    * in floor-micro units (both engines forward-fill the identical
+    * double; floor is tie-free). The first spine bucket per user is an
+    * observed one by construction, so the fill is never NULL.
+    */
+  val gapFill = Q("q_gap_fill",
+    (s, dir) => {
+      val obs = Queries.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000 * 3600").as("bucket"),
+          col("value"))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(max(col("value")).as("v"), count(lit(1)).as("n_events"))
+      val spine = obs.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          floor(lit(1e6) * last(col("v"), ignoreNulls = true).over(w))
+            .cast("long").as("v_filled_micro"))
+    },
+    Some("""WITH obs AS (
+           |  SELECT user_id, epoch_ns(ts) // 3600000000000 * 3600 AS bucket,
+           |    max(value) AS v, count(*) AS n_events
+           |  FROM events GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket
+           |  FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+           |        FROM obs GROUP BY user_id))
+           |SELECT s.user_id, s.bucket, coalesce(o.n_events, 0) AS n_events,
+           |  CAST(floor(1e6 * last_value(o.v IGNORE NULLS) OVER (
+           |    PARTITION BY s.user_id ORDER BY s.bucket
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS BIGINT)
+           |    AS v_filled_micro
+           |FROM spine s LEFT JOIN obs o
+           |  ON s.user_id = o.user_id AND s.bucket = o.bucket""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
@@ -705,5 +756,6 @@ object OlapQueries {
     hashSample, approxDistinct, approxQuantiles, approxDistinctBound,
     approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
-    firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit)
+    firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,
+    gapFill)
 }

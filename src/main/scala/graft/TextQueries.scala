@@ -1215,6 +1215,62 @@ object TextQueries {
            |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
            |      FROM documents)""".stripMargin))
 
+  /** Train/test split-leakage audit — the eval-hygiene check after
+    * splitting: near-dup candidate pairs that STRADDLE the deterministic
+    * md5-bucket split (a test doc with a near-duplicate in train
+    * silently inflates eval scores). Each leaked pair is viewed from
+    * both sides, grouped by (own split, other split): the (test, train)
+    * row reads directly as "test docs with a near-dup in train"
+    * (n_docs) and how many such pairs touch them (n_pairs).
+    *
+    * Scale shape: the split table is a map-side projection of the doc
+    * scan; both joins onto the candidate-pair stream are pinned
+    * SHUFFLE_MERGE — the pair table derives from checkpointed LSH
+    * artifacts (planner size guesses) and the split table is
+    * corpus-scale, so neither side may statically broadcast. The final
+    * group is over a ≤ |splits|² key space.
+    */
+  val splitLeakage = Q("q_split_leakage",
+    (s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+      val splits = docs(s, dir).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      val leaked = lshCandidates(s, dir)
+        .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+          .hint("shuffle_merge"), Seq("doc_a"))
+        .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+          .hint("shuffle_merge"), Seq("doc_b"))
+        .filter(col("split_a") =!= col("split_b"))
+      leaked.select(col("doc_a").as("doc_id"),
+          col("split_a").as("split"), col("split_b").as("other_split"))
+        .unionAll(leaked.select(col("doc_b").as("doc_id"),
+          col("split_b").as("split"), col("split_a").as("other_split")))
+        .groupBy(col("split"), col("other_split"))
+        .agg(count(lit(1)).as("n_pairs"), countDistinct(col("doc_id")).as("n_docs"))
+    },
+    Some(s"""WITH $pairsCtes,
+            |sp AS (
+            |  SELECT doc_id,
+            |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            |  FROM (SELECT doc_id,
+            |          ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
+            |        FROM documents)),
+            |leaked AS (
+            |  SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+            |  FROM pairs p
+            |  JOIN sp sa ON p.doc_a = sa.doc_id
+            |  JOIN sp sb ON p.doc_b = sb.doc_id
+            |  WHERE sa.split <> sb.split),
+            |sided AS (
+            |  SELECT doc_a AS doc_id, split_a AS split, split_b AS other_split FROM leaked
+            |  UNION ALL
+            |  SELECT doc_b, split_b, split_a FROM leaked)
+            |SELECT split, other_split, count(*) AS n_pairs,
+            |  count(DISTINCT doc_id) AS n_docs
+            |FROM sided GROUP BY split, other_split""".stripMargin))
+
   /** The dedup *action* (dedupGroups is the analysis): the corpus that
     * survives near-dedup. Every doc maps to its connected-component
     * canonical (itself when it has no near-dup), and `kept` marks the
@@ -1579,7 +1635,7 @@ object TextQueries {
     multimodalRealMeta,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
-    minhashJaccardEst, containment, packSequences, trainSplit, groupCap,
+    minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage, groupCap,
     dupSpanFraction, bigramPredictability, lineDedup,
     nearDedupKeep, sourceOverlap, sourceMix, applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,

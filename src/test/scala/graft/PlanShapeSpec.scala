@@ -135,6 +135,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"keep rule must be agg+join, not a window:\n$p")
   }
 
+  test("q_split_leakage: pair/split joins are shuffle-merge, never broadcast") {
+    // The candidate-pair table derives from checkpointed LSH artifacts
+    // (planner size guesses) and the split table is corpus-scale — a
+    // static broadcast of either is the driver-OOM class the 100× probe
+    // caught. Both joins are hint-pinned.
+    val p = plan("q_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_split_leakage must not cross-join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"neither corpus-scale join side may broadcast:\n$p")
+    assert("SortMergeJoin \\[doc_".r.findFirstIn(p).nonEmpty,
+      s"the pair/split joins must be shuffle merges:\n$p")
+  }
+
   test("q_embedding_outliers: centroid literals fold map-side — no join, one exchange") {
     val p = plan("q_embedding_outliers")
     assert(!p.contains("Join"), s"scoring pass must not join (centroids are literals):\n$p")
