@@ -1215,6 +1215,39 @@ object TextQueries {
            |        ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 100 AS b
            |      FROM documents)""".stripMargin))
 
+  /** Deterministic epoch shuffle + shard assignment — how a training
+    * run ORDERS the corpus: each epoch permutes documents by
+    * md5(epoch|doc_id) and routes them to one of 16 shards by the same
+    * key, so every worker can recompute the exact byte order of any
+    * shard of any epoch from the seed alone (no stored permutation, no
+    * coordination). Emitted per (epoch, doc) for two epochs: the shard
+    * and the hex order key; sorting a shard by `ord` IS the serving
+    * order, and the same doc lands in different (shard, position) each
+    * epoch.
+    *
+    * Deliberately NO per-shard row_number: a rank window partitioned by
+    * shard would put corpus/16 rows in one task at 100 TB. Order is
+    * carried by the key; `PartitionedSink.writeEpochShards` materializes
+    * it via repartition + sortWithinPartitions (tested in
+    * OperatorsSpec), which is the actual production write path. The
+    * query itself is one map-side projection — zero shuffle,
+    * plan-pinned.
+    */
+  val epochShuffle = Q("q_epoch_shuffle",
+    (s, dir) => docs(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(1))).as("epoch"))
+      .withColumn("__h", md5(concat(col("epoch").cast("string"), lit("|"),
+        col("doc_id").cast("string"))))
+      .select(col("epoch"), col("doc_id"),
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % 16).as("shard"),
+        col("__h").as("ord")),
+    Some("""SELECT e.epoch, d.doc_id,
+           |  ('0x' || substring(md5(e.epoch::VARCHAR || '|' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+           |    % 16 AS shard,
+           |  md5(e.epoch::VARCHAR || '|' || d.doc_id::VARCHAR) AS ord
+           |FROM documents d
+           |CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) e""".stripMargin))
+
   /** Train/test split-leakage audit — the eval-hygiene check after
     * splitting: near-dup candidate pairs that STRADDLE the deterministic
     * md5-bucket split (a test doc with a near-duplicate in train
@@ -1635,7 +1668,8 @@ object TextQueries {
     multimodalRealMeta,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
-    minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage, groupCap,
+    minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
+    epochShuffle, groupCap,
     dupSpanFraction, bigramPredictability, lineDedup,
     nearDedupKeep, sourceOverlap, sourceMix, applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,

@@ -23,6 +23,23 @@ object PartitionedSink {
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(outDir)
 
+  /** Epoch-shard training layout: the materialization of
+    * `q_epoch_shuffle` — rows repartitioned by (epoch, shard) and sorted
+    * by the md5 order key WITHIN partitions, written hive-partitioned as
+    * epoch=E/shard=S/. Each shard file's physical row order IS the
+    * epoch's serving order, reproducible from the seed alone; no global
+    * sort, no per-shard rank window (which would serialize corpus/16
+    * rows into one task at 100 TB).
+    */
+  def writeEpochShards(assignments: DataFrame, outDir: String,
+                       shards: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    assignments
+      .repartition(shards, col("epoch"), col("shard"))
+      .sortWithinPartitions("epoch", "shard", "ord")
+      .write.mode("overwrite").partitionBy("epoch", "shard").parquet(outDir)
+  }
+
   /** Bucketed catalog table: pre-shuffles once at write so repeated joins
     * and aggregations on the bucket key run with NO exchange — the
     * co-located-join layout for fact tables that are joined on the same

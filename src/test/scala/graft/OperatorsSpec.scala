@@ -226,4 +226,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"no pushed filter:\n${plan2.take(2000)}")
     assert(point.count() == li.filter(col("l_orderkey") === 1L).count())
   }
+
+  test("epoch-shard write: per-file order is the serving order; epochs permute") {
+    val assign = Queries.all.find(_.name == "q_epoch_shuffle").get
+      .fn(spark, "/root/testdata/sf0.001")
+    val dir = Files.createTempDirectory("epoch").toString
+    PartitionedSink.writeEpochShards(assign, dir)
+
+    // Every (epoch, shard) file reads back already sorted by the order
+    // key — the physical row order is the epoch's serving order.
+    import org.apache.spark.sql.functions.input_file_name
+    val rows = spark.read.parquet(dir)
+      .select(col("epoch"), col("shard"), col("ord"), col("doc_id"),
+        input_file_name().as("f"))
+      .collect()
+    rows.groupBy(r => r.getString(4)).foreach { case (f, rs) =>
+      val ords = rs.map(_.getString(2)).toSeq
+      assert(ords == ords.sorted, s"file $f not in serving order")
+    }
+
+    // Both epochs carry the full corpus, and the permutation differs:
+    // the same doc lands at a different (shard, position) in epoch 1.
+    val byEpoch = rows.groupBy(r => r.getInt(0))
+    assert(byEpoch.keySet == Set(0, 1))
+    assert(byEpoch(0).map(_.getLong(3)).toSet == byEpoch(1).map(_.getLong(3)).toSet)
+    def order(e: Int): Seq[Long] =
+      byEpoch(e).sortBy(r => (r.getInt(1), r.getString(2))).map(_.getLong(3)).toSeq
+    assert(order(0) != order(1), "epoch permutations must differ")
+  }
 }

@@ -135,6 +135,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"keep rule must be agg+join, not a window:\n$p")
   }
 
+  test("q_epoch_shuffle: one map-side projection — zero exchange, no join") {
+    val p = plan("q_epoch_shuffle")
+    assert(!p.contains("Exchange"), s"epoch assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"epoch assignment must not join:\n$p")
+  }
+
   test("q_split_leakage: pair/split joins are shuffle-merge, never broadcast") {
     // The candidate-pair table derives from checkpointed LSH artifacts
     // (planner size guesses) and the split table is corpus-scale — a
