@@ -161,6 +161,60 @@ object TextScaleBench {
       skewSplits, math.rint(maxTaskMs.get() / 100.0) / 10, nTasks.get())
   }
 
+  /** Boilerplate-hot-key probe for the q_line_dedup census path: plant
+    * `planted` docs that all SHARE one 8-token segment (each alongside a
+    * distinct unique segment), run the span-dedup rewrite, and measure
+    * that the hot segment hash — `planted` occurrences on one census
+    * key — neither stalls the census aggregation (min/distinct are
+    * partially aggregable map-side) nor the join back (1 census row ×
+    * planted seg rows, AQE-splittable under the shuffle-merge pin).
+    * Correctness: every planted doc must come out n_segs=2, n_kept=1 —
+    * the shared segment dropped by the df ≥ 4 boilerplate rule, the
+    * unique segment kept.
+    */
+  final case class BoilerResult(
+      docs: Long, base: Long, planted: Int, plantedClean: Long,
+      totalS: Double, maxTaskS: Double, tasks: Long)
+
+  def runBoiler(spark: SparkSession, docsPath: String, planted: Int,
+                partitions: Int): BoilerResult = {
+    val raw = spark.read.parquet(docsPath).select(col("doc_id"), col("text"))
+    val base = raw.count()
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    val boiler = (0 until 8).map(i => s"subscribefooter$i").mkString(" ")
+    val corpus = raw.union(
+        spark.range(planted).select((col("id") + maxId + 1).as("doc_id"),
+          concat(lit(boiler + " "), lit("uniq"), col("id").cast("string"),
+            lit(" filler word row value seven eight")).as("text")))
+      .repartition(partitions)
+      .localCheckpoint(true)
+    val n = corpus.count()
+
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
+        val d = t.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val out = graft.TextQueries.lineDedupOver(corpus).localCheckpoint(true)
+    // planted docs rewritten correctly: 2 segments in, only the unique one out
+    val plantedClean = out
+      .filter(col("doc_id") > maxId && col("n_segs") === 2 && col("n_kept") === 1)
+      .count()
+    val t1 = System.nanoTime()
+    spark.sparkContext.removeSparkListener(listener)
+    BoilerResult(n, base, planted, plantedClean,
+      math.rint((t1 - t0) / 1e8) / 10,
+      math.rint(maxTaskMs.get() / 100.0) / 10, nTasks.get())
+  }
+
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption.getOrElse("/root/testdata/sf0.1/documents.parquet")
     val copies = args.lift(1).map(_.toInt).getOrElse(20)
@@ -181,7 +235,15 @@ object TextScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.lift(2).contains("--skew")) {
+    if (args.lift(2).contains("--boiler")) {
+      val planted = args.lift(3).map(_.toInt).getOrElse(100000)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      val r = runBoiler(spark, docsPath, planted, cpus.toInt)
+      println(s"""{"mode":"boiler","docs":${r.docs},"base":${r.base},""" +
+        s""""planted":${r.planted},"planted_clean":${r.plantedClean},""" +
+        s""""total_s":${r.totalS},"max_task_s":${r.maxTaskS},"tasks":${r.tasks}}""")
+    } else if (args.lift(2).contains("--skew")) {
       val planted = args.lift(3).map(_.toInt).getOrElse(10000)
       // lower the AQE skew threshold so the probe proves the SPLIT fires
       // inside the pinned merge joins at probe scale (at 100 TB the
