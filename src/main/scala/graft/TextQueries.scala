@@ -122,6 +122,38 @@ object TextQueries {
             | len(list_distinct(regexp_extract_all(text, '$bpePattern'))) AS n_distinct_subtokens
             |FROM documents""".stripMargin))
 
+  /** BPE merge statistics — the counting core of tokenizer TRAINING
+    * (q_token_bpe applies a tokenization; this computes what a BPE
+    * trainer's first merge round computes): corpus-wide frequencies of
+    * adjacent character pairs within words, top-20 by count — the merge
+    * candidates. Occurrence-weighted (every position counts, not
+    * per-word distinct), deterministic (pair string tie-break).
+    *
+    * Scale shape: explode to (pair) occurrences map-side, one bounded
+    * aggregation (key space ≤ alphabet², with map-side partial
+    * counts), then TakeOrderedAndProject for the top-20 — each task
+    * keeps a local top-20, the driver merges; the pair stream never
+    * sorts globally.
+    */
+  val bpeMergeStats = Q("q_bpe_merge_stats",
+    (s, dir) => docs(s, dir)
+      .select(explode(wordsCol).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20),
+    Some(s"""WITH w AS (SELECT unnest($wordsSql) AS w FROM documents),
+            |p AS (
+            |  SELECT substring(w, i, 2) AS pair
+            |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+            |        FROM w WHERE length(w) >= 2))
+            |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+            |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
   private val stopLits = Seq("the", "a", "and", "of", "to", "in", "is", "on")
 
   val qualityScore = Q("q_quality_score",
@@ -1677,7 +1709,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
-    unicodePipeline, charEntropy, dedupReport,
+    unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, dedupIncremental, decontaminate, multimodalMeta, multimodalFeatures,
     multimodalRealMeta,
