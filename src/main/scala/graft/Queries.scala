@@ -478,5 +478,6 @@ object Queries {
     countDistinct_, eventsSlidingWindow, saltedJoin, quantiles,
     asofJoin, valueHistogram)
 
-  def all: Seq[Q] = relational ++ OlapQueries.all ++ TextQueries.all ++ MlQueries.all
+  def all: Seq[Q] = relational ++ OlapQueries.all ++ TextQueries.all ++ MlQueries.all ++
+    RetrievalQueries.all
 }

@@ -51,7 +51,7 @@ object TextQueries {
 
   /** Whitespace tokenization, trimmed — same on both engines. */
   private[graft] def wordsCol: Column = TextOps.words(col("text"))
-  private val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
+  private[graft] val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
 
   // ---------------------------------------------------------------------
   // Exact dedup (hash-groupBy)
