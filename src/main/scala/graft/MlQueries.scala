@@ -1202,11 +1202,106 @@ object MlQueries {
            |      ORDER BY cos_centroid, vec_id) AS rk
            |  FROM cos) WHERE rk <= 3""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the bandwidth-bound ANN tier
+  // ---------------------------------------------------------------------
+
+  /** Int8 scalar-quantized ANN — the tier between raw floats and PQ
+    * codes: each dimension is affinely mapped to an 8-bit code against
+    * per-dimension corpus min/max (8× compression vs float32, no
+    * codebook training), queries stay exact (asymmetric), the shortlist
+    * is ranked on the dequantized dot product, and only the top-10 per
+    * query are reranked with exact cosine.
+    *
+    * Scale shape: the quantizer is two bounded aggregates (64 dims →
+    * min/max), folded into the per-row encode/dequantize expressions as
+    * literals — the candidate scan carries codes only, map-side; the
+    * 5-query side broadcasts; exact vectors are touched only for the
+    * 10 shortlisted ids per query (the IVF/PQ rerank pattern).
+    */
+  val annSq8 = Q("q_ann_sq8",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val cand = e.filter(col("id") >= 5)
+        .select(col("id").as("cid"), col("features").as("ce"))
+      // per-dim ranges: bounded (64-row) aggregate → literal arrays
+      val dimRows = cand
+        .select(posexplode(col("ce")).as(Seq("i", "v")))
+        .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .orderBy(col("i")).collect()
+      val mnL = lit(dimRows.map(_.getDouble(1)))
+      val mxL = lit(dimRows.map(_.getDouble(2)))
+      def loAt(i: Column) = element_at(mnL, (i + 1).cast("int"))
+      def hiAt(i: Column) = element_at(mxL, (i + 1).cast("int"))
+      // encode map-side: the stored representation is 64 bytes, not floats
+      val codes = cand.select(col("cid"),
+        transform(col("ce"), (v, i) =>
+          when(hiAt(i) === loAt(i), lit(0L)).otherwise(
+            least(greatest(floor((v - loAt(i)) / (hiAt(i) - loAt(i)) * 255),
+              lit(0L)), lit(255L)))).as("codes"))
+      val q = e.filter(col("id") < 5)
+        .select(col("id").as("qid"), col("features").as("qe"))
+      // asymmetric approximate dot: dequantize to bucket centers
+      val recon = transform(col("codes"), (c, i) =>
+        loAt(i) + (c + lit(0.5)) * (hiAt(i) - loAt(i)) / lit(256))
+      val adot = aggregate(zip_with(col("qe"), col("recon"), _ * _),
+        lit(0.0), _ + _)
+      val wA = Window.partitionBy(col("qid")).orderBy(col("adot").desc, col("cid"))
+      val short = codes.crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("recon", recon)
+        .withColumn("adot", adot)
+        .withColumn("srn", row_number().over(wA))
+        .filter(col("srn") <= 10)
+        .select(col("qid"), col("cid"))
+      val wR = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      short.join(cand, Seq("cid"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("cos", cosine(col("ce"), col("qe")))
+        .withColumn("rn", row_number().over(wR).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos_sim"), col("rn"))
+    },
+    Some(s"""WITH cand AS (
+            |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+            |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            |dims AS (
+            |  SELECT t.i AS i, min(CAST(ce[t.i] AS DOUBLE)) AS mn,
+            |    max(CAST(ce[t.i] AS DOUBLE)) AS mx
+            |  FROM cand, generate_series(1, $D) AS t(i) GROUP BY t.i),
+            |da AS (SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dims),
+            |ad AS (
+            |  SELECT q.qid, c.cid,
+            |    list_sum(list_transform(generate_series(1, $D), i ->
+            |      CAST(q.qe[i] AS DOUBLE) * (a.mnl[i] +
+            |        (CASE WHEN a.mxl[i] = a.mnl[i] THEN 0
+            |              ELSE least(greatest(CAST(floor((CAST(c.ce[i] AS DOUBLE) - a.mnl[i])
+            |                / (a.mxl[i] - a.mnl[i]) * 255) AS BIGINT), 0), 255) END
+            |         + 0.5e0) * (a.mxl[i] - a.mnl[i]) / 256))) AS adot
+            |  FROM cand c, q, da a WHERE c.cid <> q.qid),
+            |sl AS (SELECT qid, cid FROM (
+            |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            |    ORDER BY adot DESC, cid) AS srn FROM ad) WHERE srn <= 10),
+            |rr AS (
+            |  SELECT s.qid, s.cid,
+            |    sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)) AS dot,
+            |    sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS nq,
+            |    sum(CAST(c.ce[t.i] AS DOUBLE) * CAST(c.ce[t.i] AS DOUBLE)) AS nc
+            |  FROM sl s JOIN cand c ON c.cid = s.cid JOIN q ON q.qid = s.qid,
+            |       generate_series(1, $D) AS t(i)
+            |  GROUP BY s.qid, s.cid)
+            |SELECT qid, cid, round(dot / (sqrt(nq) * sqrt(nc)), 6) AS cos_sim, rn FROM (
+            |  SELECT qid, cid,
+            |    row_number() OVER (PARTITION BY qid
+            |      ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn,
+            |    dot, nq, nc
+            |  FROM rr) WHERE rn <= 3""".stripMargin))
+
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     semanticKnn, semanticDedup,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
     embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
-    embeddingOutliers, annPq, annPqRecall)
+    embeddingOutliers, annPq, annPqRecall, annSq8)
 }

@@ -262,30 +262,40 @@ object RetrievalQueries {
     * corpus-wide); the distinct + count is a partially-aggregable
     * per-doc aggregate.
     */
+  private val winK = 3
+  private val winW = 4
+
+  /** The per-document winnowing selection — (doc_id, wmin) distinct
+    * selected k-gram hashes — over an arbitrary (doc_id, text) corpus.
+    * Shared with `RetrievalSpec`, which plants a ≥ k+w−1-token shared
+    * run in two otherwise-different docs and asserts the guarantee (at
+    * least one common selected hash).
+    */
+  private[graft] def winnowingSelected(docsDf: DataFrame): DataFrame = {
+    val pos = docsDf
+      .select(col("doc_id"), TextOps.words(col("text")).as("__ws"))
+      .filter(size(col("__ws")) >= winK + winW - 1)
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("nw"), explode(
+        transform(sequence(lit(1), size(col("__ws")) - lit(winK - 1)),
+          i => struct(i.as("i"),
+            md5(concat_ws(" ", slice(col("__ws"), i, lit(winK)))).as("h")))).as("p"))
+      .select(col("doc_id"), col("nw"), col("p.i").as("i"), col("p.h").as("h"))
+    val wm = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.currentRow, winW - 1)
+    pos.withColumn("wmin", min(col("h")).over(wm))
+      // truncated trailing windows are not real windows
+      .filter(col("i") <= col("nw") - lit(winK - 1) - lit(winW - 1))
+      .select(col("doc_id"), col("nw"), col("wmin"))
+  }
+
   val winnowing = Q("q_winnowing",
-    (s, dir) => {
-      val k = 3
-      val wWin = 4
-      val pos = docs(s, dir)
-        .select(col("doc_id"), wordsCol.as("__ws"))
-        .filter(size(col("__ws")) >= k + wWin - 1)
-        .select(col("doc_id"), size(col("__ws")).cast("long").as("nw"), explode(
-          transform(sequence(lit(1), size(col("__ws")) - lit(k - 1)),
-            i => struct(i.as("i"),
-              md5(concat_ws(" ", slice(col("__ws"), i, lit(k)))).as("h")))).as("p"))
-        .select(col("doc_id"), col("nw"), col("p.i").as("i"), col("p.h").as("h"))
-      val wm = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-        .rowsBetween(Window.currentRow, wWin - 1)
-      pos.withColumn("wmin", min(col("h")).over(wm))
-        // truncated trailing windows are not real windows
-        .filter(col("i") <= col("nw") - lit(k - 1) - lit(wWin - 1))
-        .groupBy(col("doc_id"))
-        .agg((max(col("nw")) - lit(k - 1)).as("n_hashes"),
-          countDistinct(col("wmin")).as("n_selected"))
-        .select(col("doc_id"), col("n_hashes"), col("n_selected"),
-          floor(lit(1e6) * col("n_selected") / col("n_hashes"))
-            .cast("long").as("density_micro"))
-    },
+    (s, dir) => winnowingSelected(docs(s, dir))
+      .groupBy(col("doc_id"))
+      .agg((max(col("nw")) - lit(winK - 1)).as("n_hashes"),
+        countDistinct(col("wmin")).as("n_selected"))
+      .select(col("doc_id"), col("n_hashes"), col("n_selected"),
+        floor(lit(1e6) * col("n_selected") / col("n_hashes"))
+          .cast("long").as("density_micro")),
     Some(s"""WITH pos AS (
             |  SELECT doc_id, len(ws) AS nw, i,
             |    md5(array_to_string(list_slice(ws, i, i + 2), ' ')) AS h

@@ -1433,6 +1433,58 @@ object TextQueries {
             |FROM i JOIN n na ON na.source = i.src_a
             |       JOIN n nb ON nb.source = i.src_b""".stripMargin))
 
+  /** WHICH crawls duplicate each other: the verified near-dup pairs
+    * (exact Jaccard ≥ 0.8 over the LSH candidates) aggregated into a
+    * source-pair matrix — the report that tells a pipeline operator
+    * "source A is 40% re-hosted source B" before deciding a keep
+    * policy. Per-pair Jaccard is micro-floored BEFORE the sum so the
+    * aggregate is an exact long.
+    *
+    * Scale shape: the verify stage is the already-bucketed LSH pipeline
+    * (never all-pairs); the two source lookups are doc_id equi-joins
+    * pinned SHUFFLE_MERGE (the candidate table is corpus-scale, the
+    * document table certainly is); the final key space is |sources|².
+    */
+  val crossSourceDups = Q("q_cross_source_dups",
+    (s, dir) => {
+      val a = artifacts(s, dir)
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val ver = TextOps.jaccardOverPairs(a.shingles, "doc_id", a.candidates)
+        .filter(col("jaccard") >= 0.8)
+      ver
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+          .hint("shuffle_merge"), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+          .hint("shuffle_merge"), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"),
+          floor(lit(1e6) * col("jaccard")).cast("long").as("jm"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("jm")).as("jaccard_micro_sum"))
+    },
+    Some(s"""WITH $pairsCtes,
+            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            |  GROUP BY p.doc_a, p.doc_b),
+            |ver AS (
+            |  SELECT i.doc_a, i.doc_b,
+            |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
+            |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+            |               JOIN cnt cb ON cb.doc_id = i.doc_b
+            |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8e0)
+            |SELECT least(da.source, db.source) AS source_a,
+            |  greatest(da.source, db.source) AS source_b,
+            |  count(*) AS n_pairs,
+            |  CAST(sum(CAST(floor(1e6 * v.jaccard) AS BIGINT)) AS BIGINT)
+            |    AS jaccard_micro_sum
+            |FROM ver v JOIN documents da ON da.doc_id = v.doc_a
+            |           JOIN documents db ON db.doc_id = v.doc_b
+            |GROUP BY 1, 2""".stripMargin))
+
   /** Training-mixture weights: per-source token share and the capped
     * resampling weight that moves the mix toward uniform-over-sources
     * (upweight small sources by tot/nsrc/n_tokens, never above 1 — the
@@ -1718,7 +1770,7 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
     epochShuffle, groupCap,
     dupSpanFraction, bigramPredictability, lineDedup,
-    nearDedupKeep, sourceOverlap, sourceMix, applyMixture, arrayOps, tokenBudget,
+    nearDedupKeep, sourceOverlap, crossSourceDups, sourceMix, applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)
 }

@@ -198,4 +198,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"star join must stay equi-join only:\n$p")
   }
+
+  test("q_bm25_search: inverted-index probe — term-filtered postings, top-k merge") {
+    val p = plan("q_bm25_search")
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 must stay equi/broadcast joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a per-task top-k merge, not a global sort:\n$p")
+    // the 3-term posting filter runs before the first aggregation
+    assert(p.contains("isin(") || p.contains("IN ("), s"term filter missing:\n$p")
+  }
+
+  test("q_cross_source_dups: source lookups shuffle-merge, never broadcast the corpus") {
+    // Both doc_id→source joins carry corpus-scale sides (verified pairs
+    // and the document table) — same static-broadcast hazard class as
+    // q_source_overlap; only the |sources|²-key aggregate is bounded.
+    val p = plan("q_cross_source_dups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"must not cross-join:\n$p")
+    assert("SortMergeJoin \\[doc".r.findFirstIn(p).nonEmpty,
+      s"the doc_id source joins must be shuffle merges:\n$p")
+    // pairOverlap's skew guard broadcasts BOUNDED hot-key id lists as
+    // LeftSemi/LeftAnti — allowed; what must never broadcast is a
+    // corpus-scale side of an INNER doc join
+    assert("BroadcastHashJoin \\[doc[^\\n]*Inner".r.findFirstIn(p).isEmpty,
+      s"the corpus-scale document side must never broadcast:\n$p")
+  }
+
+  test("q_winnowing: per-document window only — no join, no corpus-wide window") {
+    val p = plan("q_winnowing")
+    assert(!p.contains("Join"), s"winnowing is join-free:\n$p")
+    assert(p.contains("Window"), s"sliding min must be a window:\n$p")
+    // window partitions by doc_id → its exchange is hashpartitioning,
+    // never a single-partition global window
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"winnowing window must partition by document:\n$p")
+  }
+
+  test("q_ann_sq8: 5-query side broadcasts; codes computed map-side") {
+    val p = plan("q_ann_sq8")
+    assert(!p.contains("CartesianProduct"),
+      s"SQ8 scan × broadcast queries must not plan a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the bounded query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin [cid"), // rerank joins tiny shortlist
+      s"the shortlist rerank must not shuffle the candidate corpus twice:\n$p")
+  }
 }
