@@ -177,6 +177,41 @@ object TextQueries {
             | round(length(text) / CAST(len($wordsSql) AS DOUBLE), 6) AS avg_token_len
             |FROM documents""".stripMargin))
 
+  /** A fastText-style quality CLASSIFIER with fixed literal weights — the
+    * shape of the model-based keep/drop filters (pretrained quality /
+    * toxicity classifiers) that sit beside the rule-based screens in a
+    * curation pipeline: z = w·x over cheap per-doc features, score =
+    * sigmoid(z) in micro, keep at score ≥ 0.5 (⇔ z ≥ 0). Inference is a
+    * pure map-side projection — at 100 TB the classifier costs one scan,
+    * no shuffle, and the weights travel as plan literals (a real model's
+    * coefficient vector would too).
+    */
+  val qualityLogit = Q("q_quality_logit",
+    (s, dir) => {
+      val words = wordsCol
+      val stopArr = array(stopLits.map(lit): _*)
+      val nWords = size(words).cast("double")
+      val stopRatio = size(filter(words, w => array_contains(stopArr, w)))
+        .cast("double") / nWords
+      val avgLen = length(col("text")).cast("double") / nWords
+      // w0 + w_stop·stop_ratio + w_len·avg_token_len + w_n·ln(n_words)
+      val z = lit(-2.0) + lit(6.0) * stopRatio + lit(-0.2) * avgLen +
+        lit(0.35) * log(nWords)
+      docs(s, dir).select(
+        col("doc_id"),
+        floor(lit(1e6) / (lit(1.0) + exp(-z))).cast("long").as("score_micro"),
+        (z >= 0).cast("long").as("keep"))
+    },
+    Some {
+      val nw = s"CAST(len($wordsSql) AS DOUBLE)"
+      val stop = s"len(list_filter($wordsSql, w -> list_contains(['the','a','and','of','to','in','is','on'], w)))"
+      val z = s"(-2.0e0 + 6.0e0 * ($stop / $nw) + -0.2e0 * (length(text) / $nw) + 0.35e0 * ln($nw))"
+      s"""SELECT doc_id,
+         | CAST(floor(1e6 / (1.0e0 + exp(-$z))) AS BIGINT) AS score_micro,
+         | CAST(CASE WHEN $z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents""".stripMargin
+    })
+
   val langHistogram = Q("q_lang_histogram",
     (s, dir) => docs(s, dir)
       .groupBy(col("lang"), col("source"))
@@ -1485,6 +1520,78 @@ object TextQueries {
             |           JOIN documents db ON db.doc_id = v.doc_b
             |GROUP BY 1, 2""".stripMargin))
 
+  /** PageRank centrality over the near-dup candidate graph — which
+    * documents sit at the CENTER of duplication clusters (template
+    * pages, boilerplate hubs) vs the periphery; a curation signal for
+    * keep-policies beyond plain component membership.
+    *
+    * The iteration runs in FIXED-POINT (pr scaled by 10¹²): each edge
+    * contribution is `floor(pr / outdeg)` — a long — so the per-node
+    * in-sum is an INTEGER sum, order-independent by construction.
+    * Distributed float summation order (which varies run to run with
+    * partitioning) can therefore never perturb the result: the gate
+    * hash is stable at any parallelism, and the DuckDB oracle unrolls
+    * the identical integer recurrence. Teleport and damping multiply
+    * once per node per round (exact-double ops on < 2⁵³ values).
+    *
+    * Scale shape: each of the 3 rounds is one equi-join of the edge
+    * list with the rank table (both keyed on the node id) plus one
+    * partially-aggregable integer sum by destination — the canonical
+    * distributed PageRank round; the rank table carries one long per
+    * node.
+    */
+  val pagerank = Q("q_pagerank",
+    (s, dir) => {
+      val Scale = 1e12
+      val iters = 3
+      val nodes = docs(s, dir).select(col("doc_id"))
+      val nRow = nodes.agg(count(lit(1)).as("n"))
+      val cand = artifacts(s, dir).candidates
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var pr = nodes.crossJoin(broadcast(nRow))
+        .select(col("doc_id"), floor(lit(Scale) / col("n")).cast("long").as("pr"))
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst"), floor(col("pr") / col("deg")).cast("long").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        pr = nodes
+          .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("doc_id"),
+            (floor(lit(0.15) * lit(Scale) / col("n")).cast("long") +
+             floor(lit(0.85) * coalesce(col("m"), lit(0L))).cast("long")).as("pr"))
+      }
+      pr.select(col("doc_id"), col("pr").as("pagerank_fix"))
+    },
+    Some {
+      def round(i: Int): String =
+        s"""c$i AS (SELECT e.dst, CAST(sum(CAST(floor(p.pr / d.deg) AS BIGINT)) AS BIGINT) AS m
+           |  FROM e JOIN p${i - 1} p ON p.doc_id = e.src JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst),
+           |p$i AS MATERIALIZED (
+           |  SELECT doc_id, CAST(floor(0.15e0 * 1e12 / nn.n) AS BIGINT)
+           |    + CAST(floor(0.85e0 * coalesce(c$i.m, 0)) AS BIGINT) AS pr
+           |  FROM documents LEFT JOIN c$i ON c$i.dst = doc_id, nn)""".stripMargin
+      s"""WITH $pairsCtes,
+         |e AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p0 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(floor(1e12 / nn.n) AS BIGINT) AS pr
+         |  FROM documents, nn),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT doc_id, pr AS pagerank_fix FROM p3""".stripMargin
+    })
+
   /** Training-mixture weights: per-source token share and the capped
     * resampling weight that moves the mix toward uniform-over-sources
     * (upweight small sources by tot/nsrc/n_tokens, never above 1 — the
@@ -1760,7 +1867,8 @@ object TextQueries {
             |FROM t, x, nr""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, langHistogram, langId,
+    dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, qualityLogit,
+    pagerank, langHistogram, langId,
     unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
     dedupGroups, dedupIncremental, decontaminate, multimodalMeta, multimodalFeatures,

@@ -78,6 +78,33 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pagerank: isolated docs hold exactly the teleport mass; hubs strictly above") {
+    val rows = run("q_pagerank")
+    val n = rows.length
+    val teleport = math.floor(0.15 * 1e12 / n).toLong
+    assert(rows.forall(_.getLong(1) >= teleport),
+      "every node keeps at least the teleport mass")
+    // docs in no candidate pair receive no in-flow: pr == teleport exactly
+    val paired = Queries.all.find(_.name == "q_minhash_lsh_pairs").get
+      .fn(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    rows.filterNot(r => paired(r.getLong(0))).foreach { r =>
+      assert(r.getLong(1) == teleport, s"isolated doc must sit at teleport: $r")
+    }
+    assert(rows.filter(r => paired(r.getLong(0))).forall(_.getLong(1) > teleport),
+      "docs with in-edges must accumulate above teleport")
+  }
+
+  test("q_quality_logit: keep is exactly the score-threshold decision") {
+    val rows = run("q_quality_logit")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, keep) = (r.getLong(1), r.getLong(2))
+      assert(score >= 0 && score < 1000000, s"sigmoid micro out of range: $r")
+      assert((keep == 1) == (score >= 500000), s"keep must equal score ≥ 0.5: $r")
+    }
+  }
+
   test("q_corpus_diff: statuses partition the union of both snapshots") {
     val rows = run("q_corpus_diff")
     val byStatus = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
