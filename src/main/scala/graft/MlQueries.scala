@@ -200,6 +200,25 @@ object MlQueries {
          |$selects""".stripMargin
     }
 
+    /** Per-cluster profile for q_embedding_clusters: membership from
+      * `afin` (ties to the lowest cl, matching the engine argmin), the
+      * member's squared distance to its assigned center (≡ the engine's
+      * `array_min(distances)` — the assignment IS the argmin), floored
+      * to micro per member so the cluster sum is an integer sum.
+      */
+    val clustersSql: String =
+      s"""WITH $withClauses,
+         |mem AS (
+         |  SELECT a.vec_id, a.cl, ${sqdist("e.e", "c.e")} AS d2
+         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id
+         |              JOIN c$Iters c ON c.cl = a.cl)
+         |SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n,
+         |  CAST(sum(CAST(floor(1e6 * d2) AS BIGINT)) AS BIGINT) AS sse_micro,
+         |  min(vec_id) AS exemplar,
+         |  CAST(floor(CAST(sum(CAST(floor(1e6 * d2) AS BIGINT)) AS DOUBLE)
+         |             / count(*)) AS BIGINT) AS mean_dist2_micro
+         |FROM mem GROUP BY cl""".stripMargin
+
     /** Self-kNN (k=1) within quantizer cells: every vector's nearest
       * same-cell neighbour — replicates the engine's IVF 1-probe kNN
       * join with identical tie-breaks. Vectors alone in their cell emit
@@ -1297,11 +1316,35 @@ object MlQueries {
             |    dot, nq, nc
             |  FROM rr) WHERE rn <= 3""".stripMargin))
 
+  /** Cluster-profile curation (DataComp/DoReMi-style domain discovery):
+    * partition the embedding corpus with the SAME deterministic k=8
+    * coarse quantizer the IVF tier persists, and profile each cluster —
+    * size, integer-summed dispersion (per-member floor-micro squared
+    * distance, so the sum is parallelism-proof), mean dispersion, and
+    * the lowest-id exemplar. This is the map a curation pipeline uses to
+    * spot collapsed/degenerate domains and set per-domain sampling
+    * weights; at 100 TB it is one map-side assign (centers are plan
+    * literals) plus an 8-key partial+final aggregate — no shuffle of
+    * vectors. Shares (and warms) the persisted quantizer with q_ann_ivf.
+    */
+  val embeddingClusters = Q("q_embedding_clusters",
+    (s, dir) => {
+      val model = ivfModel(s, dir)
+      model.assign(emb(s, dir), "features", withDist = true)
+        .groupBy(col("label").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(lit(1e6) * col("dist2")).cast("long")).as("sse_micro"),
+          min(col("id")).as("exemplar"))
+        .withColumn("mean_dist2_micro",
+          floor(col("sse_micro").cast("double") / col("n")).cast("long"))
+    },
+    Some(IvfOracle.clustersSql))
+
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     semanticKnn, semanticDedup,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
     embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
-    embeddingOutliers, annPq, annPqRecall, annSq8)
+    embeddingOutliers, annPq, annPqRecall, annSq8, embeddingClusters)
 }

@@ -388,6 +388,64 @@ object TextQueries {
             |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
             |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
 
+  /** Measured recall of the MinHash-LSH banding scheme vs exact-Jaccard
+    * ground truth — the evaluation the ANN tier already gets
+    * (`q_ann_ivf_recall`) applied to the dedup tier: for each Jaccard
+    * threshold t ∈ {0.50, 0.70, 0.80, 0.90}, how many truly-similar
+    * pairs exist, and how many of them the band buckets surfaced. Ground
+    * truth is the exact Jaccard over the full co-shingle universe (pairs
+    * sharing ≥ 1 shingle) — O(pairs) like the ANN brute-force baseline,
+    * kept ONLY as the evaluation reference, never the scale path. The
+    * threshold doubles are derived as pct/100.0 on BOTH engines so the
+    * boundary comparisons are bit-identical; outputs are integer counts
+    * and a floor-micro recall.
+    */
+  val minhashRecall = Q("q_minhash_recall",
+    (s, dir) => {
+      val sh = artifacts(s, dir).shingles
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+      val det = artifacts(s, dir).candidates
+        .select(col("doc_a"), col("doc_b")).withColumn("det", lit(1))
+      truth.join(det, Seq("doc_a", "doc_b"), "left")
+        .withColumn("pct", explode(array(Seq(50, 70, 80, 90).map(lit): _*)))
+        .filter(col("j") >= col("pct").cast("double") / 100.0)
+        .groupBy(col("pct").cast("long").as("threshold_pct"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("det").isNotNull, 1L).otherwise(0L)).as("n_detected"))
+        .withColumn("recall_micro",
+          floor(lit(1e6) * col("n_detected").cast("double") / col("n_true"))
+            .cast("long"))
+    },
+    Some(s"""WITH $pairsCtes,
+            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+            |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |truth AS (
+            |  SELECT i.doc_a, i.doc_b,
+            |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS j,
+            |    EXISTS (SELECT 1 FROM pairs p
+            |            WHERE p.doc_a = i.doc_a AND p.doc_b = i.doc_b) AS det
+            |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+            |               JOIN cnt cb ON cb.doc_id = i.doc_b)
+            |SELECT CAST(t.pct AS BIGINT) AS threshold_pct, count(*) AS n_true,
+            |  CAST(sum(CASE WHEN det THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+            |  CAST(floor(1e6 * sum(CASE WHEN det THEN 1 ELSE 0 END)
+            |             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS recall_micro
+            |FROM truth, (VALUES (50), (70), (80), (90)) t(pct)
+            |WHERE truth.j >= CAST(t.pct AS DOUBLE) / 100.0
+            |GROUP BY t.pct""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal plumbing: opaque binary column + typed metadata
   // ---------------------------------------------------------------------
@@ -1042,6 +1100,76 @@ object TextQueries {
             |SELECT c.doc_id, b.bench_id, count(*) AS n_shared
             |FROM c JOIN b USING (sh) GROUP BY c.doc_id, b.bench_id
             |HAVING count(*) >= 3""".stripMargin))
+
+  /** Bloom-filter decontamination — the shape the screen above takes at
+    * 100 TB: the benchmark shingle set is folded into an m=4096-bit,
+    * k=3 Bloom filter whose SET-BIT LIST (≤ 4096 longs, ~32 KB) travels
+    * to every task as a plan literal, so the corpus-side membership test
+    * is a pure map-side scan — no shuffle of corpus shingles against the
+    * benchmark at all (`q_decontaminate`'s equi-join disappears). Bit
+    * positions are md5 arithmetic (`md5("bloom<j>:" ++ sh)` first 8 hex
+    * chars mod 4096), identical in Spark and DuckDB, so the filter — and
+    * therefore every false positive it produces — is replicated exactly
+    * by the oracle. The query is also the evaluation harness a real
+    * pipeline needs before trusting the screen: per corpus doc it emits
+    * bloom hits, exact hits, and the false-positive gap, and
+    * `CorpusPipelineSpec` asserts the no-false-negative guarantee
+    * (every exact hit IS a bloom hit) plus a sane corpus-wide FP rate.
+    */
+  val bloomDecontaminate = Q("q_bloom_decontaminate",
+    (s, dir) => {
+      val bloomM = 4096
+      val bloomJ = 0 until 3
+      def bitOf(c: Column, j: Int): Column =
+        conv(substring(md5(concat(lit(s"bloom$j:"), c)), 1, 8), 16, 10)
+          .cast("long") % bloomM
+      val sh = artifacts(s, dir).shingles
+      val bench = sh.filter(col("doc_id") < 20).select(col("sh")).distinct()
+      // build: k bits per benchmark shingle, distinct → bounded ≤ m rows;
+      // the collect IS the "broadcast the bloom" step (32 KB ceiling)
+      val setBits = bench
+        .select(explode(array(bloomJ.map(j => bitOf(col("sh"), j)): _*)).as("bit"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val bitsLit = lit(setBits)
+      val corpus = sh.filter(col("doc_id") >= 20)
+      // probe: map-side only — each corpus shingle hashes k times and
+      // tests the literal set; the exact side exists purely to measure FP
+      val probed = corpus.withColumn("bloom_hit",
+          bloomJ.map(j => array_contains(bitsLit, bitOf(col("sh"), j)))
+            .reduce(_ && _))
+        .join(bench.withColumn("ex", lit(1)), Seq("sh"), "left")
+      probed.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact_hits"),
+          sum(when(col("bloom_hit") && col("ex").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .withColumn("flagged", col("n_bloom_hits") >= 3)
+    },
+    Some {
+      def bitSql(shExpr: String, j: Int): String =
+        s"CAST(('0x' || substring(md5('bloom$j:' || $shExpr), 1, 8))::BIGINT % 4096 AS BIGINT)"
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |bits AS (${(0 until 3).map(j =>
+                s"SELECT DISTINCT ${bitSql("sh", j)} AS bit FROM b")
+              .mkString(" UNION ")}),
+         |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+         |probe AS (
+         |  SELECT c.doc_id, c.sh,
+         |    ${(0 until 3).map(j =>
+                s"${bitSql("c.sh", j)} IN (SELECT bit FROM bits)")
+              .mkString(" AND ")} AS bloom_hit,
+         |    EXISTS (SELECT 1 FROM b WHERE b.sh = c.sh) AS ex
+         |  FROM c)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |  CAST(sum(CASE WHEN ex THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+         |  CAST(sum(CASE WHEN bloom_hit AND NOT ex THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) >= 3 AS flagged
+         |FROM probe GROUP BY doc_id""".stripMargin
+    })
 
   /** Duplicated-span fraction — the Gopher/Dolma dedup *signal* (as
     * opposed to the dedup *action*): per document, the fraction of its
@@ -1870,8 +1998,9 @@ object TextQueries {
     dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, qualityLogit,
     pagerank, langHistogram, langId,
     unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
-    docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard,
-    dedupGroups, dedupIncremental, decontaminate, multimodalMeta, multimodalFeatures,
+    docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard, minhashRecall,
+    dedupGroups, dedupIncremental, decontaminate, bloomDecontaminate,
+    multimodalMeta, multimodalFeatures,
     multimodalRealMeta,
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,

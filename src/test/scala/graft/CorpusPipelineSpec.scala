@@ -46,4 +46,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(langs(4L) == "es", s"langid: $langs") // el/la/de markers
     assert(langs(2L) == "en")
   }
+
+  test("bloom decontamination: no false negatives, consistent FP accounting") {
+    val df = TextQueries.bloomDecontaminate.fn(spark, "/root/testdata/sf0.001").cache()
+    // the Bloom guarantee: a shingle present in the benchmark set can
+    // never miss the filter — per doc, exact hits ⊆ bloom hits
+    assert(df.filter(col("n_exact_hits") > col("n_bloom_hits")).count() == 0)
+    // the reported FP gap is exactly bloom − exact
+    assert(df.filter(
+      col("n_false_pos") =!= col("n_bloom_hits") - col("n_exact_hits")).count() == 0)
+    // and the filter is selective, not saturated: corpus-wide FP rate
+    // stays well under coin-flip for m=4096/k=3 at this fill
+    val fp = df.agg((sum("n_false_pos") / sum("n_shingles")).as("r"))
+      .head().getDouble(0)
+    assert(fp < 0.5, s"bloom FP rate $fp — filter saturated?")
+    df.unpersist()
+  }
+
+  test("minhash-LSH recall evaluation: internally consistent, high-J pairs caught") {
+    val rows = TextQueries.minhashRecall.fn(spark, "/root/testdata/sf0.001")
+      .orderBy("threshold_pct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pct, nTrue, nDet, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDet <= nTrue, s"pct=$pct detected $nDet > true $nTrue")
+      assert(recall == math.floor(1e6 * nDet.toDouble / nTrue).toLong,
+        s"pct=$pct recall arithmetic off")
+    }
+    // ground truth shrinks as the bar rises
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1), "n_true not monotone in threshold")
+    case _ => ()
+    }
+    // 4 bands × 2 rows: P(detect | J=0.9) = 1-(1-0.81)^4 ≈ 0.9987 —
+    // the measured recall at the 0.90 bar must be near-total
+    val r90 = rows.find(_.getLong(0) == 90L)
+    r90.foreach(r => assert(r.getLong(3) >= 900000L,
+      s"recall@J≥0.9 = ${r.getLong(3)} — banding broken"))
+  }
 }

@@ -74,4 +74,19 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(banded >= 180, s"banded caught $banded of 200 planted")
     assert(banded > single, s"banded=$banded not ahead of single=$single")
   }
+
+  test("embedding cluster profile: partition is total and arithmetic consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val rows = MlQueries.embeddingClusters.fn(spark, dir).collect()
+    assert(rows.length <= 8 && rows.nonEmpty)
+    // every vector lands in exactly one cluster
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (n, sse, mean) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(n > 0 && sse >= 0)
+      assert(mean == math.floor(sse.toDouble / n).toLong,
+        s"cluster ${r.getLong(0)}: mean dispersion arithmetic off")
+    }
+  }
 }
