@@ -122,6 +122,44 @@ object TextQueries {
             | len(list_distinct(regexp_extract_all(text, '$bpePattern'))) AS n_distinct_subtokens
             |FROM documents""".stripMargin))
 
+  /** Tokenizer fertility by language — the compression-efficiency report
+    * a tokenizer owner reads before committing a vocab: per lang, chars
+    * per subtoken (how much text one token buys) and subtokens per
+    * whitespace word (how badly words fragment). High fertility langs
+    * are under-served by the vocab and over-billed in the token budget.
+    * One map-side projection + a bounded per-lang aggregate; ratios are
+    * derived from the BIGINT sums identically on both engines.
+    */
+  val tokenizerFertility = Q("q_tokenizer_fertility",
+    (s, dir) => docs(s, dir)
+      .select(col("lang"), col("n_chars"),
+        regexp_count(col("text"), lit(bpePattern)).cast("long").as("nt"),
+        size(wordsCol).cast("long").as("nw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("nt")).as("n_subtokens"), sum(col("nw")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_subtokens"),
+        col("n_words"),
+        floor(lit(1e6) * col("n_chars").cast("double")
+          / col("n_subtokens").cast("double")).cast("long")
+          .as("chars_per_subtoken_micro"),
+        floor(lit(1e6) * col("n_subtokens").cast("double")
+          / col("n_words").cast("double")).cast("long")
+          .as("subtokens_per_word_micro")),
+    Some(s"""WITH a AS (
+            |  SELECT lang, count(*) AS n_docs,
+            |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+            |    CAST(sum(len(regexp_extract_all(text, '$bpePattern'))) AS BIGINT)
+            |      AS n_subtokens,
+            |    CAST(sum(len($wordsSql)) AS BIGINT) AS n_words
+            |  FROM documents GROUP BY lang)
+            |SELECT lang, n_docs, n_chars, n_subtokens, n_words,
+            |  CAST(floor(1e6 * n_chars / CAST(n_subtokens AS DOUBLE)) AS BIGINT)
+            |    AS chars_per_subtoken_micro,
+            |  CAST(floor(1e6 * n_subtokens / CAST(n_words AS DOUBLE)) AS BIGINT)
+            |    AS subtokens_per_word_micro
+            |FROM a""".stripMargin))
+
   /** BPE merge statistics — the counting core of tokenizer TRAINING
     * (q_token_bpe applies a tokenization; this computes what a BPE
     * trainer's first merge round computes): corpus-wide frequencies of
@@ -1596,6 +1634,69 @@ object TextQueries {
             |FROM i JOIN n na ON na.source = i.src_a
             |       JOIN n nb ON nb.source = i.src_b""".stripMargin))
 
+  /** HOW DIFFERENT sources read: pairwise Jensen–Shannon divergence
+    * between per-source hashed-unigram distributions (64 md5 buckets,
+    * the same cross-engine bucketing as the DSIR weights) — the
+    * distributional-similarity half of the mixture-design picture
+    * (`q_cross_source_dups` is the content-overlap half). Low JSD pairs
+    * are stylistic near-twins a mixture should not double-count; high
+    * JSD pairs add diversity.
+    *
+    * Scale shape: ONE corpus-scale pass — a partial+final count on the
+    * bounded (source, bucket) key — then everything downstream lives on
+    * the |sources|×64 grid (densified so zero buckets contribute their
+    * one-sided JSD term). Per-(pair, bucket) terms are micro-floored
+    * longs, so the 64-term sum is an integer sum, parallelism-proof;
+    * `ln` lands on identical doubles in both engines (same derivation
+    * order), matching the charEntropy precedent.
+    */
+  val sourceJsDiv = Q("q_source_js_div",
+    (s, dir) => {
+      val cb = docs(s, dir)
+        .select(col("source"), explode(wordsCol).as("word"))
+        .groupBy(col("source"),
+          (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 64).as("b"))
+        .agg(count(lit(1)).as("c"))
+      val n = cb.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val grid = n.withColumn("b", explode(sequence(lit(0L), lit(63L))))
+        .join(cb, Seq("source", "b"), "left").na.fill(0L, Seq("c"))
+        .select(col("source"), col("b"),
+          (col("c").cast("double") / col("n")).as("p"))
+      grid.select(col("source").as("source_a"), col("b"), col("p"))
+        .join(grid.select(col("source").as("source_b"), col("b"), col("p").as("q")),
+          Seq("b"))
+        .filter(col("source_a") < col("source_b"))
+        .withColumn("t", floor(lit(1e6) * (
+          when(col("p") > 0,
+            lit(0.5) * col("p") * log(lit(2) * col("p") / (col("p") + col("q"))))
+            .otherwise(lit(0.0)) +
+          when(col("q") > 0,
+            lit(0.5) * col("q") * log(lit(2) * col("q") / (col("p") + col("q"))))
+            .otherwise(lit(0.0)))).cast("long"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("t")).as("jsd_micro"))
+    },
+    Some(s"""WITH w AS (SELECT source, unnest($wordsSql) AS word FROM documents),
+            |cb AS (SELECT source,
+            |         CAST(('0x' || substring(md5(word), 1, 8))::BIGINT % 64 AS BIGINT) AS b,
+            |         count(*) AS c
+            |       FROM w GROUP BY 1, 2),
+            |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cb GROUP BY source),
+            |grid AS (
+            |  SELECT n.source, t.b, CAST(coalesce(cb.c, 0) AS DOUBLE) / n.n AS p
+            |  FROM n CROSS JOIN generate_series(0, 63) t(b)
+            |  LEFT JOIN cb ON cb.source = n.source AND cb.b = t.b),
+            |pr AS (
+            |  SELECT a.source AS source_a, b.source AS source_b,
+            |    CAST(floor(1e6 * (
+            |      CASE WHEN a.p > 0
+            |        THEN 0.5 * a.p * ln(2 * a.p / (a.p + b.p)) ELSE 0 END +
+            |      CASE WHEN b.p > 0
+            |        THEN 0.5 * b.p * ln(2 * b.p / (a.p + b.p)) ELSE 0 END)) AS BIGINT) AS t
+            |  FROM grid a JOIN grid b ON a.b = b.b AND a.source < b.source)
+            |SELECT source_a, source_b, CAST(sum(t) AS BIGINT) AS jsd_micro
+            |FROM pr GROUP BY 1, 2""".stripMargin))
+
   /** WHICH crawls duplicate each other: the verified near-dup pairs
     * (exact Jaccard ≥ 0.8 over the LSH candidates) aggregated into a
     * source-pair matrix — the report that tells a pipeline operator
@@ -1995,7 +2096,8 @@ object TextQueries {
             |FROM t, x, nr""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    dedupExact, tokenCount, tokenBpe, textNormalize, qualityScore, qualityLogit,
+    dedupExact, tokenCount, tokenBpe, tokenizerFertility, textNormalize,
+    qualityScore, qualityLogit,
     pagerank, langHistogram, langId,
     unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard, minhashRecall,
@@ -2007,7 +2109,8 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
     epochShuffle, groupCap,
     dupSpanFraction, bigramPredictability, lineDedup,
-    nearDedupKeep, sourceOverlap, crossSourceDups, sourceMix, applyMixture, arrayOps, tokenBudget,
+    nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
+    applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)
 }
