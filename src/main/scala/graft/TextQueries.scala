@@ -440,19 +440,27 @@ object TextQueries {
     */
   val minhashRecall = Q("q_minhash_recall",
     (s, dir) => {
+      // every table below derives from the localCheckpointed shingle
+      // artifact (LogicalRDD, pre-checkpoint size guesses) and is
+      // corpus-scale at 100 TB — pin SHUFFLE_MERGE everywhere, same
+      // rationale as pairOverlap / q_source_overlap (PlanShapeSpec)
       val sh = artifacts(s, dir).shingles
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("sh"))
+        .hint("shuffle_merge")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_merge"),
+          Seq("sh"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ni"))
       val truth = inter
-        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .join(cnt.select(col("doc_id").as("doc_a"), col("n").as("na"))
+          .hint("shuffle_merge"), Seq("doc_a"))
+        .join(cnt.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+          .hint("shuffle_merge"), Seq("doc_b"))
         .withColumn("j", col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
       val det = artifacts(s, dir).candidates
         .select(col("doc_a"), col("doc_b")).withColumn("det", lit(1))
-      truth.join(det, Seq("doc_a", "doc_b"), "left")
+      truth.join(det.hint("shuffle_merge"), Seq("doc_a", "doc_b"), "left")
         .withColumn("pct", explode(array(Seq(50, 70, 80, 90).map(lit): _*)))
         .filter(col("j") >= col("pct").cast("double") / 100.0)
         .groupBy(col("pct").cast("long").as("threshold_pct"))

@@ -120,6 +120,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus-scale shingle side must never broadcast:\n$p")
   }
 
+  test("q_minhash_recall: ground-truth joins shuffle-merge, bloom probe stays map-side") {
+    // the exact-Jaccard ground truth self-joins the checkpointed shingle
+    // artifact — same static-broadcast hazard as q_source_overlap
+    val p = plan("q_minhash_recall")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_minhash_recall must not cross-join:\n$p")
+    assert("SortMergeJoin \\[sh".r.findFirstIn(p).nonEmpty,
+      s"the co-shingle self-join must be a shuffle merge:\n$p")
+    assert("BroadcastHashJoin \\[sh".r.findFirstIn(p).isEmpty,
+      s"the corpus-scale shingle side must never broadcast:\n$p")
+    // bloom probe: the bit list is a plan literal — the only join in
+    // q_bloom_decontaminate is the bounded benchmark side for the FP
+    // audit; the corpus-scale shingle table must not broadcast
+    val pb = plan("q_bloom_decontaminate")
+    assert(!pb.contains("CartesianProduct") && !pb.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe must not cross-join:\n$pb")
+  }
+
   test("q_line_dedup: census join is shuffle-merge, never broadcast, no cross join") {
     // The segment census has one row per DISTINCT 8-token segment —
     // corpus-scale at 100 TB, never broadcastable. The keep rule is
