@@ -1164,11 +1164,8 @@ object TextQueries {
     */
   val bloomDecontaminate = Q("q_bloom_decontaminate",
     (s, dir) => {
-      val bloomM = 4096
-      val bloomJ = 0 until 3
-      def bitOf(c: Column, j: Int): Column =
-        conv(substring(md5(concat(lit(s"bloom$j:"), c)), 1, 8), 16, 10)
-          .cast("long") % bloomM
+      val bloomJ = 0 until TextOps.bloomK
+      def bitOf(c: Column, j: Int): Column = TextOps.bloomBit(c, j)
       val sh = artifacts(s, dir).shingles
       val bench = sh.filter(col("doc_id") < 20).select(col("sh")).distinct()
       // build: k bits per benchmark shingle, distinct → bounded ≤ m rows;

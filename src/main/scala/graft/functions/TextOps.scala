@@ -60,6 +60,46 @@ object TextOps {
   val lshRows: Int = 2
   def lshBandCount: Int = minhashPerms / lshRows
 
+  /** Bloom-filter layout for the decontamination screen: m bits, k md5
+    * hashes per shingle (`md5("bloom<j>:" ++ sh)` first 8 hex chars mod
+    * m). The SET-BIT LIST (≤ m longs) is bounded, so it travels as a
+    * plan literal — a map-side membership test with no benchmark join,
+    * shared by the batch query (`q_bloom_decontaminate`) and the
+    * streaming screen ([[graft.streaming.Streaming.decontaminateStream]]).
+    */
+  val bloomM: Int = 4096
+  val bloomK: Int = 3
+  def bloomBit(sh: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"bloom$j:"), sh)), 1, 8), 16, 10)
+      .cast("long") % bloomM
+
+  /** The bloom's set-bit list from a bounded benchmark table: distinct
+    * bits of all k hashes over the benchmark's distinct shingles,
+    * sorted (deterministic literal). The collect is the "broadcast the
+    * bloom" step — ≤ m longs (~32 KB ceiling) by construction.
+    */
+  def bloomBitSet(bench: DataFrame, text: Column): Array[Long] =
+    bench.select(explode(NativeTextFunctions.distinctShinglesNative(text)).as("sh"))
+      .select(explode(array((0 until bloomK).map(j => bloomBit(col("sh"), j)): _*))
+        .as("bit"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** Map-side bloom probe: per row, distinct-shingle count, the number
+    * of shingles whose k bits are ALL set, and the ≥`flagAt` decision.
+    * Stateless — legal in a streaming query as-is.
+    */
+  def bloomProbe(df: DataFrame, text: Column, bits: Array[Long],
+                 flagAt: Int = 3): DataFrame = {
+    val bitsLit = lit(bits)
+    val shs = NativeTextFunctions.distinctShinglesNative(text)
+    val hits = size(filter(shs, sh =>
+      (0 until bloomK).map(j => array_contains(bitsLit, bloomBit(sh, j)))
+        .reduce(_ && _))).cast("long")
+    df.withColumn("n_shingles", size(shs).cast("long"))
+      .withColumn("n_bloom_hits", hits)
+      .withColumn("flagged", hits >= flagAt)
+  }
+
   /** Distinct shingles exploded: (idCol, sh). Uses the single-pass
     * native kernel ([[NativeTextFunctions.distinctShinglesNative]],
     * unit-tested equal to `array_distinct(shingles(text))`) — the corpus

@@ -188,6 +188,20 @@ object Streaming {
       .drop("__sig", "__sigkey")
   }
 
+  /** Streaming benchmark decontamination: the Bloom set-bit list built
+    * once from the bounded benchmark table ([[graft.functions.TextOps
+    * .bloomBitSet]]) rides into the continuous query as a plan literal,
+    * so every incoming document is screened MAP-SIDE — no join, no
+    * state, nothing to watermark. This is the shape the screen takes on
+    * a live crawl at 100 TB: the filter is ~32 KB however large the
+    * corpus, and the stream stays a stateless projection (any output
+    * mode, any sink). False-positive behavior is exactly the batch
+    * query's (`q_bloom_decontaminate` measures it against exact hits).
+    */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          bloomBits: Array[Long], flagAt: Int = 3): DataFrame =
+    graft.functions.TextOps.bloomProbe(docs, col(textCol), bloomBits, flagAt)
+
   /** Streaming incremental near-dedup — the crawl-merge loop as a
     * continuous query: each micro-batch of new documents computes its
     * LSH band rows MAP-SIDE (native signature kernel), folds into the

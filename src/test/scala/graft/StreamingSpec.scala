@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
   }
 
+  test("streaming bloom decontamination flags benchmark re-posts map-side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(benchText).toDF("text")
+    val bits = graft.functions.TextOps.bloomBitSet(bench, col("text"))
+    assert(bits.nonEmpty && bits.length <= graft.functions.TextOps.bloomM)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "text", bits)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bloomdecon").start()
+    mem.addData(
+      (1L, benchText),                                        // verbatim leak
+      (2L, "prefix words here " + benchText + " suffix too"), // embedded leak
+      (3L, "totally unrelated clean document about weather patterns today"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, n_bloom_hits, flagged FROM bloomdecon")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    q.stop()
+    assert(rows(1L)._2, s"verbatim benchmark doc not flagged: $rows")
+    assert(rows(2L)._2, s"embedded benchmark span not flagged: $rows")
+    assert(!rows(3L)._2, s"clean doc flagged at this fill (FP p≈2e-7): $rows")
+    // the stream and the batch probe are the same code path — parity
+    val batch = graft.functions.TextOps.bloomProbe(
+        Seq((1L, benchText)).toDF("doc_id", "text"), col("text"), bits)
+      .select("n_bloom_hits").head().getLong(0)
+    assert(batch == rows(1L)._1, s"batch $batch != stream ${rows(1L)._1}")
+  }
+
   test("streaming incremental dedup converges to the batch recompute") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps
