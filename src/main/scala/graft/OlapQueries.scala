@@ -749,6 +749,125 @@ object OlapQueries {
            |FROM spine s LEFT JOIN obs o
            |  ON s.user_id = o.user_id AND s.bucket = o.bucket""".stripMargin))
 
+  /** Exact-k uniform sample: bottom-k by a portable hash priority
+    * (md5 is a uniform total order over distinct keys). Unlike the
+    * Bernoulli `q_hash_sample` (whose size is only k IN EXPECTATION),
+    * bottom-k yields exactly k rows and is mergeable: each partition
+    * keeps its local k smallest, the driver merges k·P candidates —
+    * Spark plans it as TakeOrderedAndProject, never a global sort. The
+    * same bottom-k set is also an order-statistic distinct-count sketch
+    * (the KMV construction), so this doubles as the "sample you can
+    * union across 100 TB of partitions" primitive.
+    */
+  val prioritySample = Q("q_priority_sample",
+    (s, dir) => t(s, dir, "documents")
+      .orderBy(md5(col("doc_id").cast("string")))
+      .limit(100)
+      .select(col("doc_id"), col("lang")),
+    Some("""SELECT doc_id, lang FROM documents
+           |ORDER BY md5(doc_id::VARCHAR) LIMIT 100""".stripMargin))
+
+  /** Exact-k WEIGHTED sample without replacement (Efraimidis–Spirakis
+    * A-ES): priority = ln(u)/w with u hash-uniform in (0,1] and
+    * w = n_chars; the k largest priorities are a weighted sample — long
+    * documents proportionally more likely, the standard token-weighted
+    * subcorpus draw. Deterministic (hash-derived u, same md5 → same
+    * double → same ln in both engines) and distributed exactly like
+    * q_priority_sample: per-partition top-k, TakeOrderedAndProject, no
+    * global sort, mergeable across corpus shards.
+    */
+  val weightedSample = Q("q_weighted_sample",
+    (s, dir) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") + 1).cast("double") / 4294967297.0
+      t(s, dir, "documents")
+        .withColumn("pri", log(u) / col("n_chars").cast("double"))
+        .orderBy(col("pri").desc)
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"))
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+           |ORDER BY ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+           |            / 4294967297.0) / n_chars DESC
+           |LIMIT 50""".stripMargin))
+
+  /** Incremental aggregate maintenance — the materialized-view pattern a
+    * 100 TB pipeline uses for daily corpus stats: each day produces a
+    * BOUNDED partial (count + sum per event_type), and the running state
+    * is the monoid merge of partials in day order — yesterday's state
+    * never recomputes, today's raw data is touched exactly once. The
+    * query computes the daily partials with one partial+final aggregate
+    * (the only corpus-scale pass) and folds them with a window over the
+    * |days|×|types| grid; cum_avg is derived FROM the merged state,
+    * demonstrating that algebraic aggregates (avg, std via sum/sumsq)
+    * need only monoid partials. Daily sums are rounded before the fold
+    * so the cumulative doubles are identical across engines.
+    */
+  val incrementalStats = Q("q_incremental_stats",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      Queries.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("d_n"), round(sum(col("value")), 4).as("d_sum"))
+        .withColumn("cum_n", sum(col("d_n")).over(w))
+        .withColumn("cum_sum", round(sum(col("d_sum")).over(w), 4))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("d_n"), col("cum_n"),
+          col("cum_sum"),
+          round(col("cum_sum") / col("cum_n"), 6).as("cum_avg"))
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, ts::DATE AS day, count(*) AS d_n,
+           |         round(sum(value), 4) AS d_sum
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, d_n,
+           |  sum(d_n) OVER w AS cum_n,
+           |  round(sum(d_sum) OVER w, 4) AS cum_sum,
+           |  round(round(sum(d_sum) OVER w, 4) / sum(d_n) OVER w, 6) AS cum_avg
+           |FROM daily
+           |WINDOW w AS (PARTITION BY event_type ORDER BY day
+           |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+
+  /** Z-order (Morton) layout audit — the multi-dimensional data-layout
+    * primitive behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleaving
+    * the bits of two dimensions gives a 1-D sort key under which every
+    * contiguous key range covers a small axis-aligned tile of the 2-D
+    * space, so per-file min/max statistics prune scans on EITHER
+    * dimension (a plain sort prunes only its leading column). The query
+    * computes the 16-bit Morton code of (user_id mod 256,
+    * floor(value/2)), buckets by the top 8 bits — i.e. the files a
+    * z-sorted `repartitionByRange(zorder).sortWithinPartitions` write
+    * would produce — and emits each bucket's bounding box: spans ≤ 16×32
+    * per tile versus a full-range span for an unsorted layout. Pure
+    * integer bit math (shift/and/or), identical in both engines.
+    */
+  val zorderLayout = Q("q_zorder_layout",
+    (s, dir) => {
+      val x = (col("user_id") % 256).cast("int")
+      val y = floor(col("value") / 2).cast("int")
+      val z = (0 until 8).map(i =>
+        shiftleft(shiftright(x, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(1), 2 * i + 1))
+        .reduce(_ + _)
+      Queries.events(s, dir)
+        .withColumn("x", x).withColumn("y", y)
+        .withColumn("zbucket", (z / 256).cast("long"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).cast("long").as("span_x"),
+          (max(col("y")) - min(col("y"))).cast("long").as("span_y"))
+    },
+    Some {
+      val zSql = (0 until 8).map(i =>
+        s"((((user_id % 256) >> $i) & 1) << ${2 * i}) + " +
+          s"(((CAST(floor(value / 2) AS INT) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""SELECT CAST(($zSql) // 256 AS BIGINT) AS zbucket, count(*) AS n,
+         |  CAST(max(user_id % 256) - min(user_id % 256) AS BIGINT) AS span_x,
+         |  CAST(max(floor(value / 2)) - min(floor(value / 2)) AS BIGINT) AS span_y
+         |FROM events GROUP BY 1""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
@@ -757,5 +876,5 @@ object OlapQueries {
     approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
     firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,
-    gapFill)
+    gapFill, prioritySample, weightedSample, incrementalStats, zorderLayout)
 }

@@ -2100,6 +2100,89 @@ object TextQueries {
             |       / CAST(t.n_docs AS DOUBLE)) AS BIGINT) AS near_removal_micro
             |FROM t, x, nr""".stripMargin))
 
+  /** Fuzzy vocabulary self-join — edit-distance ≤ 2 word pairs via the
+    * SymSpell deletion-neighborhood blocking (Garbe's symmetric-delete
+    * algorithm): two words within Levenshtein distance d always share a
+    * common string reachable by ≤ d deletions from each, so generating
+    * each word's ≤2-deletion variants and EQUI-joining on the variant
+    * finds every candidate without an all-pairs scan. The verify stage
+    * runs codegen `levenshtein` only on bucket-mates.
+    *
+    * Scale shape: a word of length L emits 1 + L + L(L−1)/2 variant
+    * keys (map-side HOFs, no UDF); the join is a plain equi-join on the
+    * variant string whose bucket fan-in is the variant's dictionary
+    * popularity (small for natural-language vocabularies), and the
+    * whole thing runs on the DISTINCT vocabulary — bounded, ≪ corpus —
+    * so at 100 TB the cost is one vocab extraction plus a
+    * vocabulary-sized join. The oracle brute-forces the same pairs with
+    * DuckDB `levenshtein` over the (small) vocab cross join — exactly
+    * the O(n²) plan the deletion blocking avoids.
+    */
+  val fuzzyJoin = Q("q_fuzzy_join",
+    (s, dir) => {
+      // one-char-deletion neighborhood: delete position i for i = 1..L
+      def del1(x: Column): Column =
+        transform(sequence(lit(1), length(x)), i =>
+          concat(x.substr(lit(1), i - lit(1)), x.substr(i + lit(1), length(x))))
+      val vocab = docs(s, dir)
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .filter(length(col("w")) >= 3).distinct()
+      val keyed = vocab.select(col("w"), explode(array_distinct(concat(
+        array(col("w")), del1(col("w")),
+        flatten(transform(del1(col("w")), x => del1(x)))))).as("vkey"))
+      // the keyed table is vocab × O(L²) variants — bounded but NOT
+      // broadcast-safe at a 10M-word real vocabulary, and its size is a
+      // planner guess (explode); pin the self-join shuffle-merge like
+      // every other corpus-derived self-join (PlanShapeSpec)
+      keyed.select(col("w").as("w_a"), col("vkey")).hint("shuffle_merge")
+        .join(keyed.select(col("w").as("w_b"), col("vkey")).hint("shuffle_merge"),
+          Seq("vkey"))
+        .filter(col("w_a") < col("w_b"))
+        .select(col("w_a"), col("w_b")).distinct()
+        .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
+        .filter(col("dist") <= 2)
+    },
+    Some(s"""WITH vocab AS (
+            |  SELECT DISTINCT w FROM (SELECT unnest($wordsSql) AS w FROM documents)
+            |  WHERE length(w) >= 3)
+            |SELECT a.w AS w_a, b.w AS w_b, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            |FROM vocab a JOIN vocab b ON a.w < b.w
+            |WHERE levenshtein(a.w, b.w) <= 2""".stripMargin))
+
+  /** Misra–Gries heavy hitters, bound-checked — the fixed-size sketch
+    * path for corpus-scale "most common tokens" (the exact
+    * `q_topk_by_count` path shuffles the whole vocabulary; the MG
+    * aggregator shuffles ≤ capacity counters per partition). Capacity 16
+    * over a 31-word vocabulary, so evictions and merge-subtractions
+    * genuinely fire. The raw estimates are merge-order-dependent (like
+    * HLL/KLL), so — same posture as `q_approx_distinct_bound` — the
+    * driver-visible surface is the DETERMINISTIC guarantee
+    * `cnt − N/(capacity+1) ≤ est ≤ cnt`, which holds under any
+    * partitioning; the oracle pins the all-ones booleans and a broken
+    * sketch flips a row red.
+    */
+  val heavyHittersBound = Q("q_heavy_hitters_bound",
+    (s, dir) => {
+      val cap = 16
+      val ws = docs(s, dir).select(explode(TextOps.words(col("text"))).as("w"))
+      val est = ws.agg(graft.operators.HeavyHitters.sketch(col("w"), cap).as("mg"))
+        .select(col("mg.n").as("n_total"), explode(col("mg.items")).as(Seq("w", "est")))
+      val top = ws.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(10)
+      val n = ws.agg(count(lit(1)).as("n_total"))
+      top.join(broadcast(est.drop("n_total")), Seq("w"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("w"), col("cnt"),
+          (coalesce(col("est"), lit(0L)) <= col("cnt") &&
+            (col("cnt") - coalesce(col("est"), lit(0L))).cast("double")
+              <= col("n_total").cast("double") / (cap + 1))
+            .cast("long").as("within_bound"))
+    },
+    Some(s"""SELECT w, cnt, CAST(1 AS BIGINT) AS within_bound
+            |FROM (SELECT w, count(*) AS cnt
+            |      FROM (SELECT unnest($wordsSql) AS w FROM documents)
+            |      GROUP BY w ORDER BY cnt DESC, w LIMIT 10)""".stripMargin))
+
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, tokenizerFertility, textNormalize,
     qualityScore, qualityLogit,
@@ -2113,7 +2196,7 @@ object TextQueries {
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
     epochShuffle, groupCap,
-    dupSpanFraction, bigramPredictability, lineDedup,
+    dupSpanFraction, bigramPredictability, lineDedup, fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,

@@ -120,6 +120,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus-scale shingle side must never broadcast:\n$p")
   }
 
+  test("q_priority_sample / q_weighted_sample: exact-k via TakeOrdered, no global sort") {
+    // bottom-k by hash priority must plan as per-partition top-k +
+    // driver merge (TakeOrderedAndProject) — a global Sort+Exchange of
+    // the corpus to take 100 rows would be the 100 TB anti-pattern
+    for (name <- Seq("q_priority_sample", "q_weighted_sample")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name must plan exact-k as TakeOrderedAndProject:\n$p")
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name must not globally sort the corpus:\n$p")
+    }
+  }
+
+  test("q_fuzzy_join: deletion-variant self-join shuffle-merge, never broadcast") {
+    // the keyed side is vocab × O(L²) variants behind an explode — the
+    // planner cannot size it, and a real dictionary is not
+    // broadcast-safe; same static-broadcast hazard class as
+    // q_source_overlap
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must not cross-join the vocabulary:\n$p")
+    assert("SortMergeJoin \\[vkey".r.findFirstIn(p).nonEmpty,
+      s"the variant-key self-join must be a shuffle merge:\n$p")
+    assert("BroadcastHashJoin \\[vkey".r.findFirstIn(p).isEmpty,
+      s"the variant-keyed side must never broadcast:\n$p")
+  }
+
   test("q_minhash_recall: ground-truth joins shuffle-merge, bloom probe stays map-side") {
     // the exact-Jaccard ground truth self-joins the checkpointed shingle
     // artifact — same static-broadcast hazard as q_source_overlap

@@ -214,6 +214,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == rows(1L)._1, s"batch $batch != stream ${rows(1L)._1}")
   }
 
+  test("streaming heavy hitters: mergeable MG state, bound holds across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(17)
+    // zipf-ish word stream delivered in 3 micro-batches; capacity 8 over
+    // a 25-word vocabulary so the streaming state genuinely evicts
+    val batches = Seq.fill(3)(Seq.fill(800)(s"w${
+      val u = rng.nextDouble; if (u < 0.5) rng.nextInt(5) else rng.nextInt(25)}"))
+    val cap = 8
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("w")
+      .agg(graft.operators.HeavyHitters.sketch(col("w"), cap).as("mg"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("mghh").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val row = spark.sql("SELECT mg.n, mg.items FROM mghh").head()
+    val (n, items) = (row.getLong(0), row.getMap[String, Long](1))
+    val all = batches.flatten
+    assert(n == all.size, s"stream length $n != ${all.size}")
+    assert(items.size <= cap)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val slack = n.toDouble / (cap + 1)
+    (exact.keySet ++ items.keySet).foreach { w =>
+      val (t, e) = (exact.getOrElse(w, 0L), items.getOrElse(w, 0L))
+      assert(e <= t && t - e <= slack, s"$w est=$e true=$t slack=$slack")
+    }
+  }
+
   test("streaming incremental dedup converges to the batch recompute") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps

@@ -227,4 +227,35 @@ class TextOpsSpec extends AnyFunSuite {
       assert(a.toSeq == b.toSeq, s"agg=$a native=$b")
     }
   }
+
+  // SymSpell deletion-neighborhood blocking (q_fuzzy_join): two words
+  // within Levenshtein distance 2 ALWAYS share a string reachable by
+  // ≤ 2 deletions from each — property-checked against brute-force edit
+  // distance so the equi-join provably misses no candidate pair.
+  test("deletion-neighborhood blocking covers every pair with lev ≤ 2") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i.max(j))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def del1(w: String): Set[String] =
+      (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1)).toSet
+    def del2(w: String): Set[String] = Set(w) ++ del1(w) ++ del1(w).flatMap(del1)
+
+    val rng = new scala.util.Random(13)
+    val vocab = Seq.fill(120)(
+      (0 until 3 + rng.nextInt(5)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString)
+      .distinct
+    var close = 0
+    for (Seq(u, v) <- vocab.combinations(2)) {
+      if (lev(u, v) <= 2) {
+        close += 1
+        assert(del2(u).intersect(del2(v)).nonEmpty,
+          s"blocking missed pair ($u, $v) at lev ${lev(u, v)}")
+      }
+    }
+    assert(close > 50, s"fixture too sparse to be meaningful: $close close pairs")
+  }
 }
