@@ -868,6 +868,179 @@ object OlapQueries {
          |FROM events GROUP BY 1""".stripMargin
     })
 
+  /** SCD2 (slowly-changing-dimension type 2) interval construction from
+    * an event log — the warehouse primitive for "what was this entity's
+    * attribute AT time t": collapse each user's event stream into runs
+    * of constant event_type (gaps-and-islands via lag + running change
+    * count) and emit [valid_from, valid_to) validity intervals, open-
+    * ended for the current run. Two windows over the same (user_id, ts)
+    * sort — one partition-local shuffle total, no self-join; at 100 TB
+    * this is one repartition by user_id with everything else map-side
+    * within the partition.
+    */
+  val scd2Intervals = Q("q_scd2_intervals",
+    (s, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val changed = when(
+        lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L)
+        .otherwise(0L)
+      val runs = Queries.events(s, dir)
+        .withColumn("run_id", sum(changed).over(byTs))
+        .groupBy(col("user_id"), col("run_id"), col("event_type"))
+        .agg(min(col("ts")).as("vf"), count(lit(1)).as("n_events"))
+      val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+      runs
+        .withColumn("vt", lead(col("vf"), 1).over(byRun))
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          date_format(col("vf"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          coalesce(date_format(col("vt"), "yyyy-MM-dd HH:mm:ss"), lit("current"))
+            .as("valid_to"),
+          col("n_events"))
+    },
+    Some("""WITH runs AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+           |  FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+           |                    ORDER BY ts, event_id) AS prev FROM events)),
+           |periods AS (
+           |  SELECT user_id, run_id, event_type, min(ts) AS vf,
+           |         count(*) AS n_events
+           |  FROM runs GROUP BY 1, 2, 3)
+           |SELECT user_id, run_id, event_type,
+           |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           |  coalesce(strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY run_id),
+           |                    '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           |  n_events
+           |FROM periods""".stripMargin))
+
+  /** Winsorization — robust-statistics outlier clipping at exact
+    * per-group percentiles (p05/p95), the standard numeric-feature
+    * cleaning step before training. Exact interpolated percentiles are
+    * one shuffle on the group key; the clip itself is map-side against
+    * the broadcast per-group bounds. (At 100 TB the exact percentile
+    * would swap in the KLL sketch — `q_approx_quantiles` — with the
+    * same downstream clip; this query pins the exact semantics.)
+    */
+  val winsorize = Q("q_winsorize",
+    (s, dir) => {
+      val ev = Queries.events(s, dir)
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(first(col("p05")), 6).as("p05"),
+          round(first(col("p95")), 6).as("p95"),
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clipped_low"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clipped_high"),
+          round(avg(greatest(least(col("value"), col("p95")), col("p05"))), 4)
+            .as("winsorized_mean"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+           |         quantile_cont(value, 0.95) AS p95
+           |  FROM events GROUP BY 1)
+           |SELECT e.event_type, round(any_value(b.p05), 6) AS p05,
+           |  round(any_value(b.p95), 6) AS p95,
+           |  CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_low,
+           |  CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_high,
+           |  round(avg(greatest(least(e.value, b.p95), b.p05)), 4)
+           |    AS winsorized_mean
+           |FROM events e JOIN b USING (event_type)
+           |GROUP BY e.event_type""".stripMargin))
+
+  /** k-anonymity audit over quasi-identifiers — the privacy gate a
+    * training corpus runs before release: every (nationkey, segment)
+    * combination must describe ≥ k individuals or the rows are
+    * re-identifiable. One partial+final aggregate on the bounded
+    * quasi-identifier key space, then a scalar report — no row-level
+    * data leaves the executors regardless of corpus size.
+    */
+  val kAnonymity = Q("q_k_anonymity",
+    (s, dir) => {
+      val k = 6
+      val groups = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      groups.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_records_at_risk"),
+        min(col("n")).as("min_group_size"))
+    },
+    Some("""WITH g AS (
+           |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN n < 6 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating_groups,
+           |  CAST(sum(CASE WHEN n < 6 THEN n ELSE 0 END) AS BIGINT)
+           |    AS n_records_at_risk,
+           |  min(n) AS min_group_size
+           |FROM g""".stripMargin))
+
+  /** Data-expectation validation gate (Great-Expectations-style): a
+    * suite of declarative constraints evaluated in ONE corpus pass —
+    * every check is a conditional aggregate over the same scan, stacked
+    * into (check, n_violations, passed) rows. This is the schema-drift /
+    * garbage-ingest tripwire a daily 100 TB load runs before publishing
+    * a partition; adding a check adds a column to the aggregate, never a
+    * second scan.
+    */
+  val dataExpectations = Q("q_data_expectations",
+    (s, dir) => {
+      val agg = Queries.events(s, dir).agg(
+        sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L))
+          .as("value_range"),
+        sum(when(!col("event_type").isin("click", "view", "purchase", "signup",
+          "error"), 1L).otherwise(0L)).as("event_type_domain"),
+        sum(when(col("ts") < to_timestamp(lit("2024-01-01")) ||
+          col("ts") >= to_timestamp(lit("2025-01-01")), 1L).otherwise(0L))
+          .as("ts_window"),
+        sum(when(col("user_id").isNull || col("user_id") < 0, 1L).otherwise(0L))
+          .as("user_id_valid"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("event_id_not_null"))
+      agg.select(expr(
+        """stack(5,
+          |  'value_range', value_range,
+          |  'event_type_domain', event_type_domain,
+          |  'ts_window', ts_window,
+          |  'user_id_valid', user_id_valid,
+          |  'event_id_not_null', event_id_not_null) AS (check_name, n_violations)
+          |""".stripMargin))
+        .withColumn("passed", (col("n_violations") === 0L).cast("long"))
+    },
+    Some("""WITH a AS (
+           |  SELECT
+           |    CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS value_range,
+           |    CAST(sum(CASE WHEN event_type NOT IN
+           |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS event_type_domain,
+           |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+           |      OR ts >= TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ts_window,
+           |    CAST(sum(CASE WHEN user_id IS NULL OR user_id < 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS user_id_valid,
+           |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS event_id_not_null
+           |  FROM events)
+           |SELECT u.check_name, u.n_violations,
+           |  CAST(CASE WHEN u.n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+           |FROM a, LATERAL (VALUES
+           |  ('value_range', a.value_range),
+           |  ('event_type_domain', a.event_type_domain),
+           |  ('ts_window', a.ts_window),
+           |  ('user_id_valid', a.user_id_valid),
+           |  ('event_id_not_null', a.event_id_not_null)) AS u(check_name, n_violations)
+           |""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
@@ -876,5 +1049,6 @@ object OlapQueries {
     approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
     firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,
-    gapFill, prioritySample, weightedSample, incrementalStats, zorderLayout)
+    gapFill, prioritySample, weightedSample, incrementalStats, zorderLayout,
+    scd2Intervals, winsorize, kAnonymity, dataExpectations)
 }
