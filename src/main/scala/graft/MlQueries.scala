@@ -1340,11 +1340,79 @@ object MlQueries {
     },
     Some(IvfOracle.clustersSql))
 
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims — the
+    * dimensionality-reduction primitive in front of corpus-scale
+    * similarity search (a 4× smaller vector cuts ANN memory and
+    * distance-kernel cost; JL guarantees pairwise distances are
+    * preserved in expectation). The projection matrix is ±1/√k entries
+    * derived from md5 parity — deterministic, engine-portable, and
+    * embedded as a PLAN LITERAL, so the projection itself is a pure
+    * map-side expression: at 100 TB this is a projection pushed through
+    * the scan with zero shuffle and no model artifact to distribute.
+    * The query audits 100 fixed consecutive-id pairs: original vs
+    * projected distance and their ratio — the distortion a caller
+    * monitors when choosing k.
+    */
+  val jlProjection = Q("q_jl_projection",
+    (s, dir) => {
+      val m = typedLit(jlSigns.map(_.toSeq).toSeq)
+      val proj = transform(sequence(lit(1), lit(16)), j =>
+        aggregate(sequence(lit(1), lit(64)), lit(0.0), (acc, i) =>
+          acc + element_at(col("features"), i)
+            * element_at(element_at(m, i), j).cast("double")) / lit(4.0))
+      val p = emb(s, dir).withColumn("pr", proj)
+        .select(col("id"), col("features"), col("pr"))
+      val a = p.filter(col("id") % 2 === 0 && col("id") < 200)
+        .select(col("id"), col("features").as("fa"), col("pr").as("pa"))
+      val b = p.select((col("id") - 1).as("id"), col("features").as("fb"),
+        col("pr").as("pb"))
+      a.join(b, Seq("id"))
+        .select(col("id").as("vec_id"),
+          round(euclidean(col("fa"), col("fb")), 4).as("d_orig"),
+          round(euclidean(col("pa"), col("pb")), 4).as("d_proj"))
+        .withColumn("ratio_micro",
+          floor(lit(1e6) * col("d_proj") / col("d_orig")).cast("long"))
+    },
+    Some {
+      val mSql = "[" + jlSigns.map(_.mkString("[", ",", "]")).mkString(",") + "]"
+      s"""WITH m AS (SELECT $mSql AS mm),
+         |p AS (
+         |  SELECT vec_id,
+         |    e, list_transform(generate_series(1,16), j ->
+         |      list_sum(list_transform(generate_series(1,64), i ->
+         |        e[i] * mm[i][j])) / 4.0) AS pr
+         |  FROM (SELECT vec_id,
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |        FROM embeddings) CROSS JOIN m),
+         |d AS (
+         |  SELECT a.vec_id,
+         |    round(sqrt(list_sum(list_transform(generate_series(1,64), i ->
+         |      pow(a.e[i] - b.e[i], 2)))), 4) AS d_orig,
+         |    round(sqrt(list_sum(list_transform(generate_series(1,16), j ->
+         |      pow(a.pr[j] - b.pr[j], 2)))), 4) AS d_proj
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 200)
+         |SELECT vec_id, d_orig, d_proj,
+         |  CAST(floor(1e6 * d_proj / d_orig) AS BIGINT) AS ratio_micro
+         |FROM d""".stripMargin
+    })
+
+  /** ±1 JL sign matrix from md5 parity — deterministic and identically
+    * derivable by any engine (the oracle bakes the same literal).
+    */
+  private lazy val jlSigns: Array[Array[Int]] = {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Array.tabulate(64, 16)((i, j) => if (md5hex(s"jl:$i:$j").head <= '7') 1 else -1)
+  }
+
   def all: Seq[Q] = Seq(
     kmeansAssign, kmeansCenters, kmeansMllibCenters, bfrAssign, bfrStats,
     kmeansNmi, nmiLangSource, annBruteForce, annIvf, annIvfRecall, annIvfRecallCurve,
     semanticKnn, semanticDedup,
     embeddingNearDup, embeddingNearDupLsh, embeddingNearDupBanded,
     embeddingDedupGroups, embeddingLshPairs, simhash, simhashPairs,
-    embeddingOutliers, annPq, annPqRecall, annSq8, embeddingClusters)
+    embeddingOutliers, annPq, annPqRecall, annSq8, embeddingClusters,
+    jlProjection)
 }

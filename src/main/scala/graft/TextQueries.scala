@@ -1396,6 +1396,74 @@ object TextQueries {
             |FROM occ o JOIN cbg USING (bg) JOIN cw1 USING (w1)
             |GROUP BY o.doc_id""".stripMargin))
 
+  /** CCNet-style perplexity filtering — the quality screen that trains a
+    * cheap LM on a REFERENCE corpus and ranks candidate documents by
+    * held-out negative log-likelihood: here a bigram model with add-one
+    * smoothing is counted on the 90% train split (doc_id % 10 ≠ 0) and
+    * every held-out document is scored `−avg ln p(w2|w1)`; high scores
+    * (surprising text) are what the real pipeline drops or down-buckets.
+    * Differs from `q_bigram_predictability` in exactly the ways the
+    * production filter needs: disjoint train/score corpora, LOG-space
+    * scoring, and smoothing so UNSEEN bigrams/contexts (left joins, not
+    * inner) get finite mass `(c12+1)/(c1+V)` instead of vanishing.
+    *
+    * Determinism: each occurrence's −ln p is an exact-rational double
+    * (identical in both engines), floored to micro BEFORE the per-doc
+    * BIGINT sum — order-independent under any partitioning. Scale: two
+    * vocabulary²-bounded count tables from one train-split pass, joined
+    * back onto the held-out occurrence stream (AQE broadcasts them when
+    * small); everything else is map-side.
+    */
+  val docPerplexity = Q("q_doc_perplexity",
+    (s, dir) => {
+      val occ = docs(s, dir)
+        .withColumn("__ws", wordsCol)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), greatest(size(col("__ws")) - 1, lit(1))),
+            i => struct(
+              try_element_at(col("__ws"), i).as("w1"),
+              concat_ws(" ", slice(col("__ws"), i, lit(2))).as("bg")))).as("o"))
+        .select(col("doc_id"), col("o.w1").as("w1"), col("o.bg").as("bg"))
+        .localCheckpoint(true)
+      val train = occ.filter(col("doc_id") % 10 =!= 0)
+      val cBg = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      val cW1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = train.select(col("w1")).distinct()
+        .agg(count(lit(1)).as("v_size"))
+      occ.filter(col("doc_id") % 10 === 0)
+        .join(cBg, Seq("bg"), "left")
+        .join(cW1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("__nll_micro", floor(lit(-1e6) * log(
+          (coalesce(col("c12"), lit(0L)) + 1).cast("double")
+            / (coalesce(col("c1"), lit(0L)) + col("v_size")).cast("double")))
+          .cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__nll_micro")).as("nll_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          floor(col("nll_micro").cast("double") / col("n_bigrams"))
+            .cast("long").as("avg_nll_micro"))
+    },
+    Some(s"""WITH occ AS (
+            |  SELECT doc_id, ws[i] AS w1,
+            |    array_to_string(list_slice(ws, i, i + 1), ' ') AS bg
+            |  FROM (SELECT doc_id, ws,
+            |          unnest(generate_series(1, greatest(len(ws) - 1, 1))) AS i
+            |        FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+            |train AS (SELECT * FROM occ WHERE doc_id % 10 <> 0),
+            |cbg AS (SELECT bg, count(*) AS c12 FROM train GROUP BY bg),
+            |cw1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+            |v AS (SELECT count(DISTINCT w1) AS v_size FROM train)
+            |SELECT o.doc_id, count(*) AS n_bigrams,
+            |  CAST(floor(CAST(sum(CAST(floor(-1e6 * ln(
+            |      (coalesce(cbg.c12, 0) + 1)
+            |        / CAST(coalesce(cw1.c1, 0) + v.v_size AS DOUBLE))) AS BIGINT))
+            |    AS DOUBLE) / count(*)) AS BIGINT) AS avg_nll_micro
+            |FROM occ o
+            |LEFT JOIN cbg USING (bg) LEFT JOIN cw1 USING (w1) CROSS JOIN v
+            |WHERE o.doc_id % 10 = 0
+            |GROUP BY o.doc_id""".stripMargin))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by running token count — per-language, in doc_id order, a
     * doc opens a new shard when the running total would exceed the
@@ -2196,7 +2264,8 @@ object TextQueries {
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
     epochShuffle, groupCap,
-    dupSpanFraction, bigramPredictability, lineDedup, fuzzyJoin, heavyHittersBound,
+    dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
+    fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
