@@ -222,6 +222,36 @@ object Streaming {
     * docs; the delta edges are a subset), so replay leaves the mapping
     * unchanged.
     */
+  /** Streaming data-expectations gate — the batch validation suite
+    * (`q_data_expectations`) as a continuous query: per micro-batch
+    * window, every declarative constraint is a conditional aggregate
+    * over the same stream (one pass, no state beyond the windowed
+    * aggregate), and a window whose `n_violations` is non-zero is the
+    * schema-drift / garbage-ingest alarm for that ingestion slice. The
+    * checks are plain codegen'd expressions, so the gate adds no
+    * per-row cost beyond the aggregation it already rides on, at any
+    * scale. Watermarked tumbling windows bound the state exactly like
+    * `windowedEventCounts`.
+    */
+  def expectationsStream(events: DataFrame, tsCol: String,
+                         windowDur: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L))
+          .as("v_value_range"),
+        sum(when(!col("event_type").isin("click", "view", "purchase",
+          "signup", "error"), 1L).otherwise(0L)).as("v_event_type_domain"),
+        sum(when(col("user_id").isNull || col("user_id") < 0, 1L).otherwise(0L))
+          .as("v_user_id"))
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        (col("v_value_range") + col("v_event_type_domain") + col("v_user_id"))
+          .as("n_violations"),
+        col("v_value_range"), col("v_event_type_domain"), col("v_user_id"))
+
   def incrementalDedupStream(spark: SparkSession, docsStream: DataFrame,
                              artifactsDir: String, checkpoint: String)
       : StreamingQuery = {

@@ -243,6 +243,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming expectations gate flags the poisoned window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streaming.expectationsStream(df, "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("expgate").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // window 10:00 clean; window 10:01 carries a range violation and a
+    // domain violation; watermark-advancing tail closes both windows
+    mem.addData(
+      (t("2024-01-01 10:00:05"), 1L, "click", 10.0),
+      (t("2024-01-01 10:00:40"), 2L, "view", 20.0),
+      (t("2024-01-01 10:01:05"), 3L, "click", -5.0),
+      (t("2024-01-01 10:01:30"), 4L, "oops", 30.0))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 10:09:00"), 5L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT window_start, n_rows, n_violations FROM expgate ORDER BY window_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(rows.length == 2, s"expected the two closed windows, got ${rows.toSeq}")
+    assert(rows(0) == ("2024-01-01 10:00:00.0", 2L, 0L), s"clean window: ${rows(0)}")
+    assert(rows(1) == ("2024-01-01 10:01:00.0", 2L, 2L), s"poisoned window: ${rows(1)}")
+  }
+
   test("streaming incremental dedup converges to the batch recompute") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps
