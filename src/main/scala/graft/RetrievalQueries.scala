@@ -430,6 +430,72 @@ object RetrievalQueries {
            |FROM now n FULL OUTER JOIN prev p USING (doc_id)
            |GROUP BY 1, 2""".stripMargin))
 
+  /** Hard-negative mining for embedding-model training — the pair-mining
+    * op behind contrastive fine-tuning (DPR/SBERT-style): candidates
+    * that score HIGH on the lexical ranker (top-10 shared-word rank)
+    * but LOW on the semantic ranker (cosine rank > 20) are exactly the
+    * "looks relevant, isn't" examples a retriever must learn to
+    * separate. Reuses the two ranker legs of `q_hybrid_rrf` (same
+    * broadcast-query inverted-index probe, same bounded cosine leg) and
+    * emits (qid, cid, both ranks) per mined negative. At 100 TB the
+    * lexical leg stays a posting-list probe and the semantic leg rides
+    * the ANN tier instead of the exact ranker — the mining predicate is
+    * unchanged.
+    */
+  val hardNegatives = Q("q_hard_negatives",
+    (s, dir) => {
+      val dw = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .localCheckpoint(true)
+      val qw = dw.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("w"))
+      val lex = dw.select(col("doc_id").as("cid"), col("w"))
+        .join(broadcast(qw), Seq("w"))
+        .filter(col("cid") =!= col("qid"))
+        .groupBy(col("qid"), col("cid")).agg(count(lit(1)).as("shared"))
+      val wl = Window.partitionBy(col("qid"))
+        .orderBy(col("shared").desc, col("cid"))
+      val lexTop = lex.withColumn("r_lex", row_number().over(wl).cast("long"))
+        .filter(col("r_lex") <= 10)
+      val e = emb(s, dir)
+        .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("e"))
+      val qe = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("e").as("qe"))
+      val cos = e.select(col("vec_id").as("cid"), col("e").as("ce"))
+        .crossJoin(broadcast(qe))
+        .filter(col("cid") =!= col("qid"))
+        .withColumn("cos", VectorFunctions.cosine(col("ce"), col("qe")))
+      val wv = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      val vecRank = cos.withColumn("r_vec", row_number().over(wv).cast("long"))
+        .select(col("qid"), col("cid"), col("r_vec"))
+      lexTop.join(vecRank, Seq("qid", "cid"))
+        .filter(col("r_vec") > 20)
+        .select(col("qid"), col("cid"), col("r_lex"), col("r_vec"))
+    },
+    Some(s"""WITH dw AS (
+            |  SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
+            |lex AS (
+            |  SELECT q.doc_id AS qid, c.doc_id AS cid, count(*) AS shared
+            |  FROM dw q JOIN dw c ON c.w = q.w AND c.doc_id <> q.doc_id
+            |  WHERE q.doc_id < 3 GROUP BY 1, 2),
+            |lr AS (SELECT qid, cid,
+            |         row_number() OVER (PARTITION BY qid ORDER BY shared DESC, cid) AS r_lex
+            |       FROM lex),
+            |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+            |pd AS (SELECT q.qid, e.vec_id AS cid,
+            |         sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS dot,
+            |         sum(CAST(q.qe[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE)) AS nq,
+            |         sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(e.embedding[t.i] AS DOUBLE)) AS nc
+            |       FROM q, embeddings e, generate_series(1, 64) AS t(i)
+            |       WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+            |vr AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid
+            |         ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS r_vec
+            |       FROM pd)
+            |SELECT l.qid, l.cid, l.r_lex, v.r_vec
+            |FROM lr l JOIN vr v ON v.qid = l.qid AND v.cid = l.cid
+            |WHERE l.r_lex <= 10 AND v.r_vec > 20""".stripMargin))
+
   def all: Seq[Q] = Seq(
-    bm25Search, hybridRrf, topNgramFraction, winnowing, dsirWeights, corpusDiff)
+    bm25Search, hybridRrf, topNgramFraction, winnowing, dsirWeights, corpusDiff,
+    hardNegatives)
 }

@@ -1464,6 +1464,99 @@ object TextQueries {
             |WHERE o.doc_id % 10 = 0
             |GROUP BY o.doc_id""".stripMargin))
 
+  /** Length-bucketed batching audit — the padding-waste accounting that
+    * decides a training pipeline's bucket boundaries: documents grouped
+    * into power-of-two token-length buckets (the ladder a bucketed
+    * batcher pads to), per bucket the doc count, real token mass, padded
+    * mass (n_docs × bucket width) and the padding-waste fraction in
+    * micro. The ladder is a literal CASE (no float log2 — engine-exact);
+    * one map-side projection + a ≤ |ladder|-key aggregate, so the audit
+    * is free at any corpus size.
+    */
+  val lengthBuckets = Q("q_length_buckets",
+    (s, dir) => {
+      val n = size(wordsCol)
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).otherwise(128L)
+      docs(s, dir)
+        .select(bucket.as("bucket_len"), n.cast("long").as("n_tokens"))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("real_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_len"))
+        .withColumn("waste_micro",
+          floor(lit(1e6) * (col("padded_tokens") - col("real_tokens"))
+            / col("padded_tokens")).cast("long"))
+    },
+    Some(s"""SELECT bucket_len, count(*) AS n_docs,
+            |  CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+            |  CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+            |  CAST(floor(1e6 * (count(*) * bucket_len - sum(n_tokens))
+            |       / CAST(count(*) * bucket_len AS DOUBLE)) AS BIGINT) AS waste_micro
+            |FROM (
+            |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+            |              WHEN n <= 64 THEN 64 ELSE 128 END AS bucket_len,
+            |         n AS n_tokens
+            |  FROM (SELECT len($wordsSql) AS n FROM documents))
+            |GROUP BY bucket_len""".stripMargin))
+
+  /** Population-stability-index drift between corpus splits — the
+    * train/serve-skew tripwire: n_chars binned on a fixed grid, per-bin
+    * Laplace-smoothed shares p (train) vs q (val, test), and the PSI
+    * contribution (p−q)·ln(p/q) per bin in micro. Shares are exact
+    * rationals → identical doubles → identical ln in both engines, and
+    * the per-bin micro terms are integers, so the full PSI is an
+    * order-proof integer sum downstream. One corpus pass onto a
+    * |splits|×|bins| grid; everything after is grid-sized.
+    */
+  val psiDrift = Q("q_psi_drift",
+    (s, dir) => {
+      val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+      val sName = when(split < 8, "train").when(split === 8, "val").otherwise("test")
+      val bin = least(floor(col("n_chars") / 100), lit(5)).cast("long")
+      val grid = docs(s, dir)
+        .select(sName.as("split"), bin.as("bin"))
+        .groupBy(col("split"), col("bin")).agg(count(lit(1)).as("c"))
+      // densify: every (split, bin) cell so zero bins still contribute
+      val bins = s.range(0, 6).select(col("id").as("bin"))
+      val cells = grid.select(col("split")).distinct().crossJoin(broadcast(bins))
+      val dens = cells.join(grid, Seq("split", "bin"), "left")
+        .select(col("split"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = dens.groupBy(col("split")).agg(sum(col("c")).as("n"))
+      val sh = dens.join(broadcast(tot), Seq("split"))
+        .select(col("split"), col("bin"),
+          ((col("c") + 1).cast("double") / (col("n") + 6).cast("double")).as("p"))
+      val tr = sh.filter(col("split") === "train")
+        .select(col("bin"), col("p").as("pt"))
+      sh.filter(col("split") =!= "train")
+        .join(broadcast(tr), Seq("bin"))
+        .select(col("split"), col("bin"),
+          floor(lit(1e6) * (col("pt") - col("p")) * log(col("pt") / col("p")))
+            .cast("long").as("psi_term_micro"))
+    },
+    Some("""WITH d AS (
+           |  SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+           |              ELSE 'test' END AS split,
+           |         least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+           |  FROM (SELECT n_chars,
+           |          ('0x' || substring(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 10 AS b
+           |        FROM documents)),
+           |grid AS (SELECT split, bin, count(*) AS c FROM d GROUP BY 1, 2),
+           |cells AS (SELECT s.split, b.bin
+           |          FROM (SELECT DISTINCT split FROM grid) s,
+           |               (SELECT unnest(generate_series(0, 5)) AS bin) b),
+           |dens AS (SELECT c.split, c.bin, coalesce(g.c, 0) AS c
+           |         FROM cells c LEFT JOIN grid g USING (split, bin)),
+           |tot AS (SELECT split, sum(c) AS n FROM dens GROUP BY split),
+           |sh AS (SELECT d.split, d.bin,
+           |         (d.c + 1) / CAST(t.n + 6 AS DOUBLE) AS p
+           |       FROM dens d JOIN tot t USING (split)),
+           |tr AS (SELECT bin, p AS pt FROM sh WHERE split = 'train')
+           |SELECT s.split, s.bin,
+           |  CAST(floor(1e6 * (tr.pt - s.p) * ln(tr.pt / s.p)) AS BIGINT)
+           |    AS psi_term_micro
+           |FROM sh s JOIN tr USING (bin) WHERE s.split <> 'train'""".stripMargin))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * shards by running token count — per-language, in doc_id order, a
     * doc opens a new shard when the running total would exceed the
@@ -2187,29 +2280,10 @@ object TextQueries {
     * the O(n²) plan the deletion blocking avoids.
     */
   val fuzzyJoin = Q("q_fuzzy_join",
-    (s, dir) => {
-      // one-char-deletion neighborhood: delete position i for i = 1..L
-      def del1(x: Column): Column =
-        transform(sequence(lit(1), length(x)), i =>
-          concat(x.substr(lit(1), i - lit(1)), x.substr(i + lit(1), length(x))))
-      val vocab = docs(s, dir)
+    (s, dir) => graft.operators.FuzzyJoin.selfJoin(
+      docs(s, dir)
         .select(explode(TextOps.words(col("text"))).as("w"))
-        .filter(length(col("w")) >= 3).distinct()
-      val keyed = vocab.select(col("w"), explode(array_distinct(concat(
-        array(col("w")), del1(col("w")),
-        flatten(transform(del1(col("w")), x => del1(x)))))).as("vkey"))
-      // the keyed table is vocab × O(L²) variants — bounded but NOT
-      // broadcast-safe at a 10M-word real vocabulary, and its size is a
-      // planner guess (explode); pin the self-join shuffle-merge like
-      // every other corpus-derived self-join (PlanShapeSpec)
-      keyed.select(col("w").as("w_a"), col("vkey")).hint("shuffle_merge")
-        .join(keyed.select(col("w").as("w_b"), col("vkey")).hint("shuffle_merge"),
-          Seq("vkey"))
-        .filter(col("w_a") < col("w_b"))
-        .select(col("w_a"), col("w_b")).distinct()
-        .withColumn("dist", levenshtein(col("w_a"), col("w_b")).cast("long"))
-        .filter(col("dist") <= 2)
-    },
+        .filter(length(col("w")) >= 3).distinct(), "w"),
     Some(s"""WITH vocab AS (
             |  SELECT DISTINCT w FROM (SELECT unnest($wordsSql) AS w FROM documents)
             |  WHERE length(w) >= 3)
@@ -2263,7 +2337,7 @@ object TextQueries {
     vocabDf, tfidf, stratifiedSample,
     repetitionRatio, qualityFilter, bowFingerprint, zipfRank,
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
-    epochShuffle, groupCap,
+    epochShuffle, groupCap, lengthBuckets, psiDrift,
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
