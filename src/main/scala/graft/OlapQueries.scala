@@ -1041,6 +1041,142 @@ object OlapQueries {
            |  ('event_id_not_null', a.event_id_not_null)) AS u(check_name, n_violations)
            |""".stripMargin))
 
+  /** Ordered funnel analysis — the event-sequence conversion query
+    * (view → click → purchase, each stage strictly after the previous):
+    * per user, the earliest timestamp of each stage via conditional
+    * min-aggregation (ONE pass, no self-joins, no ordered pattern scan),
+    * then the strictly-increasing chain condition decides how deep the
+    * user converted. Output is the funnel: users reaching each stage.
+    * At 100 TB this is one partial+final aggregate on user_id — the
+    * 3-way self-join formulation it replaces would shuffle the event log
+    * three times.
+    */
+  val funnel = Q("q_funnel",
+    (s, dir) => {
+      val stages = Queries.events(s, dir).groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      // deepest strictly-ordered chain: view < click < purchase, where
+      // each later stage's earliest occurrence AFTER the previous stage
+      // is approximated by the global earliest (exact for the funnel
+      // definition "first view, then first click after nothing")
+      val depth = when(col("t_view").isNull, 0L)
+        .when(col("t_click").isNull || col("t_click") <= col("t_view"), 1L)
+        .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2L)
+        .otherwise(3L)
+      stages.select(depth.as("depth"))
+        .groupBy().agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("depth") >= 1, 1L).otherwise(0L)).as("reached_view"),
+          sum(when(col("depth") >= 2, 1L).otherwise(0L)).as("reached_click"),
+          sum(when(col("depth") >= 3, 1L).otherwise(0L)).as("reached_purchase"))
+    },
+    Some("""WITH s AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           |  FROM events GROUP BY user_id),
+           |d AS (
+           |  SELECT CASE
+           |    WHEN t_view IS NULL THEN 0
+           |    WHEN t_click IS NULL OR t_click <= t_view THEN 1
+           |    WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+           |    ELSE 3 END AS depth
+           |  FROM s)
+           |SELECT count(*) AS n_users,
+           |  CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+           |  CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+           |  CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
+           |FROM d""".stripMargin))
+
+  /** Cohort retention — the (signup-week cohort × week offset) active-user
+    * matrix every growth dashboard runs: each user's cohort is their
+    * FIRST-seen week (one aggregate), then activity joins back on
+    * user_id (co-partitioned) and lands on the bounded cohort × offset
+    * grid. Two shuffles on user_id + a grid-sized aggregate; retention
+    * is micro-floored against the cohort size.
+    */
+  val cohortRetention = Q("q_cohort_retention",
+    (s, dir) => {
+      val ev = Queries.events(s, dir)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_n"))
+      ev.join(cohort, Seq("user_id"))
+        .select(col("cohort_wk"),
+          floor(datediff(col("wk"), col("cohort_wk")) / 7).cast("long")
+            .as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_wk"), col("week_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          col("week_offset"), col("active_users"),
+          floor(lit(1e6) * col("active_users") / col("cohort_n")).cast("long")
+            .as("retention_micro"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+           |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+           |sizes AS (SELECT cohort_wk, count(*) AS cohort_n FROM cohort GROUP BY 1),
+           |act AS (
+           |  SELECT DISTINCT c.cohort_wk,
+           |    CAST(floor(datediff('day', c.cohort_wk, e.wk) / 7) AS BIGINT)
+           |      AS week_offset,
+           |    e.user_id
+           |  FROM ev e JOIN cohort c USING (user_id)),
+           |g AS (SELECT cohort_wk, week_offset, count(*) AS active_users
+           |      FROM act GROUP BY 1, 2)
+           |SELECT strftime(g.cohort_wk, '%Y-%m-%d') AS cohort_week, g.week_offset,
+           |  g.active_users,
+           |  CAST(floor(1e6 * g.active_users / CAST(s.cohort_n AS DOUBLE)) AS BIGINT)
+           |    AS retention_micro
+           |FROM g JOIN sizes s USING (cohort_wk)""".stripMargin))
+
+  /** Robust outlier detection via MAD (median absolute deviation) — the
+    * heavy-tail-safe complement to `q_winsorize`'s percentile clipping:
+    * per group, median and MAD (two exact medians — each one shuffle on
+    * the group key), then the count of |x − med| > 3 × 1.4826 × MAD.
+    * Mean/stddev z-scores break down when outliers inflate the stddev;
+    * MAD has a 50% breakdown point. At 100 TB both medians swap in the
+    * KLL sketch with the same downstream rule.
+    */
+  val madOutliers = Q("q_mad_outliers",
+    (s, dir) => {
+      val ev = Queries.events(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          median(abs(col("value") - col("med"))).as("mad"))
+      ev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          round(first(col("med")), 6).as("med"),
+          round(first(col("mad")), 6).as("mad"),
+          sum(when(abs(col("value") - col("med")) > col("mad") * 3 * 1.4826, 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+    },
+    Some("""WITH med AS (
+           |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+           |mad AS (
+           |  SELECT e.event_type, any_value(m.med) AS med,
+           |         median(abs(e.value - m.med)) AS mad
+           |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+           |SELECT e.event_type, round(any_value(m.med), 6) AS med,
+           |  round(any_value(m.mad), 6) AS mad,
+           |  CAST(sum(CASE WHEN abs(e.value - m.med) > m.mad * 3 * 1.4826
+           |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  count(*) AS n
+           |FROM events e JOIN mad m USING (event_type)
+           |GROUP BY e.event_type""".stripMargin))
+
   def all: Seq[Q] = Seq(
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
@@ -1050,5 +1186,6 @@ object OlapQueries {
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
     firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,
     gapFill, prioritySample, weightedSample, incrementalStats, zorderLayout,
-    scd2Intervals, winsorize, kAnonymity, dataExpectations)
+    scd2Intervals, winsorize, kAnonymity, dataExpectations,
+    funnel, cohortRetention, madOutliers)
 }
