@@ -2020,6 +2020,107 @@ object TextQueries {
             |    AS BIGINT)) AS weight_micro
             |FROM b, t""".stripMargin))
 
+  /** Temperature-scaled mixture (τ = 0.5) — the Llama/mT5-style source
+    * rebalancing between proportional (τ=1) and uniform (τ=0):
+    * sampled share ∝ share^τ, so small sources are upsampled
+    * sub-linearly instead of q_source_mix's hard toward-uniform cap.
+    * τ is pinned at 0.5 because share^0.5 = sqrt(share) and IEEE sqrt
+    * is CORRECTLY ROUNDED in both engines — an arbitrary-τ pow() call
+    * carries last-ulp engine variance. The per-source sqrt is floored
+    * to micro FIRST, so the normalizer is an integer sum and the final
+    * shares are exact rationals of integers — order-proof. Everything
+    * runs on the |sources|-row aggregate; one corpus pass total.
+    */
+  val temperatureMix = Q("q_temperature_mix",
+    (s, dir) => {
+      val w = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      docs(s, dir)
+        .select(col("source"), size(wordsCol).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+        .withColumn("tot", sum(col("n_tokens")).over(w))
+        .withColumn("w_micro",
+          floor(lit(1e6) * sqrt(col("n_tokens").cast("double") / col("tot")))
+            .cast("long"))
+        .withColumn("w_tot", sum(col("w_micro")).over(w))
+        .select(col("source"), col("n_tokens"),
+          floor(lit(1e6) * col("n_tokens").cast("double") / col("tot"))
+            .cast("long").as("share_micro"),
+          floor(lit(1e6) * col("w_micro").cast("double") / col("w_tot"))
+            .cast("long").as("temp_share_micro"),
+          floor(lit(1e6) * (col("w_micro").cast("double") * col("tot"))
+            / (col("w_tot") * col("n_tokens"))).cast("long").as("upsample_micro"))
+    },
+    Some(s"""WITH b AS (
+            |  SELECT source, CAST(sum(len($wordsSql)) AS BIGINT) AS n_tokens
+            |  FROM documents GROUP BY source),
+            |t AS (SELECT sum(n_tokens) AS tot FROM b),
+            |wm AS (SELECT b.source, b.n_tokens, t.tot,
+            |         CAST(floor(1e6 * sqrt(b.n_tokens / CAST(t.tot AS DOUBLE)))
+            |           AS BIGINT) AS w_micro
+            |       FROM b, t),
+            |n AS (SELECT sum(w_micro) AS w_tot FROM wm)
+            |SELECT wm.source, wm.n_tokens,
+            |  CAST(floor(1e6 * wm.n_tokens / CAST(wm.tot AS DOUBLE)) AS BIGINT)
+            |    AS share_micro,
+            |  CAST(floor(1e6 * wm.w_micro / CAST(n.w_tot AS DOUBLE)) AS BIGINT)
+            |    AS temp_share_micro,
+            |  CAST(floor(1e6 * (wm.w_micro * CAST(wm.tot AS DOUBLE))
+            |       / (n.w_tot * CAST(wm.n_tokens AS DOUBLE))) AS BIGINT)
+            |    AS upsample_micro
+            |FROM wm, n""".stripMargin))
+
+  /** PMI word co-occurrence — the corpus-statistics op behind collocation
+    * mining and embedding-training co-occurrence matrices: for pairs of
+    * top-16-df words, ln of observed-over-expected doc co-occurrence
+    * `(n_both · N) / (n_a · n_b)`, micro-floored (exact-rational ln —
+    * identical doubles both engines). The vocabulary filter BOUNDS the
+    * pair space (≤ C(16,2) pairs per doc regardless of corpus size):
+    * the distinct-word stream joins the broadcast top-16 table, the
+    * in-doc self-join fans out to ≤ 120 rows per doc, and the aggregate
+    * key space is the 120-cell pair grid.
+    */
+  val pmiCooccurrence = Q("q_pmi_cooccurrence",
+    (s, dir) => {
+      val dw = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .localCheckpoint(true)
+      val top = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("w")).limit(16)
+      val f = dw.join(broadcast(top.select(col("w"))), Seq("w"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      f.select(col("doc_id"), col("w").as("w_a"))
+        .join(f.select(col("doc_id"), col("w").as("w_b")), Seq("doc_id"))
+        .filter(col("w_a") < col("w_b"))
+        .groupBy(col("w_a"), col("w_b")).agg(count(lit(1)).as("n_both"))
+        .join(broadcast(top.select(col("w").as("w_a"), col("df").as("n_a"))), Seq("w_a"))
+        .join(broadcast(top.select(col("w").as("w_b"), col("df").as("n_b"))), Seq("w_b"))
+        .crossJoin(broadcast(n))
+        .filter(col("n_both") >= 5)
+        .select(col("w_a"), col("w_b"), col("n_both"),
+          floor(lit(1e6) * log(
+            (col("n_both") * col("n_docs")).cast("double")
+              / (col("n_a") * col("n_b")).cast("double")))
+            .cast("long").as("pmi_micro"))
+    },
+    Some(s"""WITH dw AS (
+            |  SELECT DISTINCT doc_id, unnest(list_distinct($wordsSql)) AS w
+            |  FROM documents),
+            |top AS (SELECT w, count(*) AS df FROM dw GROUP BY w
+            |        ORDER BY df DESC, w LIMIT 16),
+            |f AS (SELECT dw.doc_id, dw.w FROM dw JOIN top USING (w)),
+            |n AS (SELECT count(*) AS n_docs FROM documents),
+            |p AS (SELECT a.w AS w_a, b.w AS w_b, count(*) AS n_both
+            |      FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.w < b.w
+            |      GROUP BY 1, 2)
+            |SELECT p.w_a, p.w_b, p.n_both,
+            |  CAST(floor(1e6 * ln((p.n_both * n.n_docs)
+            |       / CAST(ta.df * tb.df AS DOUBLE))) AS BIGINT) AS pmi_micro
+            |FROM p JOIN top ta ON ta.w = p.w_a JOIN top tb ON tb.w = p.w_b
+            |     CROSS JOIN n
+            |WHERE p.n_both >= 5""".stripMargin))
+
   /** APPLYING the training mixture — the step after q_source_mix
     * computes per-source resampling weights: each document keeps with
     * probability weight via a deterministic md5 coin (hash-bucket <
@@ -2341,6 +2442,7 @@ object TextQueries {
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
+    temperatureMix, pmiCooccurrence,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)

@@ -252,6 +252,38 @@ object Streaming {
           .as("n_violations"),
         col("v_value_range"), col("v_event_type_domain"), col("v_user_id"))
 
+  /** Stream-static enrichment — the ingest-time dimension lookup (user
+    * profile, source metadata, model-version table): the static side is
+    * broadcast and re-planned per micro-batch, so a file-backed
+    * dimension picks up slowly-changing updates without restarting the
+    * query; LEFT join so unmatched events survive with nulls (dropping
+    * them silently at ingest is how pipelines lose data). Stateless —
+    * nothing to watermark, any output mode, and the stream side never
+    * shuffles for the lookup at any scale.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming session windows — the gap-based sessionization
+    * (`q_sessionize` / `q_session_window`) as a continuous query:
+    * Spark's native `session_window` merges events within `gap` into
+    * growing per-key sessions and the watermark closes (emits) a
+    * session once no in-gap event can still arrive. State per key is
+    * the open session only — bounded by activity, evicted at close.
+    */
+  def sessionWindowStream(events: DataFrame, tsCol: String, keyCol: String,
+                          gap: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   def incrementalDedupStream(spark: SparkSession, docsStream: DataFrame,
                              artifactsDir: String, checkpoint: String)
       : StreamingQuery = {

@@ -120,6 +120,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus-scale shingle side must never broadcast:\n$p")
   }
 
+  test("q_funnel: conditional min-agg, no self-join of the event log") {
+    // the funnel must be ONE partial+final aggregate per user — the
+    // 3-way self-join formulation shuffles the event log three times
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"funnel must not self-join the event log:\n$p")
+  }
+
+  test("q_zorder_layout: map-side Morton code, single aggregate shuffle") {
+    val p = plan("q_zorder_layout")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // partial->final agg exchange (+AQE read)
+      s"z-order audit must be one aggregate shuffle, found $exchanges:\n$p")
+    assert(!p.contains("Join"), s"no join expected:\n$p")
+  }
+
+  test("q_scd2_intervals: windows share one user_id partitioning, no join") {
+    val p = plan("q_scd2_intervals")
+    assert(!p.contains("Join"), s"SCD2 must be window-only, no self-join:\n$p")
+  }
+
   test("q_priority_sample / q_weighted_sample: exact-k via TakeOrdered, no global sort") {
     // bottom-k by hash priority must plan as per-partition top-k +
     // driver merge (TakeOrderedAndProject) — a global Sort+Exchange of

@@ -271,6 +271,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1) == ("2024-01-01 10:01:00.0", 2L, 2L), s"poisoned window: ${rows(1)}")
   }
 
+  test("stream-static enrichment: broadcast dim lookup, unmatched rows survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val q = Streaming.enrichStream(
+        mem.toDF().toDF("user_id", "value"), dim, "user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (99L, 30.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, tier FROM enriched")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 99L -> None),
+      s"got $rows")
+  }
+
+  test("streaming session windows: gap merge, watermark closes sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = Streaming.sessionWindowStream(
+        mem.toDF().toDF("ts", "user_id"), "ts", "user_id")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    // user 1: two events 2 min apart (one session), then one 20 min later
+    // (a second session); the tail event advances the watermark past both
+    mem.addData(
+      (t("2024-01-01 10:00:00"), 1L),
+      (t("2024-01-01 10:02:00"), 1L),
+      (t("2024-01-01 10:22:00"), 1L))
+    q.processAllAvailable()
+    mem.addData((t("2024-01-01 11:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, session_start, n_events FROM sessions ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", 2L),
+      (1L, "2024-01-01 10:22:00.0", 1L)), s"got ${rows.toSeq}")
+  }
+
   test("streaming incremental dedup converges to the batch recompute") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextOps
