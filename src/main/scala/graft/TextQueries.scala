@@ -2121,6 +2121,59 @@ object TextQueries {
             |     CROSS JOIN n
             |WHERE p.n_both >= 5""".stripMargin))
 
+  /** Content-defined chunking (CDC, rolling-hash boundaries) — the
+    * insertion-robust dedup primitive fixed-width windows lack: a chunk
+    * boundary falls wherever the hash of the local 3-gram hits
+    * `≡ 0 (mod 8)`, so inserting a sentence shifts CONTENT but not the
+    * downstream boundaries, and unchanged trailing chunks keep their
+    * fingerprints (rsync/LBFS/backup-dedup's core trick, here at the
+    * token level for doc-revision dedup). Per doc: chunk count and how
+    * many of its chunks are shared with ≥ 1 other document — the
+    * storage-level redundancy a crawl with re-posted boilerplate
+    * carries. Chunking is one map-side HOF cascade (no UDF); the only
+    * shuffle is the bounded fingerprint census (distinct-doc count per
+    * chunk hash, partially aggregable), joined back SHUFFLE_MERGE —
+    * the same census-join shape as `q_line_dedup`.
+    */
+  val cdcChunks = Q("q_cdc_chunks",
+    (s, dir) => {
+      val perDoc = TextOps.cdcChunkFingerprints(docs(s, dir), "doc_id", col("text"))
+        .localCheckpoint(true)
+      val census = perDoc.select(col("fp"), col("doc_id")).distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("n_docs_with"))
+      perDoc.hint("shuffle_merge")
+        .join(census.hint("shuffle_merge"), Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .withColumn("shared_micro",
+          floor(lit(1e6) * col("n_shared_chunks") / col("n_chunks")).cast("long"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+            |b AS (
+            |  SELECT doc_id, ws,
+            |    list_filter(generate_series(2, greatest(len(ws) - 2, 1)), i ->
+            |      ('0x' || substring(md5(array_to_string(list_slice(ws, i, i + 2), ' ')),
+            |       1, 4))::BIGINT % 8 = 0) AS bnd
+            |  FROM d),
+            |c AS (
+            |  SELECT doc_id,
+            |    unnest(list_transform(generate_series(1, len(bnd) + 1), j ->
+            |      md5(array_to_string(list_slice(ws,
+            |        CASE WHEN j = 1 THEN 1 ELSE bnd[j - 1] END,
+            |        (CASE WHEN j > len(bnd) THEN len(ws) + 1 ELSE bnd[j] END) - 1),
+            |        ' ')))) AS fp
+            |  FROM b),
+            |census AS (
+            |  SELECT fp, count(DISTINCT doc_id) AS n_docs_with FROM c GROUP BY fp)
+            |SELECT c.doc_id, count(*) AS n_chunks,
+            |  CAST(sum(CASE WHEN census.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_shared_chunks,
+            |  CAST(floor(1e6 * sum(CASE WHEN census.n_docs_with >= 2 THEN 1 ELSE 0 END)
+            |       / CAST(count(*) AS DOUBLE)) AS BIGINT) AS shared_micro
+            |FROM c JOIN census USING (fp)
+            |GROUP BY c.doc_id""".stripMargin))
+
   /** APPLYING the training mixture — the step after q_source_mix
     * computes per-source resampling weights: each document keeps with
     * probability weight via a deterministic md5 coin (hash-bucket <
@@ -2442,7 +2495,7 @@ object TextQueries {
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
-    temperatureMix, pmiCooccurrence,
+    temperatureMix, pmiCooccurrence, cdcChunks,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)

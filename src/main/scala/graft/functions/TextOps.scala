@@ -100,6 +100,28 @@ object TextOps {
       .withColumn("flagged", hits >= flagAt)
   }
 
+  /** Content-defined chunk fingerprints (CDC, rolling-hash boundaries):
+    * a boundary falls after token position i wherever the local
+    * 3-gram's md5 lands in bucket 0 of 8, so an insertion shifts
+    * content but boundaries RE-SYNC and unchanged trailing chunks keep
+    * their fingerprints (rsync/LBFS at token level — property-tested in
+    * `TextOpsSpec`). One map-side HOF cascade; (id, fp) exploded rows.
+    */
+  def cdcChunkFingerprints(df: DataFrame, idCol: String,
+                           text: Column): DataFrame = {
+    val withWs = df.select(col(idCol), words(text).as("__ws"))
+    val n = size(col("__ws"))
+    val bnd = when(n < 4, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(2), n - 2), i =>
+        conv(substring(md5(concat_ws(" ", slice(col("__ws"), i, lit(3)))), 1, 4),
+          16, 10).cast("long") % 8 === 0))
+    val starts = concat(array(lit(1)), col("__bnd"))
+    val ends = concat(col("__bnd"), array(n + 1))
+    withWs.withColumn("__bnd", bnd)
+      .select(col(idCol), explode(zip_with(starts, ends, (st, en) =>
+        md5(concat_ws(" ", slice(col("__ws"), st, en - st))))).as("fp"))
+  }
+
   /** Distinct shingles exploded: (idCol, sh). Uses the single-pass
     * native kernel ([[NativeTextFunctions.distinctShinglesNative]],
     * unit-tested equal to `array_distinct(shingles(text))`) — the corpus

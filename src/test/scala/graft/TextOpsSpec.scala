@@ -228,6 +228,32 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  // CDC re-sync property (q_cdc_chunks): after a front insertion, the
+  // boundaries downstream of the edit re-synchronize, so most trailing
+  // chunk fingerprints are SHARED between original and edited doc —
+  // fixed-width chunking would shift every window and share nothing.
+  test("CDC chunking re-syncs after an insertion (trailing chunks shared)") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    val rng = new scala.util.Random(19)
+    val body = (0 until 400).map(_ => s"tok${rng.nextInt(500)}").mkString(" ")
+    val edited = "inserted words up front " + body
+    val fps = TextOps.cdcChunkFingerprints(
+      Seq((1L, body), (2L, edited)).toDF("id", "text"), "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.intersect(b).size
+    assert(a.size > 10, s"expected many chunks, got ${a.size}")
+    assert(shared >= a.size - 3,
+      s"CDC must re-sync after the edit: only $shared of ${a.size} chunks shared")
+    // and a fixed-width (non-content-defined) chunking of the same pair
+    // shares nothing — the property is content-definedness, not luck
+    def fixed(ws: Array[String]) = ws.grouped(16).map(_.mkString(" ")).toSet
+    val fw = fixed(body.split(" ")).intersect(fixed(edited.split(" ")))
+    assert(fw.size <= 1, s"fixed-width control unexpectedly shared: ${fw.size}")
+  }
+
   // SymSpell deletion-neighborhood blocking (q_fuzzy_join): two words
   // within Levenshtein distance 2 ALWAYS share a string reachable by
   // ≤ 2 deletions from each — property-checked against brute-force edit
