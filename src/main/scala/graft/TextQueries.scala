@@ -2020,6 +2020,46 @@ object TextQueries {
             |    AS BIGINT)) AS weight_micro
             |FROM b, t""".stripMargin))
 
+  /** Bounded BFS over the near-dup graph — shortest hop distance (≤ 3)
+    * from a seed set, the graph-exploration primitive behind "how far
+    * does this template's influence spread" and crawl-frontier audits
+    * (PageRank scores mass, components give membership; BFS gives
+    * DISTANCE). Three rounds of min-distance propagation, each one
+    * edge⋈frontier equi-join + a partially-aggregable min by node —
+    * integer distances, bit-stable at any parallelism; the frontier
+    * table is ≤ reachable-set-sized. The oracle is a depth-bounded
+    * recursive CTE over the identical edge set.
+    */
+  val graphBfs = Q("q_graph_bfs",
+    (s, dir) => {
+      val e = lshCandidates(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+      var dist = docs(s, dir).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val next = dist.join(sym, dist("node") === sym("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.union(next)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("node").as("doc_id"), col("dist"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+            |edges AS (
+            |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |  UNION SELECT doc_b, doc_a FROM pairs),
+            |reach(node, dist) AS (
+            |  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id < 5
+            |  UNION ALL
+            |  SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.node
+            |  WHERE r.dist < 3)
+            |SELECT node AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+            |FROM reach GROUP BY node""".stripMargin))
+
   /** Temperature-scaled mixture (τ = 0.5) — the Llama/mT5-style source
     * rebalancing between proportional (τ=1) and uniform (τ=0):
     * sampled share ∝ share^τ, so small sources are upsampled
@@ -2495,7 +2535,7 @@ object TextQueries {
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
-    temperatureMix, pmiCooccurrence, cdcChunks,
+    temperatureMix, pmiCooccurrence, cdcChunks, graphBfs,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)
