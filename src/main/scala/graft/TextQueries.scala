@@ -2020,6 +2020,81 @@ object TextQueries {
             |    AS BIGINT)) AS weight_micro
             |FROM b, t""".stripMargin))
 
+  /** Prefix-filter set-similarity join (AllPairs/PPJoin family) — the
+    * EXACT Jaccard-threshold join, complementing the MinHash tier
+    * (probabilistic recall) with a lossless candidate filter: order each
+    * doc's distinct tokens by ascending global frequency; two sets with
+    * Jaccard ≥ t MUST share a token within each other's first
+    * |x| − ⌈t·|x|⌉ + 1 rarest tokens (pigeonhole), so candidates come
+    * from an equi-join on PREFIX tokens only — and prefixes are the
+    * RAREST tokens, so bucket fan-in is small by construction (the
+    * frequency ordering is the skew guard). Exact Jaccard verify on
+    * candidates; every pair ≥ t is found, none guessed.
+    *
+    * Scale shape: one bounded token-frequency table broadcast onto the
+    * token stream, per-doc sort is document-local, the prefix join
+    * shuffles only prefix tokens (≪ token stream), and the verify is
+    * the usual candidate-bounded intersection count.
+    */
+  val ppjoin = Q("q_ppjoin",
+    (s, dir) => {
+      val t = 0.8
+      val dw = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .localCheckpoint(true)
+      val freq = dw.groupBy(col("w")).agg(count(lit(1)).as("f"))
+      // tokens ordered by (global freq asc, word) — rarest first; the
+      // order key is packed into a sortable string so the per-doc sort
+      // is a document-local array sort, no window
+      val ordered = dw.join(broadcast(freq), Seq("w"))
+        .select(col("doc_id"),
+          concat(lpad(col("f").cast("string"), 9, "0"), lit(":"), col("w")).as("k"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("k"))).as("toks"))
+        .select(col("doc_id"), transform(col("toks"),
+          k => substring_index(k, ":", -1)).as("toks"))
+        .localCheckpoint(true)
+      val sized = ordered.select(col("doc_id"), col("toks"),
+        size(col("toks")).as("n"),
+        (size(col("toks")) - ceil(size(col("toks")) * t) + 1).cast("int")
+          .as("plen"))
+      val prefix = sized.select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1), col("plen"))).as("w"))
+      val cand = prefix.select(col("doc_id").as("doc_a"), col("n").as("na"), col("w"))
+        .hint("shuffle_merge")
+        .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("w"))
+          .hint("shuffle_merge"), Seq("w"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+          .hint("shuffle_merge"), Seq("doc_a"))
+        .join(ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+          .hint("shuffle_merge"), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("ni"),
+          size(col("ta")).as("na"), size(col("tb")).as("nb"))
+        .withColumn("jacc_micro",
+          floor(lit(1e6) * col("ni") / (col("na") + col("nb") - col("ni")))
+            .cast("long"))
+        .filter(col("ni").cast("double")
+          >= lit(t) * (col("na") + col("nb") - col("ni")))
+        .select(col("doc_a"), col("doc_b"), col("ni"), col("jacc_micro"))
+    },
+    Some(s"""WITH dw AS (
+            |  SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
+            |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
+            |inter AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+            |  FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT i.doc_a, i.doc_b, i.ni,
+            |  CAST(floor(1e6 * i.ni / CAST(ca.n + cb.n - i.ni AS DOUBLE)) AS BIGINT)
+            |    AS jacc_micro
+            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
+            |             JOIN cnt cb ON cb.doc_id = i.doc_b
+            |WHERE i.ni >= 0.8 * (ca.n + cb.n - i.ni)""".stripMargin))
+
   /** Bounded BFS over the near-dup graph — shortest hop distance (≤ 3)
     * from a seed set, the graph-exploration primitive behind "how far
     * does this template's influence spread" and crawl-frontier audits
@@ -2535,7 +2610,7 @@ object TextQueries {
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
-    temperatureMix, pmiCooccurrence, cdcChunks, graphBfs,
+    temperatureMix, pmiCooccurrence, cdcChunks, graphBfs, ppjoin,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)

@@ -120,6 +120,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus-scale shingle side must never broadcast:\n$p")
   }
 
+  test("q_cdc_chunks / q_ppjoin: census and prefix joins shuffle-merge, no cartesian") {
+    // both carry corpus-scale intermediate tables behind explode /
+    // checkpoint (sizes are planner guesses) — the static-broadcast
+    // hazard class; tiny freq/count dims broadcasting is fine
+    for (name <- Seq("q_cdc_chunks", "q_ppjoin")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not cross-join:\n$p")
+      assert("BroadcastHashJoin \\[(fp|w|doc)".r.findFirstIn(p).isEmpty,
+        s"$name: corpus-scale side must never broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"),
+        s"$name: expected shuffle-merge joins:\n$p")
+    }
+  }
+
   test("q_funnel: conditional min-agg, no self-join of the event log") {
     // the funnel must be ONE partial+final aggregate per user — the
     // 3-way self-join formulation shuffles the event log three times
