@@ -2033,54 +2033,21 @@ object TextQueries {
     *
     * Scale shape: one bounded token-frequency table broadcast onto the
     * token stream, per-doc sort is document-local, the prefix join
-    * shuffles only prefix tokens (≪ token stream), and the verify is
-    * the usual candidate-bounded intersection count.
+    * shuffles only prefix tokens (≪ token stream), and the verify
+    * ADAPTS ([[graft.operators.SetSimJoin]]): small dense vocabularies —
+    * exactly where the prefix filter degenerates toward all-pairs — are
+    * verified via rank-bitmask popcount (longs through the join, not
+    * token arrays; 46 → ~8 s at sf0.1's 31-word corpus), large sparse
+    * vocabularies via sorted-array intersection over the pruned
+    * candidates. Identical exact output either way (equivalence
+    * unit-tested).
     */
   val ppjoin = Q("q_ppjoin",
-    (s, dir) => {
-      val t = 0.8
-      val dw = docs(s, dir)
+    (s, dir) => graft.operators.SetSimJoin.selfJoin(
+      docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
-        .localCheckpoint(true)
-      val freq = dw.groupBy(col("w")).agg(count(lit(1)).as("f"))
-      // tokens ordered by (global freq asc, word) — rarest first; the
-      // order key is packed into a sortable string so the per-doc sort
-      // is a document-local array sort, no window
-      val ordered = dw.join(broadcast(freq), Seq("w"))
-        .select(col("doc_id"),
-          concat(lpad(col("f").cast("string"), 9, "0"), lit(":"), col("w")).as("k"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("k"))).as("toks"))
-        .select(col("doc_id"), transform(col("toks"),
-          k => substring_index(k, ":", -1)).as("toks"))
-        .localCheckpoint(true)
-      val sized = ordered.select(col("doc_id"), col("toks"),
-        size(col("toks")).as("n"),
-        (size(col("toks")) - ceil(size(col("toks")) * t) + 1).cast("int")
-          .as("plen"))
-      val prefix = sized.select(col("doc_id"), col("n"),
-        explode(slice(col("toks"), lit(1), col("plen"))).as("w"))
-      val cand = prefix.select(col("doc_id").as("doc_a"), col("n").as("na"), col("w"))
-        .hint("shuffle_merge")
-        .join(prefix.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("w"))
-          .hint("shuffle_merge"), Seq("w"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand
-        .join(ordered.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
-          .hint("shuffle_merge"), Seq("doc_a"))
-        .join(ordered.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
-          .hint("shuffle_merge"), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("ni"),
-          size(col("ta")).as("na"), size(col("tb")).as("nb"))
-        .withColumn("jacc_micro",
-          floor(lit(1e6) * col("ni") / (col("na") + col("nb") - col("ni")))
-            .cast("long"))
-        .filter(col("ni").cast("double")
-          >= lit(t) * (col("na") + col("nb") - col("ni")))
-        .select(col("doc_a"), col("doc_b"), col("ni"), col("jacc_micro"))
-    },
+        .localCheckpoint(true),
+      "doc_id", "w", t = 0.8),
     Some(s"""WITH dw AS (
             |  SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
             |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),

@@ -11,6 +11,44 @@ import graft.sources.PartitionedSink
 class OperatorsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
 
+  test("SetSimJoin: dense bitmask path ≡ sparse array path, exact vs brute force") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // 200 docs over a 50-word vocab (dense regime), with planted
+    // high-overlap pairs: doc 2i+1 = doc 2i minus one token, for i < 20
+    val base = (0 until 160).map { i =>
+      i.toLong -> Seq.fill(12 + rng.nextInt(8))(s"w${rng.nextInt(50)}").distinct
+    }
+    val planted = (0 until 20).flatMap { i =>
+      val ts = Seq.fill(15)(s"w${rng.nextInt(50)}").distinct
+      Seq((1000L + 2 * i) -> ts, (1001L + 2 * i) -> ts.drop(1))
+    }
+    val toks = (base ++ planted)
+      .flatMap { case (id, ts) => ts.map(id -> _) }.toDF("id", "w")
+    val t = 0.8
+    val dense = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // force the sparse path: maskWords = 0 makes every vocab "too big"
+    val sparse = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t,
+      maskWords = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(dense == sparse,
+      s"paths disagree: only-dense=${dense -- sparse} only-sparse=${sparse -- dense}")
+    // brute-force ground truth
+    val sets = (base ++ planted).map { case (id, ts) => id -> ts.toSet }.toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ni = sets(a).intersect(sets(b)).size
+      if ni >= t * (sets(a).size + sets(b).size - ni)
+    } yield (a, b)).toSet
+    assert(dense.map(p => (p._1, p._2)) == truth,
+      s"missing=${truth -- dense.map(p => (p._1, p._2))}")
+    assert(truth.size >= 20, s"fixture too weak: ${truth.size} qualifying pairs")
+  }
+
   test("connected components: chains, triangles, and isolated pairs") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
