@@ -276,6 +276,115 @@ object TextQueries {
       Some(s"SELECT doc_id, lang, CASE $caseSql ELSE 'unk' END AS pred_lang FROM documents")
     })
 
+  /** Cohen's kappa for the lang-ID classifier vs stored labels — the
+    * chance-corrected agreement score every labeling/eval pipeline
+    * reports alongside raw accuracy (accuracy is inflated when one
+    * class dominates; kappa subtracts expected chance agreement
+    * p_e = Σ_c marginal_pred(c)·marginal_true(c)). The confusion matrix
+    * is ONE partial+final aggregate on the bounded (true, pred) label
+    * grid; everything downstream is grid-sized driver-free SQL. All
+    * probabilities are exact rationals of counts, so po/pe/kappa are
+    * identical doubles in both engines, micro-floored.
+    */
+  val cohensKappa = Q("q_cohens_kappa",
+    (s, dir) => {
+      val pred = TextOps.withLangId(docs(s, dir), col("text"), "pred_lang")
+        .select(col("lang"), col("pred_lang"))
+      val cm = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val n = cm.agg(sum(col("c")).as("n"))
+      val po = cm.filter(col("lang") === col("pred_lang"))
+        .agg(sum(col("c")).as("agree"))
+      val pe = cm.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
+        .join(cm.groupBy(col("pred_lang")).agg(sum(col("c")).as("cp")),
+          col("lang") === col("pred_lang"))
+        .agg(sum(col("ct") * col("cp")).as("pe_num"))
+      broadcast(n).crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+        .select(col("n"), col("agree"),
+          floor(lit(1e6) * col("agree").cast("double") / col("n"))
+            .cast("long").as("po_micro"),
+          floor(lit(1e6) * col("pe_num").cast("double") / (col("n") * col("n")))
+            .cast("long").as("pe_micro"),
+          floor(lit(1e6) *
+            (col("agree").cast("double") / col("n")
+              - col("pe_num").cast("double") / (col("n") * col("n")))
+            / (lit(1.0) - col("pe_num").cast("double") / (col("n") * col("n"))))
+            .cast("long").as("kappa_micro"))
+    }, {
+      def hitsSql(ms: Seq[String]): String =
+        s"len(list_filter($wordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
+      val hs = langMarkers.map { case (l, ms) => l -> hitsSql(ms) }
+      val bestSql = s"greatest(${hs.map(_._2).mkString(", ")})"
+      val caseSql = hs.map { case (l, h) =>
+        s"WHEN $h = $bestSql AND $bestSql > 0 THEN '$l'"
+      }.mkString(" ")
+      Some(s"""WITH p AS (
+              |  SELECT lang, CASE $caseSql ELSE 'unk' END AS pred_lang
+              |  FROM documents),
+              |cm AS (SELECT lang, pred_lang, count(*) AS c FROM p GROUP BY 1, 2),
+              |n AS (SELECT sum(c) AS n FROM cm),
+              |po AS (SELECT coalesce(sum(c), 0) AS agree FROM cm WHERE lang = pred_lang),
+              |pe AS (
+              |  SELECT sum(t.ct * q.cp) AS pe_num
+              |  FROM (SELECT lang, sum(c) AS ct FROM cm GROUP BY lang) t
+              |  JOIN (SELECT pred_lang, sum(c) AS cp FROM cm GROUP BY pred_lang) q
+              |    ON q.pred_lang = t.lang)
+              |SELECT n.n, po.agree,
+              |  CAST(floor(1e6 * po.agree / CAST(n.n AS DOUBLE)) AS BIGINT) AS po_micro,
+              |  CAST(floor(1e6 * pe.pe_num / (CAST(n.n AS DOUBLE) * n.n)) AS BIGINT)
+              |    AS pe_micro,
+              |  CAST(floor(1e6 *
+              |    (po.agree / CAST(n.n AS DOUBLE) - pe.pe_num / (CAST(n.n AS DOUBLE) * n.n))
+              |    / (1.0 - pe.pe_num / (CAST(n.n AS DOUBLE) * n.n))) AS BIGINT)
+              |    AS kappa_micro
+              |FROM n, po, pe""".stripMargin)
+    })
+
+  /** Vocabulary growth curve (Heaps' law audit) — distinct-vocabulary
+    * size as the corpus grows, the stat that says whether a crawl is
+    * still contributing new content or re-treading: naive recomputation
+    * (distinct over every prefix) is quadratic, so each word is instead
+    * marked ONCE at its first-occurrence document (a min-aggregate on
+    * the bounded vocabulary) and the curve is a cumulative count over
+    * the |buckets| grid — the scalable first-occurrence pattern, one
+    * corpus pass + grid-sized windows.
+    */
+  val vocabGrowth = Q("q_vocab_growth",
+    (s, dir) => {
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val firstOcc = docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+        .select(floor(col("first_doc") / 50).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
+      val tok = docs(s, dir)
+        .select(floor(col("doc_id") / 50).cast("long").as("bucket"),
+          size(wordsCol).cast("long").as("nt"))
+        .groupBy(col("bucket")).agg(sum(col("nt")).as("bucket_tokens"))
+      tok.join(firstOcc, Seq("bucket"), "left")
+        .select(col("bucket"), col("bucket_tokens"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .withColumn("cum_vocab", sum(col("new_words")).over(w))
+    },
+    Some(s"""WITH fo AS (
+            |  SELECT w, min(doc_id) AS first_doc
+            |  FROM (SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents)
+            |  GROUP BY w),
+            |nw AS (SELECT CAST(floor(first_doc / 50) AS BIGINT) AS bucket,
+            |         count(*) AS new_words FROM fo GROUP BY 1),
+            |tk AS (SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+            |         CAST(sum(len($wordsSql)) AS BIGINT) AS bucket_tokens
+            |       FROM documents GROUP BY 1)
+            |SELECT tk.bucket, tk.bucket_tokens,
+            |  coalesce(nw.new_words, 0) AS new_words,
+            |  sum(tk.bucket_tokens) OVER w AS cum_tokens,
+            |  CAST(sum(coalesce(nw.new_words, 0)) OVER w AS BIGINT) AS cum_vocab
+            |FROM tk LEFT JOIN nw USING (bucket)
+            |WINDOW w AS (ORDER BY tk.bucket
+            |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin))
+
   /** Mixed-script pipeline: a deterministic script injection over the
     * documents table (doc_id % 3 picks a CJK prefix, a Cyrillic prefix,
     * or leaves the text unchanged), then the full Unicode text pipeline
@@ -2564,7 +2673,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     dedupExact, tokenCount, tokenBpe, tokenizerFertility, textNormalize,
     qualityScore, qualityLogit,
-    pagerank, langHistogram, langId,
+    pagerank, langHistogram, langId, cohensKappa, vocabGrowth,
     unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard, minhashRecall,
     dedupGroups, dedupIncremental, decontaminate, bloomDecontaminate,
