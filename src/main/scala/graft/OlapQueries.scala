@@ -1092,6 +1092,76 @@ object OlapQueries {
            |  CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
            |FROM d""".stripMargin))
 
+  /** STRICT sequential funnel — the windowed-funnel semantics
+    * (`q_funnel` is the cheaper first-occurrence variant): stage k's
+    * timestamp is the earliest event of that type AFTER stage k−1's
+    * timestamp, so a click that preceded the first view does not count
+    * and a later click can. Three conditional aggregates chained by
+    * user_id equi-joins — all co-partitioned on the same key (one
+    * shuffle each, no re-shuffle of earlier state), each intermediate
+    * bounded by |users|.
+    */
+  val funnelStrict = Q("q_funnel_strict",
+    (s, dir) => {
+      val ev = Queries.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_view"))
+        .crossJoin(s2.agg(count(lit(1)).as("n_click_after_view")))
+        .crossJoin(s3.agg(count(lit(1)).as("n_purchase_after_click")))
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |s2 AS (
+           |  SELECT e.user_id, min(e.ts) AS t2
+           |  FROM events e JOIN s1 USING (user_id)
+           |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+           |s3 AS (
+           |  SELECT e.user_id, min(e.ts) AS t3
+           |  FROM events e JOIN s2 USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+           |SELECT (SELECT count(*) FROM s1) AS n_view,
+           |       (SELECT count(*) FROM s2) AS n_click_after_view,
+           |       (SELECT count(*) FROM s3) AS n_purchase_after_click""".stripMargin))
+
+  /** Rolling median — robust trailing-window smoothing (a moving mean
+    * chases the outlier that `q_mad_outliers` flags; the rolling median
+    * ignores it). Spark has no percentile window function, so the
+    * 5-row trailing frame is collected, sorted, and middle-selected in
+    * a codegen'd array expression — the frame is O(1)-bounded so this
+    * is exact and cheap at any scale; per-user windows keep the state
+    * partition-local. Even-width frames average the two middles,
+    * matching DuckDB's interpolating `median` exactly (same doubles).
+    */
+  val rollingMedian = Q("q_rolling_median",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+      val fr = sort_array(collect_list(col("value")).over(w))
+      val n = size(fr)
+      val med = when(n % 2 === 1, element_at(fr, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(fr, (n / 2).cast("int"))
+          + element_at(fr, (n / 2).cast("int") + 1)) / 2)
+      Queries.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          round(med, 6).as("rolling_median5"))
+    },
+    Some("""SELECT user_id, event_id, value,
+           |  round(median(value) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+           |    AS rolling_median5
+           |FROM events""".stripMargin))
+
   /** Cohort retention — the (signup-week cohort × week offset) active-user
     * matrix every growth dashboard runs: each user's cohort is their
     * FIRST-seen week (one aggregate), then activity joins back on
@@ -1187,5 +1257,5 @@ object OlapQueries {
     firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,
     gapFill, prioritySample, weightedSample, incrementalStats, zorderLayout,
     scd2Intervals, winsorize, kAnonymity, dataExpectations,
-    funnel, cohortRetention, madOutliers)
+    funnel, funnelStrict, cohortRetention, madOutliers, rollingMedian)
 }
