@@ -308,8 +308,10 @@ object OlapQueries {
 
   /** HLL++ approximate distinct — the 100 TB path for q_count_distinct
     * (fixed-size sketch vs a full shuffle of the distinct keys). Sketch
-    * encodings are engine-specific → rows-only check; the exact
-    * semantics are pinned by q_count_distinct.
+    * encodings are engine-specific, so this surface is NOT driver-
+    * registered (no DuckDB oracle exists); its accuracy is pinned by the
+    * oracle-green q_approx_distinct_bound and by `OlapQueriesSpec`'s 5%
+    * envelope test, and the exact semantics by q_count_distinct.
     */
   val approxDistinct = Q("q_approx_distinct",
     (s, dir) => Queries.events(s, dir)
@@ -320,8 +322,9 @@ object OlapQueries {
   /** KLL/GK-style approximate quantiles (`percentile_approx`) — the
     * fixed-size-sketch scale path for q_quantiles (exact percentile
     * shuffles every value; the sketch is mergeable partial+final state).
-    * Sketch results are engine-specific → rows-only; the exact twin
-    * carries the oracle.
+    * Sketch results are engine-specific, so this surface is NOT driver-
+    * registered; q_approx_quantiles_bound carries the oracle-checked
+    * rank-error envelope and the exact twin pins the semantics.
     */
   val approxQuantiles = Q("q_approx_quantiles",
     (s, dir) => Queries.events(s, dir)
@@ -337,7 +340,7 @@ object OlapQueries {
     * engine-specific sketch, but it CAN pin the bound: the query emits
     * only the per-group boolean, so a silently broken sketch flips a row
     * to 0 → hash mismatch → red CORRECTNESS row. (The raw estimates stay
-    * in q_approx_distinct as the rows-only surface.)
+    * available as the library surface `approxDistinct`, spec-tested.)
     */
   val approxDistinctBound = Q("q_approx_distinct_bound",
     // pre-distinct on (event_type, user_id) instead of mixing distinct +
@@ -821,7 +824,7 @@ object OlapQueries {
            |         round(sum(value), 4) AS d_sum
            |  FROM events GROUP BY 1, 2)
            |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, d_n,
-           |  sum(d_n) OVER w AS cum_n,
+           |  CAST(sum(d_n) OVER w AS BIGINT) AS cum_n,
            |  round(sum(d_sum) OVER w, 4) AS cum_sum,
            |  round(round(sum(d_sum) OVER w, 4) / sum(d_n) OVER w, 6) AS cum_avg
            |FROM daily
@@ -901,8 +904,8 @@ object OlapQueries {
     },
     Some("""WITH runs AS (
            |  SELECT user_id, ts, event_id, event_type,
-           |    sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
-           |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+           |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run_id
            |  FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
            |                    ORDER BY ts, event_id) AS prev FROM events)),
            |periods AS (
@@ -1251,7 +1254,7 @@ object OlapQueries {
     rollupAgg, cubeAgg, groupingSetsAgg, leadLag, movingAvg, ntileRanks,
     pivotCounts, fullOuterJoin, intervalJoin, bandJoin, intersectKeys,
     exceptKeys, argmaxBy, monthAgg, scalarSubquery, conditionalAgg,
-    hashSample, approxDistinct, approxQuantiles, approxDistinctBound,
+    hashSample, approxDistinctBound,
     approxQuantilesBound, sessionWindow, jsonExtract,
     statsCorr, dateParts, stringFuncs, rangeFrame, correlatedSubquery,
     firstLastValue, stringAgg, medianMode, boolBitAgg, starJoin, orderByLimit,

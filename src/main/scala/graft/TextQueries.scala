@@ -294,7 +294,7 @@ object TextQueries {
         .agg(count(lit(1)).as("c")).localCheckpoint(true)
       val n = cm.agg(sum(col("c")).as("n"))
       val po = cm.filter(col("lang") === col("pred_lang"))
-        .agg(sum(col("c")).as("agree"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
       val pe = cm.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
         .join(cm.groupBy(col("pred_lang")).agg(sum(col("c")).as("cp")),
           col("lang") === col("pred_lang"))
@@ -329,7 +329,7 @@ object TextQueries {
               |  FROM (SELECT lang, sum(c) AS ct FROM cm GROUP BY lang) t
               |  JOIN (SELECT pred_lang, sum(c) AS cp FROM cm GROUP BY pred_lang) q
               |    ON q.pred_lang = t.lang)
-              |SELECT n.n, po.agree,
+              |SELECT CAST(n.n AS BIGINT) AS n, CAST(po.agree AS BIGINT) AS agree,
               |  CAST(floor(1e6 * po.agree / CAST(n.n AS DOUBLE)) AS BIGINT) AS po_micro,
               |  CAST(floor(1e6 * pe.pe_num / (CAST(n.n AS DOUBLE) * n.n)) AS BIGINT)
               |    AS pe_micro,
@@ -345,21 +345,28 @@ object TextQueries {
     * still contributing new content or re-treading: naive recomputation
     * (distinct over every prefix) is quadratic, so each word is instead
     * marked ONCE at its first-occurrence document (a min-aggregate on
-    * the bounded vocabulary) and the curve is a cumulative count over
-    * the |buckets| grid — the scalable first-occurrence pattern, one
-    * corpus pass + grid-sized windows.
+    * the bounded vocabulary) and the curve is a cumulative count over a
+    * FIXED 256-bucket corpus-relative grid — bucket = (doc_id*256) div
+    * (max_id+1), exact integer math in both engines — so the single
+    * unpartitioned window holds ≤256 rows no matter how large the
+    * corpus grows (the previous doc_id/50 grid scaled linearly with
+    * the corpus and was the round-7 `WindowExec: No Partition Defined`
+    * offender). One corpus pass + a broadcast 1-row divisor.
     */
   val vocabGrowth = Q("q_vocab_growth",
     (s, dir) => {
+      val m = docs(s, dir).agg((max(col("doc_id")) + 1).as("m"))
       val w = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val firstOcc = docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
-        .select(floor(col("first_doc") / 50).cast("long").as("bucket"))
+        .crossJoin(broadcast(m))
+        .select(expr("(first_doc * 256) div m").as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("new_words"))
       val tok = docs(s, dir)
-        .select(floor(col("doc_id") / 50).cast("long").as("bucket"),
+        .crossJoin(broadcast(m))
+        .select(expr("(doc_id * 256) div m").as("bucket"),
           size(wordsCol).cast("long").as("nt"))
         .groupBy(col("bucket")).agg(sum(col("nt")).as("bucket_tokens"))
       tok.join(firstOcc, Seq("bucket"), "left")
@@ -368,18 +375,19 @@ object TextQueries {
         .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
         .withColumn("cum_vocab", sum(col("new_words")).over(w))
     },
-    Some(s"""WITH fo AS (
+    Some(s"""WITH g AS (SELECT max(doc_id) + 1 AS m FROM documents),
+            |fo AS (
             |  SELECT w, min(doc_id) AS first_doc
             |  FROM (SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents)
             |  GROUP BY w),
-            |nw AS (SELECT CAST(floor(first_doc / 50) AS BIGINT) AS bucket,
-            |         count(*) AS new_words FROM fo GROUP BY 1),
-            |tk AS (SELECT CAST(floor(doc_id / 50) AS BIGINT) AS bucket,
+            |nw AS (SELECT CAST((first_doc * 256) // g.m AS BIGINT) AS bucket,
+            |         count(*) AS new_words FROM fo, g GROUP BY 1),
+            |tk AS (SELECT CAST((doc_id * 256) // g.m AS BIGINT) AS bucket,
             |         CAST(sum(len($wordsSql)) AS BIGINT) AS bucket_tokens
-            |       FROM documents GROUP BY 1)
+            |       FROM documents, g GROUP BY 1)
             |SELECT tk.bucket, tk.bucket_tokens,
             |  coalesce(nw.new_words, 0) AS new_words,
-            |  sum(tk.bucket_tokens) OVER w AS cum_tokens,
+            |  CAST(sum(tk.bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
             |  CAST(sum(coalesce(nw.new_words, 0)) OVER w AS BIGINT) AS cum_vocab
             |FROM tk LEFT JOIN nw USING (bucket)
             |WINDOW w AS (ORDER BY tk.bucket

@@ -108,7 +108,9 @@ class OlapQueriesSpec extends AnyFunSuite {
   }
 
   test("approx distinct is within 5% of exact") {
-    val approx = run("q_approx_distinct").collect()
+    // not driver-registered (sketch encodings are engine-specific); the
+    // library surface is exercised here and bounded by the oracle twin
+    val approx = OlapQueries.approxDistinct.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Queries.events(spark, sf)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
@@ -116,6 +118,16 @@ class OlapQueriesSpec extends AnyFunSuite {
     exact.foreach { case (k, n) =>
       assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.05).toLong),
         s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("approx quantiles sketch: one row per type, p50 <= p90") {
+    // raw sketch surface (not driver-registered); rank-error envelope is
+    // oracle-pinned by q_approx_quantiles_bound
+    val rows = OlapQueries.approxQuantiles.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_approx") <= r.getAs[Double]("p90_approx"))
     }
   }
 
