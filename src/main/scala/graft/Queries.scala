@@ -29,14 +29,21 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (integer DIV — ns epochs overflow double).
+  /** The driver testdata has shipped `events.ts` as both TIMESTAMP(NANOS)
+    * parquet (rounds ≤7 — Spark's vectorized reader rejects it, so nanos
+    * are read as long and integer-DIV'd to micros) and plain
+    * timestamp[us] (round-8 regen — read as TIMESTAMP_NTZ). Normalize
+    * either encoding to a session-TZ TIMESTAMP so every downstream plan
+    * and oracle sees one type.
     */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** embeddings with the float vector cast to array<double>. */

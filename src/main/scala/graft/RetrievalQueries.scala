@@ -441,6 +441,13 @@ object RetrievalQueries {
     * lexical leg stays a posting-list probe and the semantic leg rides
     * the ANN tier instead of the exact ranker — the mining predicate is
     * unchanged.
+    *
+    * The semantic rank is candidate-only: only the ≤|queries|×10 lexTop
+    * candidates ever need a rank, and rank = 1 + count of corpus rows
+    * scoring above the candidate — one broadcast of the candidate
+    * cosines and one partial+final aggregate over the corpus, instead
+    * of sorting the ENTIRE corpus into |queries| window partitions (the
+    * round-7 straggler-by-construction this replaced).
     */
   val hardNegatives = Q("q_hard_negatives",
     (s, dir) => {
@@ -465,9 +472,24 @@ object RetrievalQueries {
         .crossJoin(broadcast(qe))
         .filter(col("cid") =!= col("qid"))
         .withColumn("cos", VectorFunctions.cosine(col("ce"), col("qe")))
-      val wv = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-      val vecRank = cos.withColumn("r_vec", row_number().over(wv).cast("long"))
-        .select(col("qid"), col("cid"), col("r_vec"))
+        .select(col("qid"), col("cid"), col("cos"))
+      // candidate cosines via pruned joins (no corpus pass): same
+      // cosine expression over the same arrays → bit-identical doubles,
+      // so the strict/tie comparison below reproduces the row_number()
+      // (cos DESC, cid ASC) order exactly
+      val candCos = lexTop.select(col("qid"), col("cid").as("ncid"))
+        .join(e.select(col("vec_id").as("ncid"), col("e").as("ce")), Seq("ncid"))
+        .join(qe, Seq("qid"))
+        .withColumn("ccos", VectorFunctions.cosine(col("ce"), col("qe")))
+        .select(col("qid"), col("ncid"), col("ccos"))
+      val vecRank = cos.join(broadcast(candCos), Seq("qid"))
+        .withColumn("above",
+          when(col("cos") > col("ccos") ||
+            (col("cos") === col("ccos") && col("cid") < col("ncid")), 1L)
+            .otherwise(0L))
+        .groupBy(col("qid"), col("ncid"))
+        .agg((sum(col("above")) + lit(1L)).as("r_vec"))
+        .select(col("qid"), col("ncid").as("cid"), col("r_vec"))
       lexTop.join(vecRank, Seq("qid", "cid"))
         .filter(col("r_vec") > 20)
         .select(col("qid"), col("cid"), col("r_lex"), col("r_vec"))

@@ -7,8 +7,8 @@ object Verify {
 
   /** Dump every registered query's result + the oracle SQL map without
     * owning the session lifecycle — reused by [[OracleParitySpec]] so the
-    * DuckDB hash-parity gate runs inside `sbt test` on the shared test
-    * session (the round-7 defect class shipped because the local value
+    * oracle-vs-engine schema gate runs inside `sbt test` on the shared
+    * test session (the round-7 defect class shipped because the local
     * compare was not part of the green bar).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
@@ -23,18 +23,24 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    writeOracleJson(outDir)
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def writeOracleJson(outDir: String): Unit = {
+    new java.io.File(outDir).mkdirs()
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
