@@ -53,10 +53,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The remaining unpartitioned windows all have bounded inputs by
+    // construction — PlanShapeSpec pins each one to an aggregate/limit
+    // input and fails the build if a new unpartitioned window appears —
+    // so the blanket WindowExec warning is pure noise in the bench tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
-    // JVM + parquet-footer warmup on a trivial plan
-    spark.read.parquet(s"$sfDir/region.parquet").write
-      .format("noop").mode("overwrite").save()
+    // JVM + parquet-footer warmup: touch every table once so footer
+    // reads / codegen JIT are never charged to whichever query happens
+    // to scan a table first (q_lang_id swung 0.5 → 3.8 s across rounds
+    // on exactly this)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write
+        .format("noop").mode("overwrite").save()
+    }
+
+    // Shared-artifact warmup, timed per artifact: the memoized
+    // shingle/candidate/canonical pipelines and model fits are forced
+    // HERE, not inside whichever consumer query runs first, so
+    // per-query numbers are attributable across rounds and registry
+    // reorders. SPARK_GRAFT_WARMUP=0 skips it (cold diagnosis runs).
+    val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val warmers =
+      if (warm) TextQueries.sharedArtifactWarmers ++ MlQueries.sharedArtifactWarmers
+      else Seq.empty
+    val warmupResults = warmers.map { case (n, f) =>
+      val t0 = System.nanoTime()
+      try f(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val warmupTotal = warmupResults.map(_._2).sum
 
     // optional args = query-name subset for local perf iteration;
     // the driver passes none and gets the full inventory
@@ -69,13 +101,16 @@ object Bench {
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val total = results.map(_._2).sum
+    // value = warmup + queries: comparable with pre-warmup rounds, where
+    // the same work ran inside first-toucher queries
+    val total = warmupTotal + results.map(_._2).sum
 
-    def line(qs: Seq[(String, Double)], omitted: Int): String = {
-      val body = qs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"omitted":$omitted,"full":"bench_full.json","queries":$body,"sf":"$sfDir"}"""
-    }
+
+    def line(qs: Seq[(String, Double)], omitted: Int): String =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"omitted":$omitted,"warmup_sec":$warmupTotal%.3f,"warmup":${jmap(warmupResults)},"full":"bench_full.json","queries":${jmap(qs)},"sf":"$sfDir"}"""
 
     // complete map, declaration order — the durable artifact
     val fullLine = line(results, 0)

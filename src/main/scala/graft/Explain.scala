@@ -14,6 +14,9 @@ object Explain {
       .master("local[4]")
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", "4")
+      // same session TZ as Bench/Verify/tests — plans over the events
+      // table must not interpret ts in host-local time here
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -293,6 +293,20 @@ object MlQueries {
     kmeansCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       KMeans.fit(emb(s, dir), k = 10, iters = 5))
 
+  /** Named thunks forcing each memoized shared artifact (see the
+    * text-side twin in [[TextQueries.sharedArtifactWarmers]]): Bench
+    * times these separately so model fits / pipeline materializations
+    * are not charged to the first consumer query.
+    */
+  private[graft] def sharedArtifactWarmers
+      : Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "ml_bfr_run" -> ((s: SparkSession, d: String) => { bfrResult(s, d); () }),
+    "ml_kmeans_fit" -> ((s: SparkSession, d: String) => { kmeansModel(s, d); () }),
+    "ml_ivf_model" -> ((s: SparkSession, d: String) => { ivfModel(s, d); () }),
+    "ml_pq_codebooks" -> ((s: SparkSession, d: String) => { pqModels(s, d); () }),
+    "ml_embedding_banded" ->
+      ((s: SparkSession, d: String) => { bandedNearDup(s, d); () }))
+
   /** Persisted-quantizer store path, content-keyed: a production ANN tier
     * trains codebooks once and serves many sessions from the stored
     * artifact ([[graft.kmeans.ModelStore]]). The key fingerprints the

@@ -49,6 +49,19 @@ object TextQueries {
       ShingleArtifacts(sh, sig, cand)
     })
 
+  /** Named thunks forcing each memoized shared artifact. Bench runs
+    * these in a separately-timed warmup pass so the one-off pipeline
+    * materializations are never charged to whichever consumer query
+    * happens to execute first — per-query bench numbers stay
+    * attributable across registry reorders.
+    */
+  private[graft] def sharedArtifactWarmers
+      : Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "text_shingle_pipeline" ->
+      ((s: SparkSession, d: String) => { artifacts(s, d); () }),
+    "text_canonical_groups" ->
+      ((s: SparkSession, d: String) => { canonical(s, d); () }))
+
   /** Whitespace tokenization, trimmed — same on both engines. */
   private[graft] def wordsCol: Column = TextOps.words(col("text"))
   private[graft] val wordsSql = """regexp_split_to_array(trim(text), '\s+')"""
@@ -191,6 +204,102 @@ object TextQueries {
             |        FROM w WHERE length(w) >= 2))
             |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
             |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
+  /** Iterated BPE merge training — N chained rounds of the actual BPE
+    * training loop (q_bpe_merge_stats is round-1 candidate counting
+    * only): reduce the corpus ONCE to the bounded (word, freq)
+    * vocabulary, then per round count adjacent symbol pairs
+    * occurrence-weighted, take the top pair (count desc, pair
+    * lexicographic), apply it greedily left-to-right to every word's
+    * segmentation, and recount. Output is the trained merge table. The
+    * greedy apply is the SAME string fold on both engines — every
+    * symbol is appended behind a '|' sentinel, so "ends with |left"
+    * tests the last FULL symbol and adjacent occurrences merge
+    * left-to-right without double-consuming a shared symbol (words
+    * containing the sentinel are excluded symmetrically). The oracle
+    * unrolls the identical N rounds as MATERIALIZED CTE chains with the
+    * per-round merge decision cross-joined into the re-segmentation.
+    *
+    * Scale shape: one corpus pass builds the vocab (map-side partial
+    * count on the word key); every round after that is a bounded
+    * aggregate over the vocabulary plus a 1-row driver collect (the
+    * merge decision — the same driver-held-model pattern as the k-means
+    * centroids). At 100 TB the corpus is scanned once; rounds cost
+    * O(|vocab|), and the vocab is localCheckpointed so round r+1 never
+    * re-derives round r's segmentation.
+    */
+  private val BpeRounds = 6
+
+  val bpeMergeRounds = Q("q_bpe_merge_rounds",
+    (s, dir) => {
+      import s.implicits._
+      var vocab = docs(s, dir).select(explode(wordsCol).as("w"))
+        .filter(length(col("w")) >= 2 && !col("w").contains("|"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1))).as("syms"))
+        .localCheckpoint(true) // bounded: |vocabulary| rows
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= BpeRounds && !exhausted) {
+        // size >= 2 guard is load-bearing: Spark sequence(1, 0) counts
+        // DOWN ([1, 0]) where DuckDB generate_series(1, 0) is empty
+        val top = vocab.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("l"),
+              element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((r.toLong, l, rr, cnt))
+          val folded = aggregate(col("syms"), lit(""),
+            (acc, x) => when(x === lit(rr) && endswith(acc, lit("|" + l)),
+              concat(acc.substr(lit(1), length(acc) - length(lit("|" + l))),
+                lit("|" + l + rr)))
+              .otherwise(concat(acc, lit("|"), x)))
+          vocab = vocab.select(col("freq"),
+            filter(split(folded, "[|]"), sy => sy =!= "").as("syms"))
+            .localCheckpoint(true)
+          r += 1
+        }
+      }
+      merges.result().toDF("round_id", "l_sym", "r_sym", "pair_cnt")
+        .orderBy(col("round_id"))
+    }, {
+      val v0 = s"""v0 AS MATERIALIZED (
+        |  SELECT count(*) AS freq,
+        |    list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms
+        |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+        |  WHERE length(w) >= 2 AND NOT contains(w, '|') GROUP BY w)""".stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, syms[i] AS l, syms[i+1] AS r FROM (
+           |      SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           |      FROM v${r - 1} WHERE len(syms) >= 2))
+           |  GROUP BY l, r),
+           |m$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$r AS MATERIALIZED (
+           |  SELECT freq, list_filter(string_split(
+           |    list_reduce(list_prepend('', syms),
+           |      (acc, x) -> CASE WHEN x = m.r AND ends_with(acc, '|' || m.l)
+           |        THEN substring(acc, 1, length(acc) - length('|' || m.l)) || '|' || m.l || m.r
+           |        ELSE acc || '|' || x END), '|'), s -> s <> '') AS syms
+           |  FROM v${r - 1}, m$r m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to BpeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round_id, l AS l_sym, r AS r_sym, cnt AS pair_cnt FROM m$r")
+        .mkString("\nUNION ALL ")
+      Some(s"WITH $v0,\n$rounds\n$union\nORDER BY round_id")
+    })
 
   private val stopLits = Seq("the", "a", "and", "of", "to", "in", "is", "on")
 
@@ -2682,7 +2791,7 @@ object TextQueries {
     dedupExact, tokenCount, tokenBpe, tokenizerFertility, textNormalize,
     qualityScore, qualityLogit,
     pagerank, langHistogram, langId, cohensKappa, vocabGrowth,
-    unicodePipeline, charEntropy, dedupReport, bpeMergeStats,
+    unicodePipeline, charEntropy, dedupReport, bpeMergeStats, bpeMergeRounds,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard, minhashRecall,
     dedupGroups, dedupIncremental, decontaminate, bloomDecontaminate,
     multimodalMeta, multimodalFeatures,

@@ -32,9 +32,12 @@ class OracleParitySpec extends AnyFunSuite {
     val schemas = SparkEntry.queries.toSeq
       .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
       .map { case (name, fn) =>
+        // Verify.q escapes quotes/backslashes/control chars — a column
+        // name containing any of those must yield a schema diff, not a
+        // JSON parse error in the lint.
         val fields = fn(spark, sf).schema.fields
-          .map(f => s"""["${f.name}","${f.dataType.simpleString}"]""")
-        s""""$name":[${fields.mkString(",")}]"""
+          .map(f => s"[${Verify.q(f.name)},${Verify.q(f.dataType.simpleString)}]")
+        s"${Verify.q(name)}:[${fields.mkString(",")}]"
       }
     Files.writeString(Paths.get(s"$out/spark_schema.json"),
       schemas.mkString("{", ",", "}"))

@@ -324,4 +324,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin [cid"), // rerank joins tiny shortlist
       s"the shortlist rerank must not shuffle the candidate corpus twice:\n$p")
   }
+
+  test("unpartitioned windows: fixed allow-list, every input bounded (agg/limit)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    // Each allow-listed site computes its window over a bounded grid —
+    // a grouped aggregate on a fixed-cardinality key (256-bucket corpus
+    // grid, |sources|, n_chars histogram, rank histogram) or an explicit
+    // limit — never over corpus rows. The runtime `WindowExec: No
+    // Partition Defined` warning is silenced in Bench on the strength of
+    // exactly this pin; a NEW unpartitioned window anywhere else in the
+    // inventory fails here and must be partitioned or justified.
+    val allowed = Set("q_vocab_growth", "q_zipf_rank", "q_source_mix",
+      "q_temperature_mix", "q_apply_mixture", "q_token_budget",
+      "q_bm25_search", "q_dsir_weights")
+    Queries.all.foreach { q =>
+      val wins = q.fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty) {
+        val bounded = wins.forall(_.child.collectFirst {
+          case _: Aggregate => (); case _: GlobalLimit => (); case _: LocalLimit => ()
+        }.nonEmpty)
+        assert(bounded,
+          s"${q.name}: unpartitioned window over a NON-aggregated/limited input")
+        assert(allowed(q.name),
+          s"${q.name}: NEW unpartitioned window — partition it or allow-list with justification")
+      }
+    }
+  }
 }

@@ -37,9 +37,15 @@ def duck_class(t):
     t = str(t).upper()
     if t in ("HUGEINT", "UHUGEINT"):
         return "HUGEINT"  # never acceptable: pandas reads it as float64
+    if t.startswith("DECIMAL"):
+        # Never acceptable either: depending on the duckdb/pandas
+        # conversion DECIMAL can surface as object (decimal.Decimal)
+        # rather than float64, reintroducing the hash-mismatch class
+        # this lint exists to catch while reporting green.
+        return "DECIMAL"
     if t in INTEGRAL:
         return "int"
-    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+    if t in ("FLOAT", "DOUBLE"):
         return "float"
     if t == "BOOLEAN":
         return "bool"
@@ -60,7 +66,11 @@ def spark_class(t):
     t = t.lower()
     if t in ("byte", "short", "int", "bigint", "smallint", "tinyint", "long"):
         return "int"
-    if t in ("float", "double") or t.startswith("decimal"):
+    if t.startswith("decimal"):
+        # parquet decimal128 reaches pandas as object (decimal.Decimal)
+        # on the driver side too — same hazard as DuckDB DECIMAL.
+        return "DECIMAL"
+    if t in ("float", "double"):
         return "float"
     if t == "boolean":
         return "bool"
@@ -97,6 +107,12 @@ for name in sorted(oracles):
         if dc == "HUGEINT":
             fails.append((name, f"col '{c}' is HUGEINT ({d_by[c]}) — wrap the"
                           " oracle aggregate in CAST(... AS BIGINT)"))
+        elif dc == "DECIMAL":
+            fails.append((name, f"col '{c}' is DECIMAL ({d_by[c]}) — wrap the"
+                          " oracle expression in CAST(... AS DOUBLE)"))
+        elif sc == "DECIMAL":
+            fails.append((name, f"col '{c}' is Spark decimal ({s_by[c]}) — "
+                          "cast the Spark column to double"))
         elif dc != sc:
             fails.append((name, f"col '{c}' class mismatch: spark"
                           f" {s_by[c]} ({sc}) vs duckdb {d_by[c]} ({dc})"))
