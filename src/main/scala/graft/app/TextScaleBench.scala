@@ -26,10 +26,31 @@ object TextScaleBench {
   final case class Result(
       docs: Long, base: Long, copies: Int, shingles: Long,
       candidates: Long, dupPairs: Long, groupedDocs: Long,
-      stageSeconds: Map[String, Double])
+      stageSeconds: Map[String, Double],
+      maxTaskS: Double = 0.0, tasks: Long = 0L,
+      stageMaxTaskS: Map[String, Double] = Map.empty)
 
   def run(spark: SparkSession, docsPath: String, copies: Int,
           partitions: Int): Result = {
+    // straggler bound for the WHOLE pipeline: the longest single task is
+    // the number that predicts 1000-executor behavior (a stage is as
+    // slow as its slowest task, however many cores wait behind it)
+    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        nTasks.incrementAndGet()
+        val d = t.taskInfo.duration
+        var cur = maxTaskMs.get()
+        while (d > cur && !maxTaskMs.compareAndSet(cur, d)) cur = maxTaskMs.get()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // per-stage straggler attribution: snapshot-and-reset between stages
+    val stageMax = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def snapMax(stage: String): Unit =
+      stageMax(stage) = math.rint(maxTaskMs.getAndSet(0) / 100.0) / 10
     val raw = spark.read.parquet(docsPath)
     val base = raw.count()
     // copy c of doc i: id = i*copies + c, text = text + " dupmark<c>"
@@ -40,33 +61,85 @@ object TextScaleBench {
       .repartition(partitions)
       .localCheckpoint(true)
     val n = corpus.count()
+    snapMax("setup")
 
     val t0 = System.nanoTime()
     val sh = TextOps.explodedShingles(corpus, "doc_id", col("text")).localCheckpoint(true)
     val nShingles = sh.count()
+    snapMax("shingle")
     val t1 = System.nanoTime()
     // the production path: map-side native signature, no explode, no agg
     val sig = TextOps.signatureFromText(corpus, "doc_id", col("text")).localCheckpoint(true)
     sig.count()
+    snapMax("signature")
     val t2 = System.nanoTime()
+    // the band-bucket self-join fans out like verify/CC (pairs per
+    // bucket) — same scoped sizing contract (measured: 33-92 s max task
+    // under input-byte coalescing, single-digit without)
+    val sessionParts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(partitions, copies * 10).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
       .localCheckpoint(true)
     val nCand = cand.count()
+    spark.conf.set("spark.sql.shuffle.partitions", sessionParts0)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    snapMax("lsh")
     val t3 = System.nanoTime()
-    val dupPairs = TextOps.jaccardOverPairs(sh, "doc_id", cand)
+    // Fan-out-aware sizing for the explosive verify join ONLY: the join
+    // emits each pair × both docs' shingle rows (~50× row fan-out), so
+    // task size is governed by OUTPUT rows, which neither static
+    // input-based sizing nor AQE can see — AQE's input-byte coalescing
+    // re-merges partitions into ~64 MB inputs whose joined output is
+    // tens of millions of rows = one 300 s straggler (measured round 9;
+    // 256 static partitions still left a 174 s one). Pre-size to ~30
+    // partitions per copy and park coalescing for exactly this stage;
+    // the skew-split backstop stays on, and the iterative CC stage that
+    // follows gets coalescing back (10 tiny-shuffle rounds at 3000
+    // uncoalesced partitions cost 3× the whole stage, also measured).
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(partitions, copies * 15).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val dupPairsFine = TextOps.jaccardOverPairs(sh, "doc_id", cand)
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    dupPairsFine.count()
+    spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // re-block the verify output to the session sizing before the
+    // iterative CC: its small per-round shuffles must not inherit the
+    // verify stage's fine fan-out partitioning (measured: CC over the
+    // fine-blocked checkpoint ran 2.6× slower than over coarse blocks)
+    val dupPairs = dupPairsFine.repartition(sessionParts.toInt)
+      .localCheckpoint(true)
     val nDup = dupPairs.count()
+    snapMax("verify")
     val t4 = System.nanoTime()
+    // CC's neighbor×member joins fan out too (deg(v)·|component| rows
+    // per vertex on dense cliques), so input-byte coalescing plants the
+    // same straggler inside CC (measured: 70-83 s max task with
+    // coalescing on vs 8-16 s off). Moderate fixed partitioning,
+    // coalescing parked, skew backstop on — same contract as verify.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(partitions, copies * 5).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val groups = ConnectedComponents.canonicalize(dupPairs)
     val nGrouped = groups.count()
+    spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    snapMax("components")
     val t5 = System.nanoTime()
 
+    spark.sparkContext.removeSparkListener(listener)
     def sec(a: Long, b: Long): Double = math.rint((b - a) / 1e8) / 10
     Result(n, base, copies, nShingles, nCand, nDup, nGrouped, Map(
       "shingle_s" -> sec(t0, t1), "signature_s" -> sec(t1, t2),
       "lsh_s" -> sec(t2, t3), "verify_s" -> sec(t3, t4),
-      "components_s" -> sec(t4, t5), "total_s" -> sec(t0, t5)))
+      "components_s" -> sec(t4, t5), "total_s" -> sec(t0, t5)),
+      stageMax.values.max, nTasks.get(),
+      stageMaxTaskS = stageMax.toMap)
   }
 
   /** Skewed-corpus probe: plant `planted` IDENTICAL boilerplate docs (the
@@ -225,7 +298,8 @@ object TextScaleBench {
     // replication factor, so default to ~2.5 partitions per copy (256 at
     // 100×, the setting the probe was validated with) — running the big
     // probe at the bench default of 32 OOMs the verify sort. Env
-    // override wins.
+    // override wins. (The verify stage re-sizes itself on top of this —
+    // see the fan-out note inside run().)
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(cpus.toInt, copies * 5 / 2).toString)
     val spark = SparkSession.builder()
@@ -263,9 +337,13 @@ object TextScaleBench {
       val stages = Seq("shingle_s", "signature_s", "lsh_s", "verify_s",
         "components_s", "total_s")
         .map(k => s""""$k":${r.stageSeconds(k)}""").mkString(",")
+      val perStage = r.stageMaxTaskS
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"docs":${r.docs},"base":${r.base},"copies":${r.copies},""" +
         s""""shingles":${r.shingles},"candidates":${r.candidates},""" +
-        s""""dup_pairs":${r.dupPairs},"grouped_docs":${r.groupedDocs},$stages}""")
+        s""""dup_pairs":${r.dupPairs},"grouped_docs":${r.groupedDocs},""" +
+        s""""max_task_s":${r.maxTaskS},"tasks":${r.tasks},""" +
+        s""""stage_max_task_s":$perStage,$stages}""")
     }
     spark.stop()
   }

@@ -246,6 +246,18 @@ object TextOps {
     * join keys on (doc_b, shingle), so only (id, shingle-hash) pairs
     * shuffle, never text; its output is Σ_pairs |shingles(A)| rows, the
     * inherent verify cost, and stays distributed.
+    *
+    * Partition-sizing contract for corpus-scale callers: this join FANS
+    * OUT ~|shingles| rows per input pair, so task size is governed by
+    * OUTPUT rows — which neither static input-byte sizing nor AQE's
+    * coalescing can see (both target input bytes; at the 100× probe,
+    * AQE re-merged pre-sized partitions into ~64 MB inputs whose joined
+    * output was tens of millions of rows = one 300 s straggler task).
+    * Size `spark.sql.shuffle.partitions` on expected OUTPUT rows
+    * (≈ pairs × avg shingles / ~500k rows per task) and disable
+    * `spark.sql.adaptive.coalescePartitions.enabled` for exactly this
+    * stage, leaving the skew-split backstop on — see
+    * `app.TextScaleBench.run` for the measured numbers.
     */
   /** A doc_a carrying more than this many pairs (a hub-star center or an
     * organically over-shared doc) takes the SALTED verify path below.

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   * reachable mins, so label-equality across all edges proves every label
   * IS its component minimum (the min node labels itself, and the label is
   * constant on the component).
+  *
+  * Partition-sizing contract for dense-graph callers (same as
+  * `TextOps.jaccardOverPairs`): the per-round join fans out
+  * deg(v)·|cluster(v)| rows per vertex, so on clique-heavy graphs AQE's
+  * input-byte coalescing re-merges partitions whose joined OUTPUT is a
+  * multi-minute straggler task (measured 70-83 s at the 100× probe with
+  * coalescing on vs 8-16 s off). Size partitions moderately on expected
+  * output rows and park `spark.sql.adaptive.coalescePartitions.enabled`
+  * around the call — `app.TextScaleBench.run` carries the measured
+  * sweep.
   */
 object ConnectedComponents {
 
