@@ -230,9 +230,29 @@ object TextQueries {
     */
   private val BpeRounds = 6
 
-  val bpeMergeRounds = Q("q_bpe_merge_rounds",
-    (s, dir) => {
-      import s.implicits._
+  /** The greedy left-to-right merge of pair (l, r) as a string fold over
+    * the symbol list: every symbol is appended behind a '|' sentinel, so
+    * "ends with |l" tests the last FULL symbol and adjacent occurrences
+    * never double-consume a shared symbol. Shared verbatim by training
+    * (fold over the evolving vocab) and application (fold per word).
+    */
+  private def bpeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, lit(""),
+      (acc, x) => when(x === lit(r) && endswith(acc, lit("|" + l)),
+        concat(acc.substr(lit(1), length(acc) - length(lit("|" + l))),
+          lit("|" + l + r)))
+        .otherwise(concat(acc, lit("|"), x)))
+
+  /** Trained merge table, memoized per (session, dir): q_bpe_merge_rounds
+    * reports it, q_bpe_apply tokenizes with it. Training cost is one
+    * corpus pass + BpeRounds bounded vocab aggregates (driver-held-model
+    * pattern; the result is BpeRounds rows of driver state).
+    */
+  private val bpeTrainCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Seq[(String, String, Long)]]()
+
+  private def bpeTrain(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeTrainCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       var vocab = docs(s, dir).select(explode(wordsCol).as("w"))
         .filter(length(col("w")) >= 2 && !col("w").contains("|"))
         .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -240,7 +260,7 @@ object TextQueries {
           transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))).as("syms"))
         .localCheckpoint(true) // bounded: |vocabulary| rows
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      val merges = Seq.newBuilder[(String, String, Long)]
       var r = 1
       var exhausted = false
       while (r <= BpeRounds && !exhausted) {
@@ -259,46 +279,122 @@ object TextQueries {
         else {
           val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1),
             top(0).getLong(2))
-          merges += ((r.toLong, l, rr, cnt))
-          val folded = aggregate(col("syms"), lit(""),
-            (acc, x) => when(x === lit(rr) && endswith(acc, lit("|" + l)),
-              concat(acc.substr(lit(1), length(acc) - length(lit("|" + l))),
-                lit("|" + l + rr)))
-              .otherwise(concat(acc, lit("|"), x)))
+          merges += ((l, rr, cnt))
           vocab = vocab.select(col("freq"),
-            filter(split(folded, "[|]"), sy => sy =!= "").as("syms"))
+            filter(split(bpeFold(col("syms"), l, rr), "[|]"), sy => sy =!= "")
+              .as("syms"))
             .localCheckpoint(true)
           r += 1
         }
       }
-      merges.result().toDF("round_id", "l_sym", "r_sym", "pair_cnt")
+      merges.result()
+    })
+
+  /** The DuckDB unroll of the training loop (v0 → p_r/m_r/v_r chains),
+    * shared by the merge-table and apply oracles. MATERIALIZED is
+    * load-bearing: plain CTEs re-evaluate the chain exponentially.
+    */
+  private def bpeTrainCtes: String = {
+    val v0 = s"""v0 AS MATERIALIZED (
+      |  SELECT count(*) AS freq,
+      |    list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms
+      |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+      |  WHERE length(w) >= 2 AND NOT contains(w, '|') GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, syms[i] AS l, syms[i+1] AS r FROM (
+         |      SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |      FROM v${r - 1} WHERE len(syms) >= 2))
+         |  GROUP BY l, r),
+         |m$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT freq, list_filter(string_split(
+         |    list_reduce(list_prepend('', syms),
+         |      (acc, x) -> CASE WHEN x = m.r AND ends_with(acc, '|' || m.l)
+         |        THEN substring(acc, 1, length(acc) - length('|' || m.l)) || '|' || m.l || m.r
+         |        ELSE acc || '|' || x END), '|'), s -> s <> '') AS syms
+         |  FROM v${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"$v0,\n$rounds"
+  }
+
+  val bpeMergeRounds = Q("q_bpe_merge_rounds",
+    (s, dir) => {
+      import s.implicits._
+      bpeTrain(s, dir).zipWithIndex
+        .map { case ((l, r, cnt), i) => (i + 1L, l, r, cnt) }
+        .toDF("round_id", "l_sym", "r_sym", "pair_cnt")
         .orderBy(col("round_id"))
     }, {
-      val v0 = s"""v0 AS MATERIALIZED (
-        |  SELECT count(*) AS freq,
-        |    list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)) AS syms
-        |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
-        |  WHERE length(w) >= 2 AND NOT contains(w, '|') GROUP BY w)""".stripMargin
-      val rounds = (1 to BpeRounds).map { r =>
-        s"""p$r AS MATERIALIZED (
-           |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, syms[i] AS l, syms[i+1] AS r FROM (
-           |      SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-           |      FROM v${r - 1} WHERE len(syms) >= 2))
-           |  GROUP BY l, r),
-           |m$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-           |v$r AS MATERIALIZED (
-           |  SELECT freq, list_filter(string_split(
-           |    list_reduce(list_prepend('', syms),
-           |      (acc, x) -> CASE WHEN x = m.r AND ends_with(acc, '|' || m.l)
-           |        THEN substring(acc, 1, length(acc) - length('|' || m.l)) || '|' || m.l || m.r
-           |        ELSE acc || '|' || x END), '|'), s -> s <> '') AS syms
-           |  FROM v${r - 1}, m$r m)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to BpeRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round_id, l AS l_sym, r AS r_sym, cnt AS pair_cnt FROM m$r")
         .mkString("\nUNION ALL ")
-      Some(s"WITH $v0,\n$rounds\n$union\nORDER BY round_id")
+      Some(s"WITH $bpeTrainCtes\n$union\nORDER BY round_id")
+    })
+
+  /** BPE APPLICATION — tokenize the corpus with the trained merge table
+    * (q_bpe_merge_rounds trains it; this is the inference half every
+    * token-budget / packing stage runs): per safe word (no sentinel
+    * char), segment to characters and apply the BpeRounds merges in
+    * training order via the same greedy fold; report per-doc token and
+    * char counts plus tokens-per-char in micro.
+    *
+    * Scale shape: the trained merges are BpeRounds rows of driver state
+    * folded into the per-row expressions as literals — exactly how the
+    * quality-classifier weights travel — so application is a pure
+    * map-side projection: one corpus scan, zero shuffle, zero joins at
+    * any corpus size. The oracle recomputes the SAME merge table via
+    * the shared training CTEs and applies it with nested list folds,
+    * cross-joined against the six 1-row merge CTEs.
+    */
+  val bpeApply = Q("q_bpe_apply",
+    (s, dir) => {
+      val merges = bpeTrain(s, dir)
+      def segTokens(w: Column): Column = {
+        val seg = merges.foldLeft(regexp_replace(w, "(.)", "|$1")) {
+          case (prev, (l, r, _)) =>
+            bpeFold(filter(split(prev, "[|]"), x => x =!= ""), l, r)
+        }
+        size(filter(split(seg, "[|]"), x => x =!= "")).cast("long")
+      }
+      val safeWords = filter(wordsCol, w => !w.contains("|") && length(w) > 0)
+      docs(s, dir).select(col("doc_id"),
+          aggregate(transform(safeWords, w => length(w).cast("long")),
+            lit(0L), (a, b) => a + b).as("n_chars_safe"),
+          aggregate(transform(safeWords, w => segTokens(w)),
+            lit(0L), (a, b) => a + b).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_chars_safe"), col("n_bpe_tokens"),
+          when(col("n_chars_safe") > 0,
+            floor(lit(1e6) * col("n_bpe_tokens").cast("double")
+              / col("n_chars_safe").cast("double")))
+            .otherwise(lit(0L)).cast("long").as("tokens_per_char_micro"))
+    }, {
+      val seg = (1 to BpeRounds).foldLeft(
+        """regexp_replace(w, '(.)', '|\1', 'g')""") { (prev, i) =>
+        s"""list_reduce(list_prepend('', list_filter(string_split($prev, '|'), s -> s <> '')),
+           | (acc, x) -> CASE WHEN x = m$i.r AND ends_with(acc, '|' || m$i.l)
+           |   THEN substring(acc, 1, length(acc) - length('|' || m$i.l)) || '|' || m$i.l || m$i.r
+           |   ELSE acc || '|' || x END)""".stripMargin
+      }
+      val mJoins = (1 to BpeRounds).map(r => s"m$r").mkString(", ")
+      Some(s"""WITH $bpeTrainCtes,
+        |sw AS (
+        |  SELECT doc_id,
+        |    list_filter($wordsSql, w -> NOT contains(w, '|') AND length(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, n_chars_safe, n_bpe_tokens,
+        |  CAST(CASE WHEN n_chars_safe > 0
+        |    THEN floor(1e6 * n_bpe_tokens / CAST(n_chars_safe AS DOUBLE))
+        |    ELSE 0 END AS BIGINT) AS tokens_per_char_micro
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)
+        |      AS n_chars_safe,
+        |    CAST(coalesce(list_sum(list_transform(ws,
+        |      w -> len(list_filter(string_split($seg, '|'), s -> s <> '')))), 0) AS BIGINT)
+        |      AS n_bpe_tokens
+        |  FROM sw, $mJoins)""".stripMargin)
     })
 
   private val stopLits = Seq("the", "a", "and", "of", "to", "in", "is", "on")
@@ -2792,6 +2888,7 @@ object TextQueries {
     qualityScore, qualityLogit,
     pagerank, langHistogram, langId, cohensKappa, vocabGrowth,
     unicodePipeline, charEntropy, dedupReport, bpeMergeStats, bpeMergeRounds,
+    bpeApply,
     docFingerprint, minhashSignature, minhashLshPairs, ngramJaccard, minhashRecall,
     dedupGroups, dedupIncremental, decontaminate, bloomDecontaminate,
     multimodalMeta, multimodalFeatures,
