@@ -325,6 +325,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the shortlist rerank must not shuffle the candidate corpus twice:\n$p")
   }
 
+  test("q_bpe_apply: trained merges fold to literals — map-side scan, no exchange, no join") {
+    val p = plan("q_bpe_apply")
+    assert(!p.contains("Exchange"), s"BPE application must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"the merge table must travel as literals, not a join:\n$p")
+  }
+
   test("unpartitioned windows: fixed allow-list, every input bounded (agg/limit)") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
