@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Output contract: the harness that captures this process keeps only the
   * TAIL of stdout (~2000 chars) and parses the last complete JSON line it
-  * finds. The full 90+-query map serialized at millisecond precision is
-  * ~2.6 KB — longer than the tail window — so printing it as the final
-  * line clips its head and nothing parses. Instead:
+  * finds. The full inventory-sized query map serialized at millisecond
+  * precision is several KB — longer than the tail window — so printing it
+  * as the final line clips its head and nothing parses. Instead:
   *   - the COMPLETE per-query map is written to bench_full.json in the
   *     working directory (one JSON object, all queries, 3-decimal secs);
   *   - stdout ends with an adaptive line that always carries the total
