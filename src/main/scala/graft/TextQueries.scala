@@ -348,22 +348,35 @@ object TextQueries {
     * the shared training CTEs and applies it with nested list folds,
     * cross-joined against the six 1-row merge CTEs.
     */
+  /** The declarative twin of [[graft.functions.BpeApplyStatsExpr]]: the
+    * chained sentinel-string folds, kept as the semantic reference the
+    * native kernel is equality-tested against (TextOpsSpec).
+    */
+  private[graft] def bpeApplyHofCols(merges: Seq[(String, String)])
+      : (Column, Column) = {
+    def segTokens(w: Column): Column = {
+      val seg = merges.foldLeft(regexp_replace(w, "(.)", "|$1")) {
+        case (prev, (l, r)) =>
+          bpeFold(filter(split(prev, "[|]"), x => x =!= ""), l, r)
+      }
+      size(filter(split(seg, "[|]"), x => x =!= "")).cast("long")
+    }
+    val safeWords = filter(wordsCol, w => !w.contains("|") && length(w) > 0)
+    (aggregate(transform(safeWords, w => length(w).cast("long")),
+      lit(0L), (a, b) => a + b),
+      aggregate(transform(safeWords, w => segTokens(w)),
+        lit(0L), (a, b) => a + b))
+  }
+
   val bpeApply = Q("q_bpe_apply",
     (s, dir) => {
-      val merges = bpeTrain(s, dir)
-      def segTokens(w: Column): Column = {
-        val seg = merges.foldLeft(regexp_replace(w, "(.)", "|$1")) {
-          case (prev, (l, r, _)) =>
-            bpeFold(filter(split(prev, "[|]"), x => x =!= ""), l, r)
-        }
-        size(filter(split(seg, "[|]"), x => x =!= "")).cast("long")
-      }
-      val safeWords = filter(wordsCol, w => !w.contains("|") && length(w) > 0)
-      docs(s, dir).select(col("doc_id"),
-          aggregate(transform(safeWords, w => length(w).cast("long")),
-            lit(0L), (a, b) => a + b).as("n_chars_safe"),
-          aggregate(transform(safeWords, w => segTokens(w)),
-            lit(0L), (a, b) => a + b).as("n_bpe_tokens"))
+      val merges = bpeTrain(s, dir).map { case (l, r, _) => (l, r) }
+      // native single-pass kernel (≡ bpeApplyHofCols, equality-tested):
+      // BpeRounds nested interpreted folds collapse into one tight loop
+      val st = NativeTextFunctions.bpeApplyStatsNative(col("text"), merges)
+      docs(s, dir)
+        .select(col("doc_id"), st.getField("n_chars_safe").as("n_chars_safe"),
+          st.getField("n_bpe_tokens").as("n_bpe_tokens"))
         .select(col("doc_id"), col("n_chars_safe"), col("n_bpe_tokens"),
           when(col("n_chars_safe") > 0,
             floor(lit(1e6) * col("n_bpe_tokens").cast("double")

@@ -299,6 +299,88 @@ object MinhashSignatureExpr {
   }
 }
 
+/** BPE application stats in one pass: per safe word (non-empty, no '|'
+  * sentinel) segment to code points and apply the trained merges in
+  * order, greedy left-to-right; returns (code points of safe words,
+  * BPE tokens after all merges). Semantically identical to the chained
+  * sentinel-string `aggregate` folds in `TextQueries.bpeApplyHofCols`
+  * (equality unit-tested) but one tight loop per row instead of
+  * BpeRounds nested interpreted HOFs — the same native-kernel treatment
+  * as the MinHash signature. The merge table is a constructor literal,
+  * so application stays a map-side projection inside whole-stage
+  * codegen at any corpus size.
+  */
+case class BpeApplyStatsExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars_safe", LongType, nullable = false),
+    StructField("n_bpe_tokens", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_apply_stats_native expects STRING, got ${child.dataType.sql}")
+  }
+
+  def compute(text: UTF8String): Any = {
+    val tokens = WordShinglesExpr.Whitespace.split(text.trim.toString, -1)
+    var chars = 0L
+    var toks = 0L
+    var t = 0
+    while (t < tokens.length) {
+      val w = tokens(t)
+      if (!w.isEmpty && w.indexOf('|') < 0) {
+        // code-point segmentation — matches regexp_replace(w,'(.)','|$1')
+        // and Spark's length(), both code-point-based
+        var syms = new java.util.ArrayList[String](w.length)
+        var i = 0
+        while (i < w.length) {
+          val cc = Character.charCount(w.codePointAt(i))
+          syms.add(w.substring(i, i + cc))
+          chars += 1
+          i += cc
+        }
+        // each merge pass: append symbols left to right, fusing when the
+        // previous OUTPUT symbol is exactly l and the next input is r —
+        // the list form of the sentinel-string fold (acc ends with |l),
+        // so adjacent occurrences never double-consume a shared symbol
+        merges.foreach { case (l, r) =>
+          val out = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            val x = syms.get(j)
+            if (!out.isEmpty && out.get(out.size - 1) == l && x == r)
+              out.set(out.size - 1, l + r)
+            else out.add(x)
+            j += 1
+          }
+          syms = out
+        }
+        toks += syms.size
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](chars, toks))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApplyStats", this, classOf[BpeApplyStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_apply_stats_native"
+}
+
 object NativeTextFunctions {
   /** Distinct word 3-gram shingles, single-pass. */
   def distinctShinglesNative(text: Column): Column =
@@ -316,4 +398,9 @@ object NativeTextFunctions {
     * n_distinct_bigrams), single-pass. */
   def bigramStatsNative(text: Column, stopWords: Seq[String]): Column =
     ColumnBridge.column(BigramStatsExpr(ColumnBridge.expression(text), stopWords))
+
+  /** BPE application stats struct(n_chars_safe, n_bpe_tokens) under a
+    * trained merge table, single-pass. */
+  def bpeApplyStatsNative(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeApplyStatsExpr(ColumnBridge.expression(text), merges))
 }

@@ -284,4 +284,36 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(close > 50, s"fixture too sparse to be meaningful: $close close pairs")
   }
+
+  test("native BPE apply stats ≡ chained sentinel-string HOF folds") {
+    import spark.implicits._
+    // adversarial merge chain: overlap (a,a) on runs, a merged symbol as
+    // the LEFT of a later merge (aa+a), one consuming an earlier output
+    // (e+ll), plus a merge that never fires
+    val merges = Seq(("a", "a"), ("aa", "a"), ("l", "l"), ("e", "ll"), ("z", "q"))
+    val texts = Seq(
+      "",                        // empty text → 0 / 0
+      "aaa aaaa aaaaa a",        // greedy left-to-right runs + chained aa+a
+      "hello bell ball",         // l+l then e+ll
+      "with|pipe safe here",     // sentinel word excluded, rest counted
+      "  padded   spaces  ",     // trim + \s+ parity with the HOF words
+      "héllo héllaa über 😀a😀a", // non-ASCII + astral code points
+      "zq zzq qz")               // never-firing merge leaves chars intact
+    val df = texts.toDF("text")
+    val (hofChars, hofToks) = TextQueries.bpeApplyHofCols(merges)
+    val rows = df.select(col("text"),
+      NativeTextFunctions.bpeApplyStatsNative(col("text"), merges).as("st"),
+      hofChars.as("hc"), hofToks.as("ht")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(1)
+      assert(st.getLong(0) == r.getLong(2) && st.getLong(1) == r.getLong(3),
+        s"text='${r.getString(0)}': native (${st.getLong(0)}, ${st.getLong(1)})" +
+          s" vs HOF (${r.getLong(2)}, ${r.getLong(3)})")
+    }
+    // pin the greedy semantics, not just cross-impl agreement:
+    // "aaa"→[aa,a]→[aaa]; "aaaa"→[aa,aa]→[aaa,a]; "aaaaa"→[aa,aa,a]→[aaa,aa]
+    val run = rows(1).getStruct(1)
+    assert(run.getLong(0) == 13 && run.getLong(1) == 1 + 2 + 2 + 1,
+      s"greedy run merge wrong: $run")
+  }
 }
