@@ -355,7 +355,11 @@ object TextQueries {
   private[graft] def bpeApplyHofCols(merges: Seq[(String, String)])
       : (Column, Column) = {
     def segTokens(w: Column): Column = {
-      val seg = merges.foldLeft(regexp_replace(w, "(.)", "|$1")) {
+      // (?s): Java '.' excludes \n \r u0085 u2028 u2029; the last three are
+      // NOT Java \s so they survive word tokenization, and the native
+      // kernel (and RE2 oracle) segment every code point — DOTALL keeps
+      // this reference twin equal to both on such words
+      val seg = merges.foldLeft(regexp_replace(w, "(?s)(.)", "|$1")) {
         case (prev, (l, r)) =>
           bpeFold(filter(split(prev, "[|]"), x => x =!= ""), l, r)
       }
@@ -386,12 +390,23 @@ object TextQueries {
       val seg = (1 to BpeRounds).foldLeft(
         """regexp_replace(w, '(.)', '|\1', 'g')""") { (prev, i) =>
         s"""list_reduce(list_prepend('', list_filter(string_split($prev, '|'), s -> s <> '')),
-           | (acc, x) -> CASE WHEN x = m$i.r AND ends_with(acc, '|' || m$i.l)
-           |   THEN substring(acc, 1, length(acc) - length('|' || m$i.l)) || '|' || m$i.l || m$i.r
+           | (acc, x) -> CASE WHEN x = ma$i.r AND ends_with(acc, '|' || ma$i.l)
+           |   THEN substring(acc, 1, length(acc) - length('|' || ma$i.l)) || '|' || ma$i.l || ma$i.r
            |   ELSE acc || '|' || x END)""".stripMargin
       }
-      val mJoins = (1 to BpeRounds).map(r => s"m$r").mkString(", ")
+      // Each ma$r is GUARANTEED 1 row: if training exhausted pairs before
+      // round r (tiny/degenerate corpus), m$r is empty and a bare
+      // sw × m1..m6 cross join would annihilate to 0 rows while Spark
+      // (which breaks out of the loop on exhaustion) still emits one row
+      // per doc. The fallback ('', '') merge is a provable no-op in the
+      // fold: every symbol x has length >= 1, so x = '' never matches.
+      val maCtes = (1 to BpeRounds).map(r =>
+        s"""ma$r AS (SELECT l, r FROM m$r
+           |  UNION ALL SELECT '' AS l, '' AS r WHERE NOT EXISTS (SELECT 1 FROM m$r))""".stripMargin)
+        .mkString(",\n")
+      val mJoins = (1 to BpeRounds).map(r => s"ma$r").mkString(", ")
       Some(s"""WITH $bpeTrainCtes,
+        |$maCtes,
         |sw AS (
         |  SELECT doc_id,
         |    list_filter($wordsSql, w -> NOT contains(w, '|') AND length(w) > 0) AS ws

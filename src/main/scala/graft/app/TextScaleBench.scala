@@ -23,6 +23,39 @@ import graft.operators.ConnectedComponents
   */
 object TextScaleBench {
 
+  /** Scoped shuffle sizing for one explosive stage: saves BOTH
+    * `spark.sql.shuffle.partitions` and AQE partition coalescing, sets the
+    * stage's fan-out-aware values, and restores the saved priors in a
+    * `finally` — an exception mid-stage must not leave the session's
+    * shuffle sizing mutated for everything that runs after it.
+    */
+  private def withStageSizing[T](spark: SparkSession, partitions: Int)(body: => T): T = {
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val coalesce0 = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce0)
+    }
+  }
+
+  /** Drain the async SparkListener event bus so per-stage max-task
+    * snapshots don't race onTaskEnd delivery (`listenerBus` is
+    * private[spark], hence reflection; best-effort — on any failure the
+    * snapshot is taken as-is and stays a diagnostic, never a gate).
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val m = sc.getClass.getMethod("listenerBus")
+      val bus = m.invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+        .invoke(bus, java.lang.Long.valueOf(10000L))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   final case class Result(
       docs: Long, base: Long, copies: Int, shingles: Long,
       candidates: Long, dupPairs: Long, groupedDocs: Long,
@@ -47,10 +80,14 @@ object TextScaleBench {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    // per-stage straggler attribution: snapshot-and-reset between stages
+    // per-stage straggler attribution: snapshot-and-reset between stages.
+    // onTaskEnd is delivered on the async listener bus, so drain it first
+    // or a stage's slowest task can be credited to the following stage.
     val stageMax = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def snapMax(stage: String): Unit =
+    def snapMax(stage: String): Unit = {
+      drainListenerBus(spark)
       stageMax(stage) = math.rint(maxTaskMs.getAndSet(0) / 100.0) / 10
+    }
     val raw = spark.read.parquet(docsPath)
     val base = raw.count()
     // copy c of doc i: id = i*copies + c, text = text + " dupmark<c>"
@@ -76,15 +113,11 @@ object TextScaleBench {
     // the band-bucket self-join fans out like verify/CC (pairs per
     // bucket) — same scoped sizing contract (measured: 33-92 s max task
     // under input-byte coalescing, single-digit without)
-    val sessionParts0 = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(partitions, copies * 10).toString)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    val cand = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
-      .localCheckpoint(true)
-    val nCand = cand.count()
-    spark.conf.set("spark.sql.shuffle.partitions", sessionParts0)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val (cand, nCand) = withStageSizing(spark, math.max(partitions, copies * 10)) {
+      val c = TextOps.candidatePairs(TextOps.lshBands(sig, "doc_id"), "doc_id")
+        .localCheckpoint(true)
+      (c, c.count())
+    }
     snapMax("lsh")
     val t3 = System.nanoTime()
     // Fan-out-aware sizing for the explosive verify join ONLY: the join
@@ -99,15 +132,13 @@ object TextScaleBench {
     // follows gets coalescing back (10 tiny-shuffle rounds at 3000
     // uncoalesced partitions cost 3× the whole stage, also measured).
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(partitions, copies * 15).toString)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    val dupPairsFine = TextOps.jaccardOverPairs(sh, "doc_id", cand)
-      .filter(col("jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
-    dupPairsFine.count()
-    spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val dupPairsFine = withStageSizing(spark, math.max(partitions, copies * 15)) {
+      val d = TextOps.jaccardOverPairs(sh, "doc_id", cand)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      d.count()
+      d
+    }
     // re-block the verify output to the session sizing before the
     // iterative CC: its small per-round shuffles must not inherit the
     // verify stage's fine fan-out partitioning (measured: CC over the
@@ -122,13 +153,9 @@ object TextScaleBench {
     // same straggler inside CC (measured: 70-83 s max task with
     // coalescing on vs 8-16 s off). Moderate fixed partitioning,
     // coalescing parked, skew backstop on — same contract as verify.
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(partitions, copies * 5).toString)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    val groups = ConnectedComponents.canonicalize(dupPairs)
-    val nGrouped = groups.count()
-    spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val nGrouped = withStageSizing(spark, math.max(partitions, copies * 5)) {
+      ConnectedComponents.canonicalize(dupPairs).count()
+    }
     snapMax("components")
     val t5 = System.nanoTime()
 

@@ -298,7 +298,11 @@ class TextOpsSpec extends AnyFunSuite {
       "with|pipe safe here",     // sentinel word excluded, rest counted
       "  padded   spaces  ",     // trim + \s+ parity with the HOF words
       "héllo héllaa über 😀a😀a", // non-ASCII + astral code points
-      "zq zzq qz")               // never-firing merge leaves chars intact
+      "zq zzq qz",               // never-firing merge leaves chars intact
+      // NEL/LS/PS are NOT Java \s, so they survive word tokenization and
+      // must be segmented like any code point (HOF needs (?s): Java '.'
+      // excludes them, unlike the native kernel and the RE2 oracle)
+      "aa a ll b b plain")
     val df = texts.toDF("text")
     val (hofChars, hofToks) = TextQueries.bpeApplyHofCols(merges)
     val rows = df.select(col("text"),
