@@ -2,7 +2,7 @@
 """Local stand-in for the driver's DuckDB correctness gate: for each query
 dumped by graft.Verify, run the oracle SQL in DuckDB over the same parquet
 tables, sort columns by name and rows by value, and diff."""
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 
@@ -12,7 +12,10 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver layout = single file; TestDataGen layout = directory of parts
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
