@@ -1691,6 +1691,106 @@ object TextQueries {
             |    AS BIGINT) AS n_chars_clean
             |FROM k GROUP BY doc_id""".stripMargin))
 
+  /** EXACT arbitrary-length duplicated-substring detection (the Lee et
+    * al. 2022 "Deduplicating Training Data" family) — closes the round-9
+    * gap that q_line_dedup's FIXED 8-token aligned segments cannot see a
+    * duplicated span that starts mid-segment: a 50-token run shared by
+    * two docs at offsets 3 and 5 crosses every alignment boundary
+    * differently in each doc, so no aligned segment repeats and segment
+    * dedup keeps all of it (OperatorsSpec plants exactly that case).
+    *
+    * Method: the suffix-array equivalence on bounded windows — a span of
+    * length ≥ L is duplicated iff EVERY one of its sliding L-token grams
+    * is duplicated, and a token position lies in some duplicated span of
+    * length ≥ L iff at least one duplicated L-gram covers it. So: emit
+    * all stride-1 L-grams (map-side explode), census by gram content
+    * (count ≥ 2 anywhere — cross-doc or a repeat within one doc), join
+    * back, and merge overlapping surviving windows per doc into maximal
+    * spans (gaps-and-islands: a window extends the current span iff its
+    * start is within L of the previous start).
+    *
+    * Scale shape: grams are corpus-linear (one per token position, like
+    * shingles); the census is a plain count groupBy — fully map-side
+    * partial-aggregable, no distinct, no window over the hash (a hot
+    * boilerplate gram partial-aggregates instead of single-tasking); the
+    * join back is SHUFFLE_MERGE (census is corpus-scale, never
+    * broadcastable); the islands window partitions by doc_id, so its
+    * state is one doc's windows, bounded by doc length.
+    */
+  private val SubL = 20 // minimum duplicated-span length in tokens
+
+  private[graft] def substringDedupOver(docsDf: DataFrame, L: Int): DataFrame = {
+    val ws = docsDf.withColumn("__ws", wordsCol)
+      .select(col("doc_id"), col("__ws"),
+        size(col("__ws")).as("n_tokens"))
+    val grams = ws.filter(col("n_tokens") >= L)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), col("n_tokens") - L),
+        i => struct(i.as("i"),
+          md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(L)))).as("h"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"))
+    val census = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dup = grams.join(census.hint("shuffle_merge"), Seq("h"))
+      .filter(col("c") >= 2).select(col("doc_id"), col("i"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = dup
+      .withColumn("brk",
+        when(lag(col("i"), 1).over(w).isNull ||
+          col("i") - lag(col("i"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg((max(col("i")) - min(col("i")) + L).as("cover"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("cover")).as("n_dup_tokens"))
+    ws.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        when(col("n_tokens") > 0,
+          floor(lit(1e6) * coalesce(col("n_dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens").cast("double")))
+          .otherwise(lit(0)).cast("long").as("dup_frac_micro"))
+  }
+
+  val substringDedup = Q("q_substring_dedup",
+    (s, dir) => substringDedupOver(docs(s, dir), SubL),
+    Some(s"""WITH base AS (
+            |  SELECT doc_id, $wordsSql AS ws, len($wordsSql) AS n_tokens
+            |  FROM documents),
+            |grams AS (
+            |  SELECT doc_id, i,
+            |    md5(array_to_string(list_slice(ws, i + 1, i + $SubL), ' ')) AS h
+            |  FROM (SELECT doc_id, ws,
+            |          unnest(generate_series(0, n_tokens - $SubL)) AS i
+            |        FROM base WHERE n_tokens >= $SubL)),
+            |census AS (SELECT h, count(*) AS c FROM grams GROUP BY h),
+            |dup AS (SELECT doc_id, i FROM grams JOIN census USING (h) WHERE c >= 2),
+            |flagged AS (
+            |  SELECT doc_id, i,
+            |    CASE WHEN lag(i) OVER w IS NULL OR i - lag(i) OVER w > $SubL
+            |      THEN 1 ELSE 0 END AS brk
+            |  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+            |islands AS (
+            |  SELECT doc_id, i,
+            |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+            |  FROM flagged),
+            |spans AS (
+            |  SELECT doc_id, span_id, max(i) - min(i) + $SubL AS cover
+            |  FROM islands GROUP BY doc_id, span_id),
+            |perdoc AS (
+            |  SELECT doc_id, count(*) AS n_spans, sum(cover) AS n_dup_tokens
+            |  FROM spans GROUP BY doc_id)
+            |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+            |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+            |  CAST(coalesce(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+            |  CAST(CASE WHEN b.n_tokens > 0
+            |    THEN floor(1e6 * CAST(coalesce(n_dup_tokens, 0) AS DOUBLE)
+            |               / CAST(b.n_tokens AS DOUBLE))
+            |    ELSE 0 END AS BIGINT) AS dup_frac_micro
+            |FROM base b LEFT JOIN perdoc USING (doc_id)""".stripMargin))
+
   /** Per-document mean conditional bigram probability under the corpus
     * MLE bigram model — a KenLM-style predictability/quality score
     * computed with no external model: P(w2|w1) = c(w1 w2) / c(w1 ·) over
@@ -2926,6 +3026,7 @@ object TextQueries {
     minhashJaccardEst, containment, packSequences, trainSplit, splitLeakage,
     epochShuffle, groupCap, lengthBuckets, psiDrift,
     dupSpanFraction, bigramPredictability, docPerplexity, lineDedup,
+    substringDedup,
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
     temperatureMix, pmiCooccurrence, cdcChunks, graphBfs, ppjoin,

@@ -292,4 +292,36 @@ class OperatorsSpec extends AnyFunSuite {
       byEpoch(e).sortBy(r => (r.getInt(1), r.getString(2))).map(_.getLong(3)).toSeq
     assert(order(0) != order(1), "epoch permutations must differ")
   }
+
+  test("substring dedup catches a misaligned cross-doc 50-token span that segment dedup misses") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    def rand(n: Int, tag: String): Seq[String] =
+      Seq.tabulate(n)(i => s"$tag${rng.nextInt(100000)}x$i")
+    // the planted span: 50 tokens, embedded at offset 3 in doc 0 and
+    // offset 5 in doc 1 — every 8-token ALIGNED segment cut differs
+    // between the two docs, so q_line_dedup sees no repeats at all
+    val span = Seq.tabulate(50)(i => s"dupspan$i")
+    val doc0 = rand(3, "a") ++ span ++ rand(9, "b")
+    val doc1 = rand(5, "c") ++ span ++ rand(7, "d")
+    val doc2 = rand(60, "e") // control: untouched
+    val df = Seq(
+      (0L, doc0.mkString(" ")), (1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val sub = TextQueries.substringDedupOver(df, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // one maximal span of exactly the 50 planted tokens in each carrier
+    assert(sub(0L) == ((1L, 50L)), s"doc0: ${sub(0L)}")
+    assert(sub(1L) == ((1L, 50L)), s"doc1: ${sub(1L)}")
+    assert(sub(2L) == ((0L, 0L)), s"doc2: ${sub(2L)}")
+
+    // the fixed-alignment segment pass keeps EVERYTHING (no aligned
+    // 8-token segment repeats corpus-wide) — the gap this query closes
+    val line = TextQueries.lineDedupOver(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    line.foreach { case (id, (nSegs, nKept)) =>
+      assert(nSegs == nKept, s"doc $id: segment dedup unexpectedly dropped segments")
+    }
+  }
 }
