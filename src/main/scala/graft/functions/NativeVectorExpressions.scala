@@ -153,6 +153,93 @@ case class MahalanobisExpr(first: Expression, second: Expression, third: Express
   override def prettyName: String = "mahalanobis_native"
 }
 
+/** Argmin-cell assignment against a LITERAL center matrix in ONE codegen
+  * loop — the large-k quantizer path (IVF k=256+). `Model.distances`
+  * builds k separate kernels, which is ideal at BFR/k-means scale
+  * (k ≤ ~16, each stays in whole-stage codegen) but generates k methods'
+  * worth of code at k=256; this kernel is O(1) generated code for any k,
+  * with the flattened matrix shipped once per task as a reference
+  * object, not per-row literals.
+  *
+  * Tie rule matches `Model.labelFor` exactly: strict `<` — first minimum
+  * wins. NULL semantics mirror the binary kernels: wrong dimensionality
+  * or a null element yields NULL.
+  */
+case class ArgMinSqDistExpr(child: Expression, centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  private val k = centers.length
+  private val d = centers.headOption.map(_.length).getOrElse(0)
+  @transient private lazy val flat: Array[Double] = centers.flatten
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != d) return null
+    val xv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      xv(i) = x.getDouble(i)
+      i += 1
+    }
+    var best = -1
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      val off = j * d
+      var t = 0
+      while (t < d) { val z = xv(t) - flat(off + t); s += z * z; t += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centersFlat", flat, "double[]")
+      val xv = ctx.freshName("xv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val z = ctx.freshName("z")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($a.numElements() != $d) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $xv = new double[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $xv[$i] = $a.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int $best = -1; double $bestD = Double.MAX_VALUE;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $s = 0.0;
+         |      int $off = $j * $d;
+         |      for (int $t = 0; $t < $d; $t++) {
+         |        double $z = $xv[$t] - $flatRef[$off + $t]; $s += $z * $z;
+         |      }
+         |      if ($s < $bestD) { $bestD = $s; $best = $j; }
+         |    }
+         |    ${ev.value} = $best;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "argmin_sqdist_native"
+}
+
 object NativeVectorFunctions {
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -166,4 +253,11 @@ object NativeVectorFunctions {
   /** Codegen'd diagonal-σ Mahalanobis distance (zero-σ dims skipped). */
   def mahalanobisNative(p: Column, c: Column, sd: Column): Column =
     toCol(MahalanobisExpr(expr(p), expr(c), expr(sd)))
+
+  /** Codegen'd argmin cell against a literal center matrix — the
+    * large-k quantizer assignment kernel (one loop, O(1) generated code
+    * in k). Ties: first minimum, matching `KMeans.Model.labelFor`.
+    */
+  def argMinSqDistNative(features: Column, centers: Array[Array[Double]]): Column =
+    toCol(ArgMinSqDistExpr(expr(features), centers))
 }

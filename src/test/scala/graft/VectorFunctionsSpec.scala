@@ -91,4 +91,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("argmin-sqdist kernel ≡ Model.labelFor at small and large k (ties to first min)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val d = 16
+    for (k <- Seq(3, 300)) {
+      val centers = Array.fill(k)(Array.fill(d)(rng.nextDouble() * 2 - 1))
+      // include exact-center points (distance ties with themselves) and a
+      // duplicated center so the first-min tie rule is actually exercised
+      centers(k - 1) = centers(0).clone()
+      val pts = (0 until 200).map(i =>
+        if (i < 10) (i.toLong, centers(i % k).toSeq)
+        else (i.toLong, Seq.fill(d)(rng.nextDouble() * 2 - 1)))
+      val df = pts.toDF("id", "e")
+      val model = graft.kmeans.KMeans.Model(centers)
+      val rows = df.select(col("id"),
+        graft.functions.NativeVectorFunctions.argMinSqDistNative(col("e"), centers).as("a"),
+        model.labelFor(col("e")).as("b")).collect()
+      rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
+        s"k=$k id=${r.getLong(0)}: kernel=${r.getInt(1)} labelFor=${r.getInt(2)}"))
+    }
+  }
 }
