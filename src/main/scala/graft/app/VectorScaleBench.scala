@@ -74,8 +74,8 @@ object VectorScaleBench {
           (noiseCol(pmod(col("id"), lit(TrueClusters)), i) +
             noiseCol(col("id"), i, lit(7L)) * lit(0.12)))
           .as("e"))
-      .repartition(64)
-      .localCheckpoint(true)
+      .repartition(256) // fine blocks: the brute-force crossJoin fans out
+      .localCheckpoint(true) //   200× per partition (output-row sizing)
     corpus.count()
     snap("synth")
 
@@ -160,7 +160,7 @@ object VectorScaleBench {
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-vector-scale-bench")
-      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.shuffle.partitions", 256)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
