@@ -26,9 +26,13 @@ def canon(df):
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
+verbose = os.environ.get("CHECK_ORACLE_VERBOSE", "") == "1"
 fails, passes, rows_only = [], [], []
 for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     name = qdir.split("/")[-1]
+    if verbose:
+        import time
+        print(f"[{time.strftime('%H:%M:%S')}] {name}", flush=True)
     got = pd.concat([pd.read_parquet(p) for p in glob.glob(f"{qdir}/*.parquet")],
                     ignore_index=True)
     if name not in oracles:
