@@ -655,14 +655,17 @@ object MlQueries {
         .filter(col("cos") > 0.9)
         .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_sim"))
     },
-    Some(s"""WITH a AS (SELECT vec_id AS ida, embedding AS ea FROM embeddings),
-            |b AS (SELECT vec_id AS idb, embedding AS eb FROM embeddings),
+    // list_dot_product (sequential double fold, matching the engine's
+    // left-to-right kernel) instead of a 64-way generate_series fan-out:
+    // at sf1 the all-pairs set is 2e8 rows, and 64x row inflation through
+    // a 2e8-group hash agg is what turned this oracle pathological
+    Some(s"""WITH a AS (SELECT vec_id AS ida, CAST(embedding AS DOUBLE[]) AS ea FROM embeddings),
+            |b AS (SELECT vec_id AS idb, CAST(embedding AS DOUBLE[]) AS eb FROM embeddings),
             |d AS (SELECT ida, idb,
-            |        sum(CAST(ea[t.i] AS DOUBLE) * CAST(eb[t.i] AS DOUBLE)) AS dot,
-            |        sum(CAST(ea[t.i] AS DOUBLE) * CAST(ea[t.i] AS DOUBLE)) AS na,
-            |        sum(CAST(eb[t.i] AS DOUBLE) * CAST(eb[t.i] AS DOUBLE)) AS nb
-            |      FROM a, b, generate_series(1, $D) AS t(i)
-            |      WHERE ida < idb GROUP BY ida, idb)
+            |        list_dot_product(ea, eb) AS dot,
+            |        list_dot_product(ea, ea) AS na,
+            |        list_dot_product(eb, eb) AS nb
+            |      FROM a, b WHERE ida < idb)
             |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
             |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.9""".stripMargin))
 
@@ -741,13 +744,11 @@ object MlQueries {
             |  SELECT l.vec_id AS ida, r.vec_id AS idb
             |  FROM k l JOIN k r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
             |d AS (SELECT c.ida, c.idb,
-            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS dot,
-            |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
-            |        sum(CAST(bb.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS nb
+            |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS dot,
+            |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS na,
+            |        list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS nb
             |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
-            |                  JOIN embeddings bb ON bb.vec_id = c.idb,
-            |           generate_series(1, $D) t(i)
-            |      GROUP BY c.ida, c.idb)
+            |                  JOIN embeddings bb ON bb.vec_id = c.idb)
             |SELECT ida, idb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
             |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35""".stripMargin))
 
@@ -818,13 +819,11 @@ object MlQueries {
        |  FROM k l JOIN k r ON l.band = r.band AND l.bucket = r.bucket
        |    AND l.vec_id < r.vec_id),
        |dd AS (SELECT c.ida, c.idb,
-       |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS dot,
-       |        sum(CAST(a.embedding[t.i] AS DOUBLE) * CAST(a.embedding[t.i] AS DOUBLE)) AS na,
-       |        sum(CAST(bb.embedding[t.i] AS DOUBLE) * CAST(bb.embedding[t.i] AS DOUBLE)) AS nb
+       |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS dot,
+       |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS na,
+       |        list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS nb
        |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
-       |                  JOIN embeddings bb ON bb.vec_id = c.idb,
-       |           generate_series(1, $D) t(i)
-       |      GROUP BY c.ida, c.idb),
+       |                  JOIN embeddings bb ON bb.vec_id = c.idb),
        |vp AS (SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dd
        |       WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35)""".stripMargin
 

@@ -27,9 +27,18 @@ def canon(df):
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 verbose = os.environ.get("CHECK_ORACLE_VERBOSE", "") == "1"
+# CHECK_ORACLE_SKIP: comma-separated names whose ORACLE is infeasible at
+# the current SF (e.g. q_ppjoin at sf1: the answer itself is ~2e8 pairs on
+# the dense-vocab corpus and any exact oracle needs an ~3e10-row join);
+# skipped queries are reported, never silently dropped.
+skip = set(filter(None, os.environ.get("CHECK_ORACLE_SKIP", "").split(",")))
+skipped = []
 fails, passes, rows_only = [], [], []
 for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     name = qdir.split("/")[-1]
+    if name in skip:
+        skipped.append(name)
+        continue
     if verbose:
         import time
         print(f"[{time.strftime('%H:%M:%S')}] {name}", flush=True)
@@ -76,6 +85,8 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
         passes.append(name)
 
 print(f"PASS ({len(passes)}):", " ".join(passes))
+if skipped:
+    print(f"SKIPPED ({len(skipped)}):", " ".join(skipped))
 print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))
 print(f"FAIL ({len(fails)}):")
 for n, m in fails:
