@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.multimodal.WavCodec
+
+/** Audio tier over REAL sample-level WAV decode — the time-domain twin of
+  * ImageQueries: every document plants a spec-valid RIFF/PCM file whose
+  * SAMPLES are a closed-form function of doc_id, and the engine recovers
+  * metadata, frame features, and a chromaprint-style fingerprint by
+  * actually decoding — chunk walk → fmt parse → PCM-16 LE samples →
+  * frame energies → sign-of-delta 64-bit banded fingerprint.
+  *
+  * The oracle never touches WAV bytes: it recomputes the planted frame
+  * parameters and the feature arithmetic from `documents.doc_id` alone,
+  * so any defect in the codec chain (chunk alignment, LIST skipping,
+  * little-endian sample read, signed-16 reconstruction, frame energy,
+  * ZCR segmentation, bit packing) lands hash-red.
+  *
+  * Planted structure per doc: 65 frames × 256 samples of a ±amp square
+  * wave, amp and half-period closed-form in (doc_id/4, frame) — so
+  *  - RMS is exact integer arithmetic until one final IEEE sqrt,
+  *  - per-frame ZCR is floor(255/p),
+  *  - frame energy is 256·amp² exactly (Long).
+  * Docs in the same doc_id/4 group share all frame params; member j = 3
+  * perturbs ONE frame's amplitude (≤ 2 fingerprint bits flip), so every
+  * group is a 4-clique of near-duplicates at hamming ≤ 3 — fixed group
+  * size regardless of corpus size, caught by a pigeonhole-complete
+  * equi-join on 16-bit bands (4 bands cover hamming ≤ 3), never
+  * all-pairs. Same banding scale story as the image and SimHash tiers:
+  * at 100 TB the fingerprint pass is map-side (decode + hash per blob,
+  * no shuffle) and the band join shuffles buckets of expected occupancy
+  * corpus/65536 per band.
+  */
+object AudioQueries {
+
+  private val Frames = 65
+  private val FrameLen = 256
+  private val SampleRate = 16000
+  private val NumSamples = Frames * FrameLen // 16640 → duration 1040 ms
+
+  /** Closed-form planted frame parameters; MUST stay in lockstep with
+    * the SQL in the oracles below.
+    */
+  private[graft] def frameParams(docId: Long, f: Int): (Int, Int) = {
+    val g = docId / 4
+    val base = ((g * 97 + f * 53 + f * f * 13) % 3000).toInt
+    val amp = base + (if (docId % 4 == 3 && f == 10) 600 else 100)
+    val p = (1 + (g * 31 + f * 7) % 8).toInt
+    (amp, p)
+  }
+
+  /** One real WAV per document: per-frame ±amp square wave with
+    * half-period p samples, PCM-16 mono at 16 kHz.
+    */
+  private[graft] def plantedWav(docId: Long): Array[Byte] = {
+    val samples = new Array[Short](NumSamples)
+    var f = 0
+    while (f < Frames) {
+      val (amp, p) = frameParams(docId, f)
+      var i = 0
+      while (i < FrameLen) {
+        val sign = if ((i / p) % 2 == 0) 1 else -1
+        samples(f * FrameLen + i) = (amp * sign).toShort
+        i += 1
+      }
+      f += 1
+    }
+    WavCodec.encodeWav(SampleRate, 1, samples)
+  }
+
+  /** doc_id → decoded metadata + features + fingerprint bands via the
+    * REAL codec chain. Map-side only: encode is the fixture, decode
+    * onward is the production kernel.
+    */
+  private def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val wav = plantedWav(id)
+          val d = WavCodec.decodeWav(wav).getOrElse(
+            throw new IllegalStateException(s"undecodable planted WAV for doc $id"))
+          val ff = WavCodec.frameFeatures(d.samples, FrameLen)
+          val bands = WavCodec.energyFingerprint(ff.energies)
+          val rmsMilli =
+            math.floor(math.sqrt(ff.sumSq.toDouble / d.samples.length) * 1000.0).toLong
+          (id, d.sampleRate.toLong, d.channels.toLong, d.samples.length.toLong,
+            d.samples.length.toLong * 1000L / d.sampleRate,
+            rmsMilli, ff.peak.toLong, ff.zcr,
+            bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_samples", "duration_ms",
+        "rms_milli", "peak", "zcr", "b0", "b1", "b2", "b3")
+  }
+
+  /** The oracle's closed-form twin of the planted frame grid: one row per
+    * (doc_id, f) with amp, half-period and exact frame energy. Shared by
+    * all audio oracles.
+    */
+  private val framesSql: String =
+    """frames AS (
+      |  SELECT doc_id, f,
+      |    ((doc_id // 4) * 97 + f * 53 + f * f * 13) % 3000
+      |      + CASE WHEN doc_id % 4 = 3 AND f = 10 THEN 600 ELSE 100 END AS amp,
+      |    1 + ((doc_id // 4) * 31 + f * 7) % 8 AS p
+      |  FROM documents,
+      |    (SELECT unnest(generate_series(0, 64)) AS f)),
+      |energies AS (
+      |  SELECT doc_id, f, amp, p, 256 * amp * amp AS e FROM frames)""".stripMargin
+
+  private val bandsSql: String =
+    """bits AS (
+      |  SELECT a.doc_id, a.f // 16 AS band, a.f % 16 AS idx
+      |  FROM energies a JOIN energies b
+      |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 64 AND a.e < b.e),
+      |bands AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN band = 0 THEN 1 << idx END), 0) AS BIGINT) AS b0,
+      |    CAST(coalesce(sum(CASE WHEN band = 1 THEN 1 << idx END), 0) AS BIGINT) AS b1,
+      |    CAST(coalesce(sum(CASE WHEN band = 2 THEN 1 << idx END), 0) AS BIGINT) AS b2,
+      |    CAST(coalesce(sum(CASE WHEN band = 3 THEN 1 << idx END), 0) AS BIGINT) AS b3
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
+
+  /** Container metadata through the full real decode chain. */
+  val audioMeta = Q("q_audio_meta",
+    (s, dir) => audioFeatures(s, dir)
+      .select("doc_id", "sample_rate", "channels", "n_samples", "duration_ms"),
+    Some("""SELECT doc_id,
+           |  CAST(16000 AS BIGINT) AS sample_rate,
+           |  CAST(1 AS BIGINT) AS channels,
+           |  CAST(16640 AS BIGINT) AS n_samples,
+           |  CAST(1040 AS BIGINT) AS duration_ms
+           |FROM documents""".stripMargin))
+
+  /** Frame-analysis features (RMS, peak, ZCR) from decoded samples. */
+  val audioFeaturesQ = Q("q_audio_features",
+    (s, dir) => audioFeatures(s, dir)
+      .select("doc_id", "rms_milli", "peak", "zcr"),
+    Some(s"""WITH $framesSql
+            |SELECT doc_id,
+            |  CAST(floor(sqrt(CAST(sum(e) AS DOUBLE) / 16640.0) * 1000.0) AS BIGINT)
+            |    AS rms_milli,
+            |  CAST(max(amp) AS BIGINT) AS peak,
+            |  CAST(sum((256 - 1) // p) AS BIGINT) AS zcr
+            |FROM energies GROUP BY doc_id""".stripMargin))
+
+  /** Chromaprint-style energy-delta fingerprint, four 16-bit bands. */
+  val audioFingerprint = Q("q_audio_fingerprint",
+    (s, dir) => audioFeatures(s, dir).select("doc_id", "b0", "b1", "b2", "b3"),
+    Some(s"""WITH $framesSql,
+            |$bandsSql
+            |SELECT doc_id, b0, b1, b2, b3 FROM bands""".stripMargin))
+
+  /** Banded audio near-dup: equal-16-bit-band candidates → exact hamming
+    * ≤ 3 verify (pigeonhole-complete). Never all-pairs.
+    */
+  val audioNearDup = Q("q_audio_near_dup",
+    (s, dir) => {
+      val f = audioFeatures(s, dir)
+        .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint(true)
+      val bands = (0 to 3).map(b =>
+        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bv")))
+        .reduce(_ unionByName _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .distinct()
+      val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val fb = f.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cand.join(fa, "id_a").join(fb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (bit_count(expr("a0 ^ c0")) + bit_count(expr("a1 ^ c1")) +
+            bit_count(expr("a2 ^ c2")) + bit_count(expr("a3 ^ c3")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+    Some(s"""WITH $framesSql,
+            |$bandsSql,
+            |melted AS (
+            |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |cand AS (
+            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  FROM melted x JOIN melted y
+            |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            |SELECT id_a, id_b,
+            |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+            |    AS hamming
+            |FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |          JOIN bands b ON cand.id_b = b.doc_id
+            |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3"""
+      .stripMargin))
+
+  def all: Seq[Q] = Seq(audioMeta, audioFeaturesQ, audioFingerprint, audioNearDup)
+}

@@ -486,5 +486,5 @@ object Queries {
     asofJoin, valueHistogram)
 
   def all: Seq[Q] = relational ++ OlapQueries.all ++ TextQueries.all ++ MlQueries.all ++
-    RetrievalQueries.all ++ ImageQueries.all
+    RetrievalQueries.all ++ ImageQueries.all ++ AudioQueries.all ++ VideoQueries.all
 }

@@ -37,13 +37,20 @@ object VectorScaleBench {
 
   final case class Result(
       n: Long, k: Int, d: Int, nQueries: Int,
+      kEffective: Int, splits: Int, capUsed: Long,
       cellMin: Long, cellMax: Long, cellAvg: Double,
       recallAtNprobe: Map[Int, Double],
       candRowsAtNprobe: Map[Int, Long],
       stageSeconds: Map[String, Double],
       stageMaxTaskS: Map[String, Double])
 
-  def run(spark: SparkSession, n: Long, k: Int, nQueries: Int): Result = {
+  /** `capFactor = Some(c)` enables skew-aware cell splitting
+    * (BalancedIvf): sample cells above c× the original average occupancy
+    * are recursively split before assignment, bounding the hot-cell /
+    * posting-list skew the round-9 probe measured at 10× average.
+    */
+  def run(spark: SparkSession, n: Long, k: Int, nQueries: Int,
+          capFactor: Option[Double] = None): Result = {
     val D = 64
     val TrueClusters = 1024
     val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -81,8 +88,21 @@ object VectorScaleBench {
 
     // quantizer: 60k-row sample (local-fit budget) — deterministic
     val sample = corpus.filter(pmod(col("id"), lit(math.max(1L, n / 60000))) === 0)
-    val model = KMeans.fit(sample, k = k, iters = 5, featCol = "e")
+    val base = KMeans.fit(sample, k = k, iters = 5, featCol = "e")
     snap("fit")
+
+    // optional skew-aware balancing on the SAME sample (driver-held, like
+    // the quantizer itself)
+    val (model, splits, capUsed) = capFactor match {
+      case Some(cf) =>
+        val sRows = sample.select(col("id"), col("e")).orderBy(col("id"))
+          .collect().map(_.getSeq[Double](1).toArray)
+        val r = graft.kmeans.BalancedIvf.splitHotCells(
+          sRows, base.centers, cf, maxCenters = 2 * k)
+        snap("balance")
+        (KMeans.Model(r.centers), r.splits, r.capUsed)
+      case None => (base, 0, 0L)
+    }
 
     // full-corpus assignment: map-side argmin kernel, zero shuffle
     val cells = corpus
@@ -148,7 +168,7 @@ object VectorScaleBench {
       snap(s"ivf_nprobe_$nprobe")
     }
     spark.sparkContext.removeSparkListener(listener)
-    Result(n, k, D, nQueries,
+    Result(n, k, D, nQueries, model.k, splits, capUsed,
       occ.getLong(0), occ.getLong(1), math.rint(occ.getDouble(2) * 10) / 10,
       recalls.toMap, candRows.toMap, stageSec.toMap, stageMax.toMap)
   }
@@ -157,6 +177,7 @@ object VectorScaleBench {
     val n = args.lift(0).map(_.toLong).getOrElse(1000000L)
     val k = args.lift(1).map(_.toInt).getOrElse(256)
     val nQ = args.lift(2).map(_.toInt).getOrElse(200)
+    val capFactor = args.lift(3).filter(_ != "-").map(_.toDouble)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-vector-scale-bench")
@@ -165,11 +186,13 @@ object VectorScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
-      val r = run(spark, n, k, nQ)
+      val r = run(spark, n, k, nQ, capFactor)
       def m(mm: Map[_, _]): String =
         mm.toSeq.map(kv => s""""${kv._1}":${kv._2}""").mkString("{", ",", "}")
       // one JSON line, TextScaleBench style
       println(s"""{"probe":"vector_scale","n":${r.n},"k":${r.k},"d":${r.d},""" +
+        s""""k_effective":${r.kEffective},"splits":${r.splits},""" +
+        s""""cap_used":${r.capUsed},""" +
         s""""n_queries":${r.nQueries},"cell_min":${r.cellMin},""" +
         s""""cell_max":${r.cellMax},"cell_avg":${r.cellAvg},""" +
         s""""recall_at_nprobe":${m(r.recallAtNprobe)},""" +
