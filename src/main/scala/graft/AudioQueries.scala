@@ -205,5 +205,42 @@ object AudioQueries {
             |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3"""
       .stripMargin))
 
-  def all: Seq[Q] = Seq(audioMeta, audioFeaturesQ, audioFingerprint, audioNearDup)
+  /** Audio dedup GROUPS: connected components over the verified banded
+    * near-dup pairs — completes the per-modality near-dup → canonical-
+    * group loop (text, embeddings, images, audio all share the same
+    * HASH-to-MIN operator); oracle = recursive transitive closure over
+    * the same candidate/hamming CTE chain.
+    */
+  val audioDedupGroups = Q("q_audio_dedup_groups",
+    (s, dir) => graft.operators.ConnectedComponents
+      .canonicalize(audioNearDup.fn(s, dir)
+        .select(col("id_a").as("ida"), col("id_b").as("idb"))),
+    Some(s"""WITH RECURSIVE $framesSql,
+            |$bandsSql,
+            |melted AS (
+            |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |cand AS (
+            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  FROM melted x JOIN melted y
+            |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+            |vp AS (
+            |  SELECT id_a, id_b
+            |  FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |            JOIN bands b ON cand.id_b = b.doc_id
+            |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+            |edges AS (
+            |  SELECT id_a AS ea, id_b AS eb FROM vp
+            |  UNION SELECT id_b, id_a FROM vp),
+            |reach(ra, rb) AS (
+            |  SELECT ea, eb FROM edges
+            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
+            |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
+            |FROM reach GROUP BY ra""".stripMargin))
+
+  def all: Seq[Q] = Seq(audioMeta, audioFeaturesQ, audioFingerprint,
+    audioNearDup, audioDedupGroups)
 }

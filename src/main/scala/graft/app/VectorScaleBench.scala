@@ -86,8 +86,17 @@ object VectorScaleBench {
     corpus.count()
     snap("synth")
 
-    // quantizer: 60k-row sample (local-fit budget) — deterministic
-    val sample = corpus.filter(pmod(col("id"), lit(math.max(1L, n / 60000))) === 0)
+    // quantizer: ~60k-row sample (local-fit budget) — deterministic and
+    // HASH-decorrelated. A periodic 1-in-m sample (id % m == 0) aliases
+    // with the id % 1024 cluster structure of the corpus: for m = 16 the
+    // sample contains only 64 of the 1024 true modes, so the quantizer
+    // never sees the rest and the occupancy estimate the balancer uses is
+    // blind to the real hot cells (measured: cell_max unchanged at 38,649
+    // with periodic sampling; drops to the cap with hashed sampling).
+    // The general lesson: sampling keys must be decorrelated from EVERY
+    // structured id in the data — hash, never stride.
+    val sample = corpus.filter(
+      pmod(xxhash64(col("id"), lit(11L)), lit(math.max(1L, n / 60000))) === 0)
     val base = KMeans.fit(sample, k = k, iters = 5, featCol = "e")
     snap("fit")
 
@@ -116,8 +125,9 @@ object VectorScaleBench {
 
     // queries: sampled rows; nprobe cell lists computed driver-side (the
     // query side is the small, broadcast side by construction)
-    val qRows = corpus.filter(pmod(col("id"), lit(n / nQueries)) === 0)
-      .limit(nQueries)
+    val qRows = corpus // hash-decorrelated for the same aliasing reason
+      .filter(pmod(xxhash64(col("id"), lit(23L)), lit(n / nQueries)) === 0)
+      .orderBy(col("id")).limit(nQueries)
       .select(col("id"), col("e")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     def cellsFor(qe: Array[Double], nprobe: Int): Seq[Int] = {
