@@ -43,10 +43,20 @@ object AudioQueries {
 
   /** Closed-form planted frame parameters; MUST stay in lockstep with
     * the SQL in the oracles below.
+    *
+    * The `(g * (f + 7)) % 977` mixing term decorrelates the amplitude
+    * PATTERN across groups. Without it, amp(f+1) − amp(f) = 66 + 26·f is
+    * independent of g except at mod-3000 wraps, so all groups share
+    * nearly the same energy-delta fingerprint and groups with nearby
+    * wrap phases land within hamming ≤ 3 — at sf1 (12.5k groups) that
+    * made the near-dup graph dense enough to OOM connected components.
+    * With the term each group's bits are pseudo-independent, cross-group
+    * collisions are chance-level (~C(64,≤3)/2^16 per band pair), and the
+    * planted groups stay exact 4-cliques at any corpus size.
     */
   private[graft] def frameParams(docId: Long, f: Int): (Int, Int) = {
     val g = docId / 4
-    val base = ((g * 97 + f * 53 + f * f * 13) % 3000).toInt
+    val base = ((g * 97 + f * 53 + f * f * 13 + ((g * (f + 7)) % 977) * 31) % 3000).toInt
     val amp = base + (if (docId % 4 == 3 && f == 10) 600 else 100)
     val p = (1 + (g * 31 + f * 7) % 8).toInt
     (amp, p)
@@ -105,7 +115,8 @@ object AudioQueries {
   private val framesSql: String =
     """frames AS (
       |  SELECT doc_id, f,
-      |    ((doc_id // 4) * 97 + f * 53 + f * f * 13) % 3000
+      |    ((doc_id // 4) * 97 + f * 53 + f * f * 13
+      |      + (((doc_id // 4) * (f + 7)) % 977) * 31) % 3000
       |      + CASE WHEN doc_id % 4 = 3 AND f = 10 THEN 600 ELSE 100 END AS amp,
       |    1 + ((doc_id // 4) * 31 + f * 7) % 8 AS p
       |  FROM documents,
@@ -166,13 +177,14 @@ object AudioQueries {
       val f = audioFeatures(s, dir)
         .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint(true)
       val bands = (0 to 3).map(b =>
-        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bv")))
+        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+      // skew-guarded candidate generation (census + hub stars at hot
+      // buckets) — same 100 TB posture as the MinHash/SimHash/image
+      // tiers; no bucket is hot at the test SFs, so the pair set equals
+      // the closed-form oracle's exactly
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id")
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
       val fb = f.select(col("doc_id").as("id_b"), col("b0").as("c0"),
@@ -241,6 +253,89 @@ object AudioQueries {
             |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
             |FROM reach GROUP BY ra""".stripMargin))
 
+  /** Cross-modal curation capstone: the keep mask a multimodal corpus
+    * pipeline applies before packing — a document survives iff it is not
+    * the LATER member of any image near-dup pair, not the later member of
+    * any audio near-dup pair, and passes the cheap text gate (≥ 5
+    * tokens). Composes the independently-oracle-checked image and audio
+    * near-dup fragments (both banded, never all-pairs) with two
+    * existence joins; the oracle nests each modality's CTE chain in a
+    * derived table so their internal names can't collide.
+    */
+  val multimodalCuration = Q("q_multimodal_curation",
+    (s, dir) => {
+      val imgDup = ImageQueries.imageNearDup.fn(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("img_dup", lit(1L))
+      val audDup = audioNearDup.fn(s, dir)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("audio_dup", lit(1L))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .join(imgDup, Seq("doc_id"), "left")
+        .join(audDup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("img_dup"), lit(0L)).as("img_dup"),
+          coalesce(col("audio_dup"), lit(0L)).as("audio_dup"),
+          col("n_tokens"),
+          when(coalesce(col("img_dup"), lit(0L)) === 0 &&
+            coalesce(col("audio_dup"), lit(0L)) === 0 &&
+            col("n_tokens") >= 5, lit(1L)).otherwise(lit(0L)).as("kept"))
+    },
+    Some(s"""WITH ipairs AS (
+            |  SELECT id_b FROM (
+            |    WITH ${ImageQueries.lumaCellsSql},
+            |    melted AS (
+            |      SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |      UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |      UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |      UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |    cand AS (
+            |      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |      FROM melted x JOIN melted y
+            |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            |    SELECT DISTINCT cand.id_b
+            |    FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |              JOIN bands b ON cand.id_b = b.doc_id
+            |    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3) t),
+            |apairs AS (
+            |  SELECT id_b FROM (
+            |    WITH $framesSql,
+            |    $bandsSql,
+            |    melted AS (
+            |      SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |      UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |      UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |      UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |    cand AS (
+            |      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |      FROM melted x JOIN melted y
+            |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            |    SELECT DISTINCT cand.id_b
+            |    FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |              JOIN bands b ON cand.id_b = b.doc_id
+            |    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3) t),
+            |tok AS (
+            |  SELECT doc_id,
+            |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+            |      AS n_tokens
+            |  FROM documents)
+            |SELECT d.doc_id,
+            |  CAST(CASE WHEN i.id_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            |    AS img_dup,
+            |  CAST(CASE WHEN a.id_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            |    AS audio_dup,
+            |  t.n_tokens,
+            |  CAST(CASE WHEN i.id_b IS NULL AND a.id_b IS NULL
+            |        AND t.n_tokens >= 5 THEN 1 ELSE 0 END AS BIGINT) AS kept
+            |FROM documents d
+            |JOIN tok t ON t.doc_id = d.doc_id
+            |LEFT JOIN ipairs i ON i.id_b = d.doc_id
+            |LEFT JOIN apairs a ON a.id_b = d.doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(audioMeta, audioFeaturesQ, audioFingerprint,
-    audioNearDup, audioDedupGroups)
+    audioNearDup, audioDedupGroups, multimodalCuration)
 }

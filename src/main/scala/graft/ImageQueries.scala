@@ -46,12 +46,22 @@ object ImageQueries {
   /** Closed-form planted cell channels; MUST stay in lockstep with the
     * SQL in the oracles below (the whole point: Spark recovers these
     * by real decoding, DuckDB recomputes them arithmetically).
+    *
+    * The `(g * (cx + 3 + cy * 9)) % 241` mixing term decorrelates the
+    * PATTERN across groups: without it, adjacent-cell differences are
+    * affine in (cx, cy) and independent of g except at mod-256 wraps, so
+    * at 50k docs thousands of cross-group fingerprints landed within
+    * hamming ≤ 3 of each other and the near-dup graph densified (the
+    * audio twin of this defect OOM'd connected components at sf1). With
+    * the mixing term each group's dHash bits are pseudo-independent —
+    * cross-group collisions are chance-level at any corpus size and the
+    * planted groups stay exact 4-cliques.
     */
   private[graft] def cellRgb(docId: Long, cx: Int, cy: Int): (Int, Int, Int) = {
     val g = docId / 4
     val j = docId % 4
     val base = ((g * 97 + cx * 53 + cy * 31 + cx * cy * 17 +
-      cx * cx * 7 + cy * cy * 13) % 256).toInt
+      cx * cx * 7 + cy * cy * 13 + ((g * (cx + 3 + cy * 9)) % 241) * 5) % 256).toInt
     val v = if (j == 3 && cx == 4 && cy == 3) (base + 7) % 256 else base
     (v, (v * 2 + cx * 5) % 256, (v + cy * 11) % 256)
   }
@@ -110,7 +120,7 @@ object ImageQueries {
     * per (doc_id, cy, cx) with the integer luminance the real pipeline
     * must reconstruct. Shared by both image oracles.
     */
-  private val lumaCellsSql: String =
+  private[graft] val lumaCellsSql: String =
     """cells AS (
       |  SELECT doc_id, cy, cx,
       |    (77 * v + 150 * ((v * 2 + cx * 5) % 256) + 29 * ((v + cy * 11) % 256)) // 256 AS lum
@@ -118,9 +128,11 @@ object ImageQueries {
       |    SELECT doc_id, cy, cx,
       |      CASE WHEN doc_id % 4 = 3 AND cx = 4 AND cy = 3
       |        THEN (((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
-      |              + cx * cx * 7 + cy * cy * 13) % 256 + 7) % 256
+      |              + cx * cx * 7 + cy * cy * 13
+      |              + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256 + 7) % 256
       |        ELSE ((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
-      |              + cx * cx * 7 + cy * cy * 13) % 256
+      |              + cx * cx * 7 + cy * cy * 13
+      |              + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256
       |      END AS v
       |    FROM documents,
       |      (SELECT unnest(generate_series(0, 7)) AS cy),
@@ -160,13 +172,14 @@ object ImageQueries {
     (s, dir) => {
       val f = dhashFeatures(s, dir).localCheckpoint(true)
       val bands = (0 to 3).map(b =>
-        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bv")))
+        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .distinct()
+      // skew-guarded candidate generation (census + hub stars at hot
+      // buckets) — the same 100 TB posture as the MinHash/SimHash tiers;
+      // at the test SFs no bucket is hot, so the pair set equals the
+      // closed-form oracle's exactly
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id")
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
       val fb = f.select(col("doc_id").as("id_b"), col("b0").as("c0"),
