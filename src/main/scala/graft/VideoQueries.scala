@@ -111,5 +111,213 @@ object VideoQueries {
            |FROM n, (SELECT unnest(generate_series(0, 69)) AS k)
            |WHERE 1 + 25 * k <= nf""".stripMargin))
 
-  def all: Seq[Q] = Seq(videoMetaQ, videoKeyframes)
+  // ---- content tier: keyframe BYTES out of mdat via the real
+  // stsz/stsc/stco walk, fingerprint, banded near-dup, dedup groups ----
+
+  private val KfPayload = 16 // bytes per keyframe sample
+  private val FpKeyframes = 65 // fingerprint spans keyframes 0..64
+
+  /** Content-tier frame count: ≥ 1601 frames ⇒ ≥ 65 keyframes at
+    * keyEvery=25, shared across a doc_id/4 group so members carry
+    * identical sample tables.
+    */
+  private def contentFrames(docId: Long): Int =
+    (1601 + (docId / 4 % 4) * 25).toInt
+
+  /** Closed-form planted keyframe payload base byte; MUST stay in
+    * lockstep with the SQL in the content oracles below. Same
+    * decorrelation posture as the audio/image tiers: the
+    * `(g * (k + 7)) % 977` mixing term makes each group's
+    * keyframe-signature pattern pseudo-independent, so cross-group
+    * fingerprint collisions are chance-level at any corpus size and the
+    * planted doc_id/4 groups stay exact 4-cliques. Member j = 3 perturbs
+    * ONE keyframe's payload (k = 10) — only fingerprint bits 9 and 10
+    * can flip, so in-group hamming ≤ 2 ≤ the verify threshold 3.
+    * base ∈ [0, 240] ⇒ payload bytes base..base+15 never wrap mod 256,
+    * keeping the byte-sum signature = 16·base + 120 exactly.
+    */
+  private[graft] def kfBase(docId: Long, k: Int): Int = {
+    val g = docId / 4
+    val base = ((g * 97 + k * 53 + k * k * 13 + ((g * (k + 7)) % 977) * 31) % 241).toInt
+    if (docId % 4 == 3 && k == 10) (base + 98) % 241 else base
+  }
+
+  /** One real MP4 per document with ADDRESSABLE samples: keyframe k
+    * (sample 1+25k) carries 16 planted payload bytes base..base+15;
+    * non-keyframes carry 4 filler bytes — decoding must walk stsz sizes
+    * past them (and across the two-chunk stsc split) to slice the right
+    * keyframe ranges.
+    */
+  private[graft] def plantedContentMp4(docId: Long): Array[Byte] = {
+    val nf = contentFrames(docId)
+    val g = docId / 4
+    val samples: IndexedSeq[Array[Byte]] = (1 to nf).map { sn =>
+      if ((sn - 1) % KeyEvery == 0) {
+        val k = (sn - 1) / KeyEvery
+        val base = kfBase(docId, k)
+        Array.tabulate[Byte](KfPayload)(i => (base + i).toByte)
+      } else
+        Array.tabulate[Byte](4)(i => ((g + sn + i) % 251).toByte)
+    }
+    Mp4Codec.encodeMp4Samples(MovTimescale, nf * 40L, VideoTimescale,
+      FrameDelta, 320, 180, KeyEvery, AudioTimescale, samples)
+  }
+
+  /** doc_id → (n_keyframes, b0..b3) via the REAL extraction chain:
+    * box walk → stss sync numbers → stsc/stco/stsz byte ranges → mdat
+    * slices → byte-sum signatures → sign-of-delta 64-bit fingerprint in
+    * four 16-bit bands (the video twin of the audio energy-delta
+    * chromaprint). Map-side only — no shuffle at any scale.
+    */
+  private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val mp4 = plantedContentMp4(id)
+          val d = Mp4Codec.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(s"undecodable planted MP4 for doc $id"))
+          val v = d.tracks.find(_.handler == "vide").getOrElse(
+            throw new IllegalStateException(s"no video track in doc $id"))
+          val sigs = v.syncSamples.sorted.take(FpKeyframes).map { sn =>
+            val payload = Mp4Codec.extractSample(mp4, v, sn).getOrElse(
+              throw new IllegalStateException(s"unextractable sample $sn in doc $id"))
+            payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          }
+          val bands = new Array[Long](4)
+          var f = 0
+          while (f < FpKeyframes - 1) {
+            if (sigs(f) < sigs(f + 1)) bands(f / 16) |= 1L << (f % 16)
+            f += 1
+          }
+          (id, v.syncSamples.length.toLong, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+      .toDF("doc_id", "n_keyframes", "b0", "b1", "b2", "b3")
+  }
+
+  /** The oracle's closed-form twin of the planted keyframe signatures:
+    * sig(doc, k) = 16·base + 120. Shared by all content-tier oracles.
+    */
+  private val sigsSql: String =
+    """sigs AS (
+      |  SELECT doc_id, f,
+      |    16 * (CASE WHEN doc_id % 4 = 3 AND f = 10 THEN (base + 98) % 241
+      |          ELSE base END) + 120 AS sig
+      |  FROM (
+      |    SELECT doc_id, f,
+      |      ((doc_id // 4) * 97 + f * 53 + f * f * 13
+      |        + (((doc_id // 4) * (f + 7)) % 977) * 31) % 241 AS base
+      |    FROM documents,
+      |      (SELECT unnest(generate_series(0, 64)) AS f)))""".stripMargin
+
+  private val bandsSql: String =
+    """bits AS (
+      |  SELECT a.doc_id, a.f // 16 AS band, a.f % 16 AS idx
+      |  FROM sigs a JOIN sigs b
+      |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 64 AND a.sig < b.sig),
+      |bands AS (
+      |  SELECT d.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN band = 0 THEN 1 << idx END), 0) AS BIGINT) AS b0,
+      |    CAST(coalesce(sum(CASE WHEN band = 1 THEN 1 << idx END), 0) AS BIGINT) AS b1,
+      |    CAST(coalesce(sum(CASE WHEN band = 2 THEN 1 << idx END), 0) AS BIGINT) AS b2,
+      |    CAST(coalesce(sum(CASE WHEN band = 3 THEN 1 << idx END), 0) AS BIGINT) AS b3
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id)""".stripMargin
+
+  /** Keyframe-content fingerprint through the full real extraction chain. */
+  val videoFingerprint = Q("q_video_fingerprint",
+    (s, dir) => videoFingerprints(s, dir),
+    Some(s"""WITH $sigsSql,
+            |$bandsSql
+            |SELECT doc_id,
+            |  CAST(65 + (doc_id // 4) % 4 AS BIGINT) AS n_keyframes,
+            |  b0, b1, b2, b3
+            |FROM bands""".stripMargin))
+
+  /** Banded video near-dup: equal-16-bit-band candidates → exact hamming
+    * ≤ 3 verify (pigeonhole-complete: 4 bands cover hamming ≤ 3). Never
+    * all-pairs — same census-skew-guarded candidate generation as the
+    * MinHash/SimHash/image/audio tiers.
+    */
+  val videoNearDup = Q("q_video_near_dup",
+    (s, dir) => {
+      val f = videoFingerprints(s, dir)
+        .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint(true)
+      val bands = (0 to 3).map(b =>
+        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
+        .reduce(_ unionByName _)
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id")
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val fb = f.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cand.join(fa, "id_a").join(fb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (bit_count(expr("a0 ^ c0")) + bit_count(expr("a1 ^ c1")) +
+            bit_count(expr("a2 ^ c2")) + bit_count(expr("a3 ^ c3")))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+    },
+    Some(s"""WITH $sigsSql,
+            |$bandsSql,
+            |melted AS (
+            |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |cand AS (
+            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  FROM melted x JOIN melted y
+            |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+            |SELECT id_a, id_b,
+            |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+            |    AS hamming
+            |FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |          JOIN bands b ON cand.id_b = b.doc_id
+            |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3"""
+      .stripMargin))
+
+  /** Video dedup GROUPS: connected components over the verified banded
+    * near-dup pairs — the fourth modality through the shared HASH-to-MIN
+    * operator (text, embeddings, images, audio, video); oracle =
+    * recursive transitive closure over the same candidate/hamming chain.
+    */
+  val videoDedupGroups = Q("q_video_dedup_groups",
+    (s, dir) => graft.operators.ConnectedComponents
+      .canonicalize(videoNearDup.fn(s, dir)
+        .select(col("id_a").as("ida"), col("id_b").as("idb"))),
+    Some(s"""WITH RECURSIVE $sigsSql,
+            |$bandsSql,
+            |melted AS (
+            |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
+            |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+            |  UNION ALL SELECT doc_id, 2, b2 FROM bands
+            |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
+            |cand AS (
+            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  FROM melted x JOIN melted y
+            |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+            |vp AS (
+            |  SELECT id_a, id_b
+            |  FROM cand JOIN bands a ON cand.id_a = a.doc_id
+            |            JOIN bands b ON cand.id_b = b.doc_id
+            |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
+            |edges AS (
+            |  SELECT id_a AS ea, id_b AS eb FROM vp
+            |  UNION SELECT id_b, id_a FROM vp),
+            |reach(ra, rb) AS (
+            |  SELECT ea, eb FROM edges
+            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
+            |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
+            |FROM reach GROUP BY ra""".stripMargin))
+
+  def all: Seq[Q] = Seq(videoMetaQ, videoKeyframes,
+    videoFingerprint, videoNearDup, videoDedupGroups)
 }

@@ -24,7 +24,14 @@ object Mp4Codec {
   final case class Track(trackId: Long, handler: String, timescale: Long,
                          duration: Long, width: Int, height: Int,
                          sttsEntries: Array[(Long, Long)], // (count, delta)
-                         syncSamples: Array[Long]) // 1-based, empty if no stss
+                         syncSamples: Array[Long], // 1-based, empty if no stss
+                         // sample-location tables (empty when the track has
+                         // no stsz/stsc/stco — e.g. the metadata-only audio
+                         // track): sizes per sample, (first_chunk,
+                         // samples_per_chunk) runs, absolute chunk offsets
+                         sampleSizes: Array[Long] = Array.empty,
+                         stscEntries: Array[(Long, Long)] = Array.empty,
+                         chunkOffsets: Array[Long] = Array.empty)
 
   final case class DecodedMp4(movTimescale: Long, movDuration: Long,
                               tracks: Array[Track])
@@ -133,6 +140,38 @@ object Mp4Codec {
     box("stss", out.toByteArray)
   }
 
+  /** Non-uniform sample sizes: sample_size field 0, one entry per sample. */
+  private def stsz(sizes: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(20 + sizes.size * 4)
+    writeBe32(out, 0) // version + flags
+    writeBe32(out, 0) // sample_size = 0 → per-sample entries follow
+    writeBe32(out, sizes.size.toLong)
+    sizes.foreach(writeBe32(out, _))
+    box("stsz", out.toByteArray)
+  }
+
+  /** Sample-to-chunk runs: (first_chunk, samples_per_chunk) with
+    * sample_description_index pinned to 1.
+    */
+  private def stsc(entries: Seq[(Long, Long)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + entries.size * 12)
+    writeBe32(out, 0)
+    writeBe32(out, entries.size.toLong)
+    entries.foreach { case (first, per) =>
+      writeBe32(out, first); writeBe32(out, per); writeBe32(out, 1)
+    }
+    box("stsc", out.toByteArray)
+  }
+
+  /** 32-bit chunk offsets — ABSOLUTE file offsets, per the spec. */
+  private def stco(offsets: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(16 + offsets.size * 4)
+    writeBe32(out, 0)
+    writeBe32(out, offsets.size.toLong)
+    offsets.foreach(writeBe32(out, _))
+    box("stco", out.toByteArray)
+  }
+
   /** Encode a two-track (video + audio) movie with real sample tables.
     * `keyEvery` spaces sync samples (1-based: 1, 1+keyEvery, ...).
     */
@@ -164,6 +203,62 @@ object Mp4Codec {
     val free = box("free", new Array[Byte](4))
     val mdat = box("mdat", mdatPayload)
     ftyp ++ moov ++ free ++ mdat
+  }
+
+  /** Encode a movie whose video track carries REAL addressable sample
+    * payloads: full stts/stss/stsz/stsc/stco chain, mdat split into TWO
+    * chunks (an 8-byte gap between them) so decoding must walk the
+    * sample-to-chunk runs — a single-chunk assumption reads garbage past
+    * the first chunk. stco offsets are ABSOLUTE file offsets, so the
+    * encode is two-pass: build moov with placeholder offsets, measure,
+    * rebuild (the offset fields are fixed-width, so moov's length is
+    * invariant under the patch).
+    */
+  def encodeMp4Samples(movTimescale: Long, movDurationTs: Long,
+                       videoTimescale: Long, frameDelta: Long,
+                       width: Int, height: Int, keyEvery: Int,
+                       audioTimescale: Long,
+                       samples: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes(StandardCharsets.US_ASCII) ++
+        Array[Byte](0, 0, 2, 0) ++
+        "isommp42".getBytes(StandardCharsets.US_ASCII))
+    val nFrames = samples.length.toLong
+    val videoDuration = nFrames * frameDelta
+    val syncs = (1L to nFrames by keyEvery.toLong).toSeq
+    val sizes = samples.map(_.length.toLong)
+    val c1 = samples.length / 2 // chunk 1 sample count (chunk 2 = rest)
+    val gap = 8
+
+    def moovAt(off1: Long, off2: Long): Array[Byte] = {
+      val stbl = container("stbl",
+        stts(Seq((nFrames, frameDelta))), stss(syncs), stsz(sizes),
+        stsc(Seq((1L, c1.toLong), (2L, (samples.length - c1).toLong))),
+        stco(Seq(off1, off2)))
+      val trakV = container("trak",
+        tkhd(1, movDurationTs, width, height),
+        container("mdia", mdhd(videoTimescale, videoDuration),
+          hdlr("vide", "VideoHandler"), container("minf", stbl)))
+      val audioDuration = movDurationTs * audioTimescale / movTimescale
+      val trakA = container("trak",
+        tkhd(2, movDurationTs, 0, 0),
+        container("mdia", mdhd(audioTimescale, audioDuration),
+          hdlr("soun", "SoundHandler")))
+      val udta = box("udta", box("name", "graft".getBytes(StandardCharsets.UTF_8)))
+      container("moov", mvhd(movTimescale, movDurationTs), trakV, udta, trakA)
+    }
+
+    val free = box("free", new Array[Byte](4))
+    val moovLen = moovAt(0, 0).length // pass 1: measure
+    val chunk1Len = sizes.take(c1).sum
+    val off1 = ftyp.length + moovLen + free.length + 8L
+    val off2 = off1 + chunk1Len + gap
+    val moov = moovAt(off1, off2) // pass 2: real offsets
+    val payload = new java.io.ByteArrayOutputStream()
+    samples.take(c1).foreach(s => payload.write(s, 0, s.length))
+    payload.write(new Array[Byte](gap), 0, gap)
+    samples.drop(c1).foreach(s => payload.write(s, 0, s.length))
+    ftyp ++ moov ++ free ++ box("mdat", payload.toByteArray)
   }
 
   // ---- decoder ----
@@ -219,6 +314,9 @@ object Mp4Codec {
 
       var sttsEntries = Array.empty[(Long, Long)]
       var syncs = Array.empty[Long]
+      var sizes = Array.empty[Long]
+      var stscRuns = Array.empty[(Long, Long)]
+      var chunkOffs = Array.empty[Long]
       for ((mnS, mnE) <- find(bytes, mdiaKids, "minf");
            (sbS, sbE) <- find(bytes, children(bytes, mnS, mnE), "stbl")) {
         val stblKids = children(bytes, sbS, sbE)
@@ -237,9 +335,33 @@ object Mp4Codec {
               syncs = Array.tabulate(n)(k => be32(bytes, s + 8 + 4 * k))
           }
         }
+        find(bytes, stblKids, "stsz").foreach { case (s, e) =>
+          if (e - s >= 12) {
+            val uniform = be32(bytes, s + 4)
+            val n = be32(bytes, s + 8).toInt
+            if (uniform != 0) sizes = Array.fill(n)(uniform)
+            else if (e - s >= 12 + 4 * n)
+              sizes = Array.tabulate(n)(k => be32(bytes, s + 12 + 4 * k))
+          }
+        }
+        find(bytes, stblKids, "stsc").foreach { case (s, e) =>
+          if (e - s >= 8) {
+            val n = be32(bytes, s + 4).toInt
+            if (e - s >= 8 + 12 * n)
+              stscRuns = Array.tabulate(n)(k =>
+                (be32(bytes, s + 8 + 12 * k), be32(bytes, s + 12 + 12 * k)))
+          }
+        }
+        find(bytes, stblKids, "stco").foreach { case (s, e) =>
+          if (e - s >= 8) {
+            val n = be32(bytes, s + 4).toInt
+            if (e - s >= 8 + 4 * n)
+              chunkOffs = Array.tabulate(n)(k => be32(bytes, s + 8 + 4 * k))
+          }
+        }
       }
       Track(trackId, handler, timescale, duration, width, height,
-        sttsEntries, syncs)
+        sttsEntries, syncs, sizes, stscRuns, chunkOffs)
     }.toArray
     Some(DecodedMp4(movTimescale, movDuration, tracks))
   }
@@ -264,4 +386,45 @@ object Mp4Codec {
 
   def totalSamples(sttsEntries: Array[(Long, Long)]): Long =
     sttsEntries.foldLeft(0L) { case (acc, (c, _)) => acc + c }
+
+  /** Absolute file byte range of 1-based sample `n`, by the REAL
+    * stsc/stco/stsz walk: stsc runs give each chunk's sample count
+    * (run r applies from first_chunk(r) until first_chunk(r+1)), stco
+    * gives each chunk's absolute start, and the sample's in-chunk offset
+    * is the sum of the sizes of the preceding samples of THAT chunk.
+    * Generic over multi-run tables — no single-chunk assumption.
+    * Returns None when n is out of range or the tables are inconsistent.
+    */
+  def sampleRange(track: Track, n: Long): Option[(Long, Int)] = {
+    val sizes = track.sampleSizes
+    val runs = track.stscEntries
+    val offs = track.chunkOffsets
+    if (n < 1 || n > sizes.length || runs.isEmpty || offs.isEmpty) return None
+    var chunk = 1 // 1-based chunk index
+    var run = 0
+    var firstSampleOfChunk = 1L // 1-based
+    while (chunk <= offs.length) {
+      if (run + 1 < runs.length && runs(run + 1)._1 == chunk) run += 1
+      val perChunk = runs(run)._2
+      if (n < firstSampleOfChunk + perChunk) {
+        var off = offs(chunk - 1)
+        var s = firstSampleOfChunk
+        while (s < n) { off += sizes((s - 1).toInt); s += 1 }
+        return Some((off, sizes((n - 1).toInt).toInt))
+      }
+      firstSampleOfChunk += perChunk
+      chunk += 1
+    }
+    None
+  }
+
+  /** The payload bytes of 1-based sample `n`, sliced from the file via
+    * [[sampleRange]] — the frame-extraction primitive of a video
+    * pipeline (in production these bytes feed the essence decoder).
+    */
+  def extractSample(bytes: Array[Byte], track: Track, n: Long): Option[Array[Byte]] =
+    sampleRange(track, n).flatMap { case (off, len) =>
+      if (off < 0 || off + len > bytes.length) None
+      else Some(java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+    }
 }

@@ -91,4 +91,71 @@ class AvCodecSpec extends AnyFunSuite {
     val mp4 = VideoQueries.plantedMp4(1)
     assert(Mp4Codec.decodeMp4(mp4.take(40)).isEmpty) // moov truncated away
   }
+
+  test("MP4 sample extraction round-trips payloads across the chunk split") {
+    val samples = IndexedSeq.tabulate(11)(n =>
+      Array.tabulate[Byte](3 + n % 5)(i => (n * 31 + i).toByte))
+    val mp4 = Mp4Codec.encodeMp4Samples(1000, 11 * 40, 90000, 3600,
+      320, 180, 5, 16000, samples)
+    val v = Mp4Codec.decodeMp4(mp4).get.tracks.find(_.handler == "vide").get
+    assert(v.sampleSizes.toSeq == samples.map(_.length.toLong))
+    assert(v.chunkOffsets.length == 2 && v.stscEntries.length == 2)
+    // chunk 1 holds samples 1..5, chunk 2 holds 6..11 (with a gap between)
+    for (n <- 1 to 11)
+      assert(Mp4Codec.extractSample(mp4, v, n).get.toSeq ==
+        samples(n - 1).toSeq, s"sample $n")
+    assert(Mp4Codec.extractSample(mp4, v, 0).isEmpty)
+    assert(Mp4Codec.extractSample(mp4, v, 12).isEmpty)
+  }
+
+  test("MP4 sampleRange walks multi-run stsc tables generically") {
+    // 3 chunks: run 1 → 2 samples/chunk (chunks 1-2), run 2 → 3 samples
+    // (chunk 3); sizes 10,20,30,40,50,60,70; offsets 100, 200, 300
+    val t = Mp4Codec.Track(1, "vide", 90000, 0, 0, 0,
+      Array.empty, Array.empty,
+      sampleSizes = Array(10L, 20, 30, 40, 50, 60, 70),
+      stscEntries = Array((1L, 2L), (3L, 3L)),
+      chunkOffsets = Array(100L, 200L, 300L))
+    assert(Mp4Codec.sampleRange(t, 1).get == ((100L, 10)))
+    assert(Mp4Codec.sampleRange(t, 2).get == ((110L, 20)))
+    assert(Mp4Codec.sampleRange(t, 3).get == ((200L, 30)))
+    assert(Mp4Codec.sampleRange(t, 4).get == ((230L, 40)))
+    assert(Mp4Codec.sampleRange(t, 5).get == ((300L, 50)))
+    assert(Mp4Codec.sampleRange(t, 6).get == ((350L, 60)))
+    assert(Mp4Codec.sampleRange(t, 7).get == ((410L, 70)))
+    assert(Mp4Codec.sampleRange(t, 8).isEmpty)
+  }
+
+  test("video content fixture: stco offsets are absolute and keyframes planted") {
+    val mp4 = VideoQueries.plantedContentMp4(12)
+    val v = Mp4Codec.decodeMp4(mp4).get.tracks.find(_.handler == "vide").get
+    assert(v.syncSamples.length == 65 + (12 / 4 % 4))
+    // keyframe 0 = sample 1: payload bytes base..base+15
+    val base = VideoQueries.kfBase(12, 0)
+    assert(Mp4Codec.extractSample(mp4, v, 1).get.toSeq ==
+      (0 until 16).map(i => (base + i).toByte))
+    // a keyframe AFTER the chunk split extracts correctly too
+    val lastKf = v.syncSamples.max
+    val kLast = ((lastKf - 1) / 25).toInt
+    val baseLast = VideoQueries.kfBase(12, kLast)
+    assert(Mp4Codec.extractSample(mp4, v, lastKf).get.toSeq ==
+      (0 until 16).map(i => (baseLast + i).toByte))
+  }
+
+  test("video planted fixture: group of 4 is a near-dup clique, j=3 differs") {
+    def bands(id: Long): Seq[Long] = {
+      val mp4 = VideoQueries.plantedContentMp4(id)
+      val v = Mp4Codec.decodeMp4(mp4).get.tracks.find(_.handler == "vide").get
+      val sigs = v.syncSamples.sorted.take(65).map(sn =>
+        Mp4Codec.extractSample(mp4, v, sn).get
+          .foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+      val out = new Array[Long](4)
+      for (f <- 0 until 64 if sigs(f) < sigs(f + 1)) out(f / 16) |= 1L << (f % 16)
+      out.toSeq
+    }
+    assert(bands(40) == bands(41) && bands(41) == bands(42))
+    val h = bands(40).zip(bands(43))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(h >= 0 && h <= 2) // one perturbed keyframe flips at most 2 bits
+  }
 }
