@@ -78,7 +78,9 @@ object Bench {
     // reorders. SPARK_GRAFT_WARMUP=0 skips it (cold diagnosis runs).
     val warm = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val warmers =
-      if (warm) TextQueries.sharedArtifactWarmers ++ MlQueries.sharedArtifactWarmers
+      if (warm) TextQueries.sharedArtifactWarmers ++ MlQueries.sharedArtifactWarmers ++
+        AudioQueries.sharedArtifactWarmers ++ ImageQueries.sharedArtifactWarmers ++
+        VideoQueries.sharedArtifactWarmers
       else Seq.empty
     val warmupResults = warmers.map { case (n, f) =>
       val t0 = System.nanoTime()

@@ -95,9 +95,25 @@ object ImageQueries {
 
   /** doc_id → (b0..b3 dHash bands, mean-luma milli) via the REAL codec
     * chain. Map-side only: encode is the fixture, decode onward is the
-    * production kernel.
+    * production kernel. Memoized per (session, dir) with a
+    * localCheckpoint — the three image queries and the curation capstone
+    * share ONE decoded corpus pass (same pattern as the shingle/BFR
+    * artifacts).
     */
-  private def dhashFeatures(s: SparkSession, dir: String): DataFrame = {
+  private val featCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def dhashFeatures(s: SparkSession, dir: String): DataFrame =
+    featCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      dhashFeaturesUncached(s, dir).localCheckpoint(true))
+
+  /** Named thunks for Bench's separately-timed warmup pass. */
+  private[graft] def sharedArtifactWarmers
+      : Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "image_dhash" ->
+      ((s: SparkSession, d: String) => { dhashFeatures(s, d); () }))
+
+  private def dhashFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
@@ -170,7 +186,7 @@ object ImageQueries {
     */
   val imageNearDup = Q("q_image_near_dup",
     (s, dir) => {
-      val f = dhashFeatures(s, dir).localCheckpoint(true)
+      val f = dhashFeatures(s, dir)
       val bands = (0 to 3).map(b =>
         f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)

@@ -167,9 +167,24 @@ object VideoQueries {
     * box walk → stss sync numbers → stsc/stco/stsz byte ranges → mdat
     * slices → byte-sum signatures → sign-of-delta 64-bit fingerprint in
     * four 16-bit bands (the video twin of the audio energy-delta
-    * chromaprint). Map-side only — no shuffle at any scale.
+    * chromaprint). Map-side only — no shuffle at any scale. Memoized per
+    * (session, dir) with a localCheckpoint: the three content-tier
+    * queries share ONE container-decode pass.
     */
-  private def videoFingerprints(s: SparkSession, dir: String): DataFrame = {
+  private val fpCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def videoFingerprints(s: SparkSession, dir: String): DataFrame =
+    fpCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      videoFingerprintsUncached(s, dir).localCheckpoint(true))
+
+  /** Named thunks for Bench's separately-timed warmup pass. */
+  private[graft] def sharedArtifactWarmers
+      : Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "video_fingerprints" ->
+      ((s: SparkSession, d: String) => { videoFingerprints(s, d); () }))
+
+  private def videoFingerprintsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
@@ -244,8 +259,7 @@ object VideoQueries {
     */
   val videoNearDup = Q("q_video_near_dup",
     (s, dir) => {
-      val f = videoFingerprints(s, dir)
-        .select("doc_id", "b0", "b1", "b2", "b3").localCheckpoint(true)
+      val f = videoFingerprints(s, dir).select("doc_id", "b0", "b1", "b2", "b3")
       val bands = (0 to 3).map(b =>
         f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)
@@ -318,6 +332,169 @@ object VideoQueries {
             |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
             |FROM reach GROUP BY ra""".stripMargin))
 
+  // ---- cross-tier composition: keyframes ARE real PNGs — MP4 box walk
+  // → stsz/stsc/stco sample extraction → PNG decode → luma grid → dHash
+  // → scene segmentation. Every stage is the independently-tested
+  // production kernel; this composes them end-to-end, oracle-gated. ----
+
+  private val SceneKeyframes = 16 // keyframes 0..15 carry the scene PNGs
+  private val SceneLen = 4 // keyframes per scene → scenes 0..3
+  private val SceneFrames = 380 // ≥ 1 + 25·15 so all 16 keyframes exist
+
+  /** Closed-form planted grey pixel of scene `sc` at grid (x, y); MUST
+    * stay in lockstep with the SQL below. Same decorrelation posture as
+    * the other tiers (the `% 239` mixing term makes each doc's scene
+    * imagery pseudo-independent).
+    */
+  private[graft] def scenePixel(docId: Long, sc: Int, x: Int, y: Int): Int =
+    ((docId * 97 + sc * 41 + x * 23 + y * 59 + x * y * 7 +
+      ((docId * (sc * 73 + x + y * 9 + 3)) % 239) * 11) % 256).toInt
+
+  /** One real MP4 per document whose keyframes are REAL 9×8 greyscale
+    * PNGs: keyframe k shows scene k/4's image (4 keyframes per scene, so
+    * consecutive keyframes are pixel-identical within a scene and the
+    * imagery changes exactly at scene boundaries). Non-keyframes carry
+    * filler the stsz walk must skip.
+    */
+  private[graft] def plantedScenesMp4(docId: Long): Array[Byte] = {
+    val samples: IndexedSeq[Array[Byte]] = (1 to SceneFrames).map { sn =>
+      if ((sn - 1) % KeyEvery == 0 && (sn - 1) / KeyEvery < SceneKeyframes) {
+        val sc = (sn - 1) / KeyEvery / SceneLen
+        val px = new Array[Byte](9 * 8)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            px(y * 9 + x) = scenePixel(docId, sc, x, y).toByte; x += 1
+          }
+          y += 1
+        }
+        graft.multimodal.PixelCodec.encodePng(9, 8, 1, px)
+      } else
+        Array.tabulate[Byte](4)(i => ((docId + sn + i) % 251).toByte)
+    }
+    Mp4Codec.encodeMp4Samples(MovTimescale, SceneFrames * 40L, VideoTimescale,
+      FrameDelta, 320, 180, KeyEvery, AudioTimescale, samples)
+  }
+
+  /** Per-keyframe image dHash bands through the FULL chain: box walk →
+    * sample-table byte ranges → mdat slice → PNG decode (inflate +
+    * unfilter) → luminance → 9×8 grid → banded dHash. One map-side pass
+    * per doc (bounded 16-row fan-out), zero shuffle at any scale.
+    */
+  private def keyframeDhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val mp4 = plantedScenesMp4(id)
+          val d = Mp4Codec.decodeMp4(mp4).getOrElse(
+            throw new IllegalStateException(s"undecodable planted MP4 for doc $id"))
+          val v = d.tracks.find(_.handler == "vide").getOrElse(
+            throw new IllegalStateException(s"no video track in doc $id"))
+          v.syncSamples.sorted.take(SceneKeyframes).iterator.zipWithIndex.map {
+            case (sn, k) =>
+              val png = Mp4Codec.extractSample(mp4, v, sn).getOrElse(
+                throw new IllegalStateException(s"unextractable sample $sn doc $id"))
+              val dec = graft.multimodal.PixelCodec.decodePng(png).getOrElse(
+                throw new IllegalStateException(s"undecodable keyframe PNG doc $id k $k"))
+              val luma = graft.multimodal.PixelCodec.luminance(dec.pixels, dec.channels)
+              val grid = graft.multimodal.PixelCodec
+                .resizeArea(luma, dec.width, dec.height, 9, 8)
+              val b = graft.multimodal.PixelCodec.dhashBands(grid)
+              (id, k.toLong, b(0), b(1), b(2), b(3))
+          }
+        }
+      }
+      .toDF("doc_id", "k", "b0", "b1", "b2", "b3")
+  }
+
+  /** Shared oracle CTE: per-(doc, scene) dHash bands recomputed
+    * arithmetically from the planted pixel formula.
+    */
+  private val sceneBandsSql: String =
+    """px AS (
+      |  SELECT doc_id, sc, x, y,
+      |    (doc_id * 97 + sc * 41 + x * 23 + y * 59 + x * y * 7
+      |      + ((doc_id * (sc * 73 + x + y * 9 + 3)) % 239) * 11) % 256 AS p
+      |  FROM documents,
+      |    (SELECT unnest(generate_series(0, 3)) AS sc),
+      |    (SELECT unnest(generate_series(0, 8)) AS x),
+      |    (SELECT unnest(generate_series(0, 7)) AS y)),
+      |sbits AS (
+      |  SELECT a.doc_id, a.sc, a.y // 2 AS band,
+      |    CAST((a.y % 2) * 8 + a.x AS BIGINT) AS idx
+      |  FROM px a JOIN px b
+      |    ON a.doc_id = b.doc_id AND a.sc = b.sc AND a.y = b.y
+      |      AND b.x = a.x + 1
+      |  WHERE a.x < 8 AND a.p < b.p),
+      |sbands AS (
+      |  SELECT s.doc_id, s.sc,
+      |    CAST(coalesce(sum(CASE WHEN band = 0 THEN 1 << idx END), 0) AS BIGINT) AS b0,
+      |    CAST(coalesce(sum(CASE WHEN band = 1 THEN 1 << idx END), 0) AS BIGINT) AS b1,
+      |    CAST(coalesce(sum(CASE WHEN band = 2 THEN 1 << idx END), 0) AS BIGINT) AS b2,
+      |    CAST(coalesce(sum(CASE WHEN band = 3 THEN 1 << idx END), 0) AS BIGINT) AS b3
+      |  FROM (SELECT DISTINCT doc_id, sc FROM px) s
+      |  LEFT JOIN sbits ON sbits.doc_id = s.doc_id AND sbits.sc = s.sc
+      |  GROUP BY s.doc_id, s.sc),
+      |kf AS (
+      |  SELECT doc_id, CAST(k AS BIGINT) AS k, b0, b1, b2, b3
+      |  FROM sbands, (SELECT unnest(generate_series(0, 15)) AS k)
+      |  WHERE sc = k // 4)""".stripMargin
+
+  /** Per-keyframe perceptual hash through the full container→image
+    * composition.
+    */
+  val videoKfDhash = Q("q_video_kf_dhash",
+    (s, dir) => keyframeDhash(s, dir),
+    Some(s"""WITH $sceneBandsSql
+            |SELECT doc_id, k, b0, b1, b2, b3 FROM kf""".stripMargin))
+
+  /** Scene-cut detection — the shot-segmentation primitive of a video
+    * curation pipeline: a keyframe starts a new scene iff its perceptual
+    * hash is far (hamming ≥ 10) from the previous keyframe's. Computed
+    * entirely inside one map-side pass (the per-doc keyframe list is
+    * bounded), no window, no shuffle; within a scene consecutive
+    * keyframes are pixel-identical so only true scene boundaries
+    * surface.
+    */
+  val videoSceneCuts = Q("q_video_scene_cuts",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.flatMap { id =>
+            val mp4 = plantedScenesMp4(id)
+            val v = Mp4Codec.decodeMp4(mp4).get.tracks.find(_.handler == "vide").get
+            val fps = v.syncSamples.sorted.take(SceneKeyframes).map { sn =>
+              val png = Mp4Codec.extractSample(mp4, v, sn).get
+              val dec = graft.multimodal.PixelCodec.decodePng(png).get
+              val luma = graft.multimodal.PixelCodec.luminance(dec.pixels, dec.channels)
+              graft.multimodal.PixelCodec.dhashBands(
+                graft.multimodal.PixelCodec.resizeArea(luma, dec.width, dec.height, 9, 8))
+            }
+            (1 until fps.length).iterator.flatMap { k =>
+              val h = (0 to 3).map(b =>
+                java.lang.Long.bitCount(fps(k)(b) ^ fps(k - 1)(b))).sum.toLong
+              if (h >= 10) Some((id, k.toLong, h)) else None
+            }
+          }
+        }
+        .toDF("doc_id", "k", "hamming")
+    },
+    Some(s"""WITH $sceneBandsSql
+            |SELECT a.doc_id, b.k,
+            |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+            |    AS hamming
+            |FROM kf a JOIN kf b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+            |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+            |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) >= 10"""
+      .stripMargin))
+
   def all: Seq[Q] = Seq(videoMetaQ, videoKeyframes,
-    videoFingerprint, videoNearDup, videoDedupGroups)
+    videoFingerprint, videoNearDup, videoDedupGroups,
+    videoKfDhash, videoSceneCuts)
 }

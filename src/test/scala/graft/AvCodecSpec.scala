@@ -158,4 +158,24 @@ class AvCodecSpec extends AnyFunSuite {
       .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
     assert(h >= 0 && h <= 2) // one perturbed keyframe flips at most 2 bits
   }
+
+  test("scene fixture: keyframes are real PNGs, identical within a scene") {
+    val mp4 = VideoQueries.plantedScenesMp4(5)
+    val v = Mp4Codec.decodeMp4(mp4).get.tracks.find(_.handler == "vide").get
+    val kfs = v.syncSamples.sorted.take(16)
+    assert(kfs.length == 16)
+    val pngs = kfs.map(sn => Mp4Codec.extractSample(mp4, v, sn).get)
+    val decs = pngs.map(p => graft.multimodal.PixelCodec.decodePng(p).get)
+    assert(decs.forall(d => d.width == 9 && d.height == 8 && d.channels == 1))
+    // keyframe 0's pixels match the closed form
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert((decs(0).pixels(y * 9 + x) & 0xff) ==
+        VideoQueries.scenePixel(5, 0, x, y))
+    // scenes of 4: keyframes 0-3 identical, 4 starts a new scene
+    assert(pngs(1).toSeq == pngs(0).toSeq && pngs(3).toSeq == pngs(0).toSeq)
+    assert(pngs(4).toSeq != pngs(3).toSeq)
+    assert(decs(4).pixels.toSeq ==
+      (for (y <- 0 until 8; x <- 0 until 9)
+        yield VideoQueries.scenePixel(5, 1, x, y).toByte))
+  }
 }

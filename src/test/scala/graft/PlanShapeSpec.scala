@@ -331,6 +331,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the merge table must travel as literals, not a join:\n$p")
   }
 
+  test("q_video_kf_dhash / q_video_scene_cuts: container→image chain is map-side only") {
+    // the full MP4 walk → sample extraction → PNG decode → dHash →
+    // scene pairing runs inside one partition-local pass: no Exchange,
+    // no Join — the shape that stays embarrassingly parallel at 100 TB
+    for (n <- Seq("q_video_kf_dhash", "q_video_scene_cuts")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange"), s"$n must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$n must not join:\n$p")
+    }
+  }
+
   test("unpartitioned windows: fixed allow-list, every input bounded (agg/limit)") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
