@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.multimodal.PixelCodec
+import graft.multimodal.{GifCodec, JpegCodec, PixelCodec}
 
 /** Image near-dup tier over REAL pixel decode — closes the round-9
   * verdict's "pixel ops are the one stub left": every document plants a
@@ -69,7 +69,28 @@ object ImageQueries {
   /** One real PNG per document: cells expanded to CellW×CellH constant
     * blocks, truecolor, filter types cycling by row.
     */
-  private def plantedPng(docId: Long): Array[Byte] = {
+  private def plantedPng(docId: Long): Array[Byte] =
+    PixelCodec.encodePng(ImgW, ImgH, 3, buildRgb(docId))
+
+  /** The same planted content stored as an indexed GIF: the GIF's grey
+    * palette indices are EXACTLY the integer luminance of the PNG's
+    * truecolor cells, so both containers carry the same image and two
+    * completely independent compression stacks (zlib-deflate+unfilter vs
+    * variable-width LZW) must reconstruct identical dHash fingerprints.
+    */
+  private[graft] def plantedGif(docId: Long): Array[Byte] =
+    GifCodec.encodeGif(ImgW, ImgH, PixelCodec.luminance(buildRgb(docId), 3))
+
+  /** And as a baseline JPEG: the planted cells are 16×16-constant, hence
+    * 8×8-block-constant, so the (lossy in general) DCT chain preserves
+    * them EXACTLY — DC-only blocks with a flat quantization table decode
+    * to the original constants through the real Huffman + IDCT path.
+    */
+  private[graft] def plantedJpeg(docId: Long): Array[Byte] =
+    JpegCodec.encodeJpegBlockConstant(ImgW, ImgH,
+      PixelCodec.luminance(buildRgb(docId), 3))
+
+  private def buildRgb(docId: Long): Array[Byte] = {
     val px = new Array[Byte](ImgW * ImgH * 3)
     var cy = 0
     while (cy < GridH) {
@@ -90,7 +111,7 @@ object ImageQueries {
       }
       cy += 1
     }
-    PixelCodec.encodePng(ImgW, ImgH, 3, px)
+    px
   }
 
   /** doc_id → (b0..b3 dHash bands, mean-luma milli) via the REAL codec
@@ -111,7 +132,68 @@ object ImageQueries {
   private[graft] def sharedArtifactWarmers
       : Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "image_dhash" ->
-      ((s: SparkSession, d: String) => { dhashFeatures(s, d); () }))
+      ((s: SparkSession, d: String) => { dhashFeatures(s, d); () }),
+    "gif_dhash" ->
+      ((s: SparkSession, d: String) => { gifFeatures(s, d); () }),
+    "jpeg_dhash" ->
+      ((s: SparkSession, d: String) => { jpegFeatures(s, d); () }))
+
+  private def jpegFeatures(s: SparkSession, dir: String): DataFrame =
+    featCache.getOrElseUpdate(("jpeg:" + s.sparkContext.applicationId, dir),
+      jpegFeaturesUncached(s, dir).localCheckpoint(true))
+
+  /** doc_id → dHash bands through the REAL baseline JPEG stack: marker
+    * walk → DHT canonical Huffman reconstruction → entropy decode (DC
+    * diffs + EOB, byte unstuffing) → dequantize → exact 2D IDCT → level
+    * shift → resize → dHash. Map-side only, like its siblings.
+    */
+  private def jpegFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val jpg = plantedJpeg(id)
+          val d = JpegCodec.decodeJpeg(jpg).getOrElse(
+            throw new IllegalStateException(s"undecodable planted JPEG for doc $id"))
+          val luma = PixelCodec.luminance(d.pixels, d.channels)
+          val grid = PixelCodec.resizeArea(luma, d.width, d.height, GridW, GridH)
+          val bands = PixelCodec.dhashBands(grid)
+          val meanMilli = math.floor(grid.sum * 1000.0 / 18360.0).toLong
+          (id, bands(0), bands(1), bands(2), bands(3), meanMilli)
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "mean_luma_milli")
+  }
+
+  private def gifFeatures(s: SparkSession, dir: String): DataFrame =
+    featCache.getOrElseUpdate(("gif:" + s.sparkContext.applicationId, dir),
+      gifFeaturesUncached(s, dir).localCheckpoint(true))
+
+  /** doc_id → dHash bands through the REAL GIF stack: LZW sub-block
+    * concat → variable-width decompress (code growth + clear resets —
+    * 18k pixels overflow the 4096-entry table, so the reset path runs on
+    * every document) → grey palette map → resize → dHash. Map-side only,
+    * like the PNG pass.
+    */
+  private def gifFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val gif = plantedGif(id)
+          val d = GifCodec.decodeGif(gif).getOrElse(
+            throw new IllegalStateException(s"undecodable planted GIF for doc $id"))
+          val luma = PixelCodec.luminance(d.pixels, d.channels)
+          val grid = PixelCodec.resizeArea(luma, d.width, d.height, GridW, GridH)
+          val bands = PixelCodec.dhashBands(grid)
+          val meanMilli = math.floor(grid.sum * 1000.0 / 18360.0).toLong
+          (id, bands(0), bands(1), bands(2), bands(3), meanMilli)
+        }
+      }
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "mean_luma_milli")
+  }
 
   private def dhashFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -262,5 +344,71 @@ object ImageQueries {
             |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
             |FROM reach GROUP BY ra""".stripMargin))
 
-  def all: Seq[Q] = Seq(imageDhash, imageNearDup, imageDedupGroups)
+  /** dHash fingerprints through the full real GIF-LZW decode chain. The
+    * oracle is the same closed-form luma arithmetic as `q_image_dhash` —
+    * deliberately: the planted content is identical, so this query pins
+    * that a SECOND, unrelated compression stack (LZW vs deflate)
+    * reconstructs it bit-exactly.
+    */
+  val gifDhash = Q("q_gif_dhash",
+    (s, dir) => gifFeatures(s, dir),
+    Some(s"""WITH $lumaCellsSql,
+            |means AS (
+            |  SELECT doc_id,
+            |    CAST(floor(CAST(sum(lum) AS DOUBLE) * 1000.0 / 18360.0) AS BIGINT)
+            |      AS mean_luma_milli
+            |  FROM cells GROUP BY doc_id)
+            |SELECT doc_id, b0, b1, b2, b3, mean_luma_milli
+            |FROM bands JOIN means USING (doc_id)""".stripMargin))
+
+  /** Cross-container duplicate detection: the SAME image stored as
+    * truecolor PNG and indexed GIF must land in the same dedup bucket.
+    * Spark computes the hamming distance between the two containers'
+    * REAL decoded fingerprints per document; the closed-form oracle says
+    * it is identically zero — any divergence anywhere in either codec
+    * chain (a filter branch, an LZW reset, palette handling, luma or
+    * resize arithmetic) surfaces as a nonzero row and goes hash-red.
+    * This is the 100 TB story for mixed-format corpora: fingerprints are
+    * container-independent, so cross-format dups fall out of the normal
+    * banded join with no extra machinery.
+    */
+  val crossCodecDups = Q("q_cross_codec_dups",
+    (s, dir) => {
+      val p = dhashFeatures(s, dir).select(col("doc_id"), col("b0").as("p0"),
+        col("b1").as("p1"), col("b2").as("p2"), col("b3").as("p3"))
+      val g = gifFeatures(s, dir).select(col("doc_id"), col("b0").as("g0"),
+        col("b1").as("g1"), col("b2").as("g2"), col("b3").as("g3"))
+      val j = jpegFeatures(s, dir).select(col("doc_id"), col("b0").as("j0"),
+        col("b1").as("j1"), col("b2").as("j2"), col("b3").as("j3"))
+      p.join(g, "doc_id").join(j, "doc_id")
+        .select(col("doc_id"),
+          (bit_count(expr("p0 ^ g0")) + bit_count(expr("p1 ^ g1")) +
+            bit_count(expr("p2 ^ g2")) + bit_count(expr("p3 ^ g3")))
+            .cast("long").as("png_gif_hamming"),
+          (bit_count(expr("p0 ^ j0")) + bit_count(expr("p1 ^ j1")) +
+            bit_count(expr("p2 ^ j2")) + bit_count(expr("p3 ^ j3")))
+            .cast("long").as("png_jpeg_hamming"))
+    },
+    Some("""SELECT doc_id, CAST(0 AS BIGINT) AS png_gif_hamming,
+           |  CAST(0 AS BIGINT) AS png_jpeg_hamming
+           |FROM documents""".stripMargin))
+
+  /** dHash fingerprints through the full real baseline-JPEG decode
+    * chain; same closed-form oracle as the PNG/GIF twins — the planted
+    * content is DCT-exact by construction (8-aligned constant cells).
+    */
+  val jpegDhash = Q("q_jpeg_dhash",
+    (s, dir) => jpegFeatures(s, dir),
+    Some(s"""WITH $lumaCellsSql,
+            |means AS (
+            |  SELECT doc_id,
+            |    CAST(floor(CAST(sum(lum) AS DOUBLE) * 1000.0 / 18360.0) AS BIGINT)
+            |      AS mean_luma_milli
+            |  FROM cells GROUP BY doc_id)
+            |SELECT doc_id, b0, b1, b2, b3, mean_luma_milli
+            |FROM bands JOIN means USING (doc_id)""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(imageDhash, imageNearDup, imageDedupGroups, gifDhash, jpegDhash,
+      crossCodecDups)
 }

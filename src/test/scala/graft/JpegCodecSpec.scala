@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{JpegCodec, PixelCodec}
+
+/** The real baseline JPEG codec: block-constant encode→decode exactness
+  * (the DCT-preserving planted shape), DC prediction across blocks,
+  * totality on junk/truncation/progressive streams, the general AC path
+  * against an independent reference IDCT, and the cross-codec contract
+  * with the PNG pipeline.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  /** Block-constant pattern: value of 8×8 block (bx,by) is a wrapping
+    * mix, including <128 and ≥128 so DC diffs go both signs.
+    */
+  private def blockPattern(w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (((x / 8) * 37 + (y / 8) * 101 + 3) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  test("block-constant encode→decode is EXACT (DC-only blocks, flat quant)") {
+    for ((w, h) <- Seq((8, 8), (16, 8), (144, 128), (64, 64))) {
+      val px = blockPattern(w, h)
+      val jpg = JpegCodec.encodeJpegBlockConstant(w, h, px)
+      val d = JpegCodec.decodeJpeg(jpg).getOrElse(fail(s"decode failed ${w}x$h"))
+      assert(d.width == w && d.height == h && d.channels == 1)
+      assert(d.pixels.sameElements(px), s"pixel mismatch ${w}x$h")
+    }
+  }
+
+  test("extreme values 0 and 255 survive the level-shift round trip") {
+    val px = new Array[Byte](16 * 8)
+    java.util.Arrays.fill(px, 0, 64, 0.toByte)
+    // second block all 255
+    var y = 0
+    while (y < 8) { var x = 8; while (x < 16) { px(y * 16 + x) = 255.toByte; x += 1 }; y += 1 }
+    val d = JpegCodec.decodeJpeg(JpegCodec.encodeJpegBlockConstant(16, 8, px)).get
+    assert(d.pixels.sameElements(px))
+  }
+
+  test("decode is total on junk and truncation") {
+    assert(JpegCodec.decodeJpeg(Array.emptyByteArray).isEmpty)
+    assert(JpegCodec.decodeJpeg(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(JpegCodec.decodeJpeg(Array.fill[Byte](200)(0x33)).isEmpty)
+    val good = JpegCodec.encodeJpegBlockConstant(16, 16, blockPattern(16, 16))
+    for (n <- Seq(2, 20, 100, good.length / 2))
+      assert(JpegCodec.decodeJpeg(good.take(n)).isEmpty, s"truncation at $n decoded")
+  }
+
+  test("progressive (SOF2) streams are rejected, not mis-decoded") {
+    val good = JpegCodec.encodeJpegBlockConstant(16, 16, blockPattern(16, 16))
+    // find the SOF0 marker and rewrite it to SOF2
+    var i = 2
+    var done = false
+    val bad = good.clone()
+    while (!done && i + 4 < bad.length) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xc0) {
+        bad(i + 1) = 0xc2.toByte; done = true
+      } else {
+        val len = ((bad(i + 2) & 0xff) << 8) | (bad(i + 3) & 0xff)
+        i += 2 + len
+      }
+    }
+    assert(done)
+    assert(JpegCodec.decodeJpeg(bad).isEmpty)
+  }
+
+  /** Independent reference 2D IDCT for the AC-path check. */
+  private def refIdct(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 1.0 / math.sqrt(2) else 1.0
+            val cv = if (v == 0) 1.0 / math.sqrt(2) else 1.0
+            s += cu * cv * coef(v * 8 + u) *
+              math.cos((2 * x + 1) * u * math.Pi / 16) *
+              math.cos((2 * y + 1) * v * math.Pi / 16)
+            u += 1
+          }
+          v += 1
+        }
+        val p = math.round(s / 4.0 + 128.0).toInt
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  test("general AC path: hand-built stream with an AC coefficient matches a reference IDCT") {
+    // one 8x8 image; custom tiny Huffman tables:
+    //  DC: 1 code of length 1 → symbol 0 (category 0, no bits)
+    //  AC: 2 codes of length 2 → symbols 0x01 (run0/size1), 0x00 (EOB)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def seg(mk: Int, p: Array[Int]): Unit = {
+      m(mk); val len = p.length + 2
+      out.write(len >> 8); out.write(len & 0xff); p.foreach(out.write)
+    }
+    m(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    seg(0xc4, Array(0x10, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0x01, 0x00))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // entropy bits: DC '0'; AC '00' + value bit '1' (coef +1 at zigzag 1);
+    // EOB '01'; pad with 1s → 0 00 1 01 11 = 0x17
+    out.write(0x17)
+    m(0xd9)
+    val d = JpegCodec.decodeJpeg(out.toByteArray).getOrElse(fail("AC stream failed"))
+    val coef = new Array[Int](64)
+    coef(1) = 1 // zigzag index 1 = natural (v=0, u=1)
+    val expect = refIdct(coef)
+    assert(d.pixels.map(_ & 0xff).sameElements(expect))
+  }
+
+  test("cross-codec contract: PNG and JPEG of the same block-constant content decode identically") {
+    val (w, h) = (72, 64)
+    val grey = blockPattern(w, h)
+    val png = PixelCodec.encodePng(w, h, 1, grey)
+    val jpg = JpegCodec.encodeJpegBlockConstant(w, h, grey)
+    val dp = PixelCodec.decodePng(png).get
+    val dj = JpegCodec.decodeJpeg(jpg).get
+    assert(dp.pixels.sameElements(dj.pixels))
+  }
+}
