@@ -69,7 +69,7 @@ object ImageQueries {
   /** One real PNG per document: cells expanded to CellW×CellH constant
     * blocks, truecolor, filter types cycling by row.
     */
-  private def plantedPng(docId: Long): Array[Byte] =
+  private[graft] def plantedPng(docId: Long): Array[Byte] =
     PixelCodec.encodePng(ImgW, ImgH, 3, buildRgb(docId))
 
   /** The same planted content stored as an indexed GIF: the GIF's grey

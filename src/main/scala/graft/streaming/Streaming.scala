@@ -188,6 +188,34 @@ object Streaming {
       .drop("__sig", "__sigkey")
   }
 
+  /** Streaming image-duplicate suppression — the multimodal twin of
+    * [[nearDupStream]]: each incoming document's image bytes decode
+    * MAP-SIDE through whichever REAL codec its container needs
+    * ([[graft.multimodal.ImageDecode]] sniffs PNG/GIF/JPEG magic), and
+    * `dropDuplicatesWithinWatermark` on the 4×16-bit dHash fingerprint
+    * keeps only the first document per fingerprint inside the watermark
+    * horizon. Because fingerprints are container-independent (pinned by
+    * `q_cross_codec_dups`), a JPEG re-post of a PNG original is
+    * suppressed with no per-format logic — the live-ingest shape of the
+    * batch `q_image_near_dup` tier, with state bounded by the watermark.
+    * Undecodable payloads (junk, truncation, unknown container) cannot
+    * be fingerprinted and are quarantined out of the stream rather than
+    * spuriously deduplicated against each other.
+    */
+  def imageNearDupStream(docs: DataFrame, imgCol: String, tsCol: String,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val fp = udf { (bytes: Array[Byte]) =>
+      graft.multimodal.ImageDecode.fingerprint(bytes)
+        .map(_.mkString(":")).orNull
+    }
+    docs
+      .withColumn("__imgfp", fp(col(imgCol)))
+      .filter(col("__imgfp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__imgfp")
+      .drop("__imgfp")
+  }
+
   /** Streaming benchmark decontamination: the Bloom set-bit list built
     * once from the bounded benchmark table ([[graft.functions.TextOps
     * .bloomBitSet]]) rides into the continuous query as a plan literal,

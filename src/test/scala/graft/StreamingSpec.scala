@@ -183,6 +183,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
   }
 
+  test("streaming image dedup suppresses cross-container re-posts and drops junk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "img", "ts")
+    val q = Streaming.imageNearDupStream(df, "img", "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("imgdedup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // content id 0 as PNG (original), as GIF (same pixels, different
+    // container+compression stack), and content id 16 as PNG (distinct
+    // group — planted groups are doc_id / 4, so 16 is unrelated to 0)
+    mem.addData(
+      (1L, ImageQueries.plantedPng(0L), ts(1)),
+      (2L, ImageQueries.plantedPng(16L), ts(1)),
+      (3L, ImageQueries.plantedGif(0L), ts(1)), // cross-container re-post
+      (4L, Array[Byte](1, 2, 3, 4, 5), ts(1))) // junk: quarantined
+    q.processAllAvailable()
+    mem.addData((5L, ImageQueries.plantedJpeg(0L), ts(2))) // cross-batch JPEG re-post
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM imgdedup").collect()
+      .map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+  }
+
   test("streaming bloom decontamination flags benchmark re-posts map-side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
