@@ -472,45 +472,64 @@ object TextQueries {
     new scala.collection.concurrent.TrieMap[(String, String), Seq[(Long, Long, String, String, Long)]]()
 
   private def bpeBatchTrain(s: SparkSession, dir: String): Seq[(Long, Long, String, String, Long)] =
-    bpeBatchCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      var vocab = docs(s, dir).select(explode(wordsCol).as("w"))
-        .filter(length(col("w")) >= 2 && !col("w").contains("|"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
-          transform(sequence(lit(1), length(col("w"))),
-            i => col("w").substr(i, lit(1))).as("syms"))
-        .localCheckpoint(true) // bounded: |vocabulary| rows
-      val out = Seq.newBuilder[(Long, Long, String, String, Long)]
-      var round = 1
-      while (round <= BatchRounds) {
-        val win = vocab.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(transform(
-            sequence(lit(1), size(col("syms")) - 1),
-            i => struct(element_at(col("syms"), i).as("l"),
-              element_at(col("syms"), i + 1).as("r")))).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(BatchW).collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-        def toks(p: (String, String, Long)) = Set(p._1, p._2, p._1 + p._2)
-        val accepted = win.zipWithIndex.collect {
-          case (a, i) if !win.take(i).exists(b => (toks(a) & toks(b)).nonEmpty) => a
-        }
-        accepted.zipWithIndex.foreach { case ((l, r, c), k) =>
-          out += ((round.toLong, (k + 1).toLong, l, r, c))
-        }
-        if (accepted.nonEmpty) {
-          vocab = vocab.select(col("freq"),
-            filter(split(bpeFoldMulti(col("syms"),
-              accepted.toSeq.map(p => (p._1, p._2))), "[|]"), sy => sy =!= "")
-              .as("syms"))
-            .localCheckpoint(true)
-        }
-        round += 1
+    bpeBatchCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      bpeTrainBatched(docs(s, dir), BatchRounds, BatchW)._1)
+
+  /** The batched training loop, parameterized so the oracle-gated query
+    * (4 rounds × window 16, exactly the published CTE unroll) and the
+    * 256-merge scale probe ([[graft.app.BpeScaleBench]]) run the SAME
+    * code. `corpus` needs a `text` column; rounds run until `maxRounds`
+    * or `targetMerges` accepted merges, whichever first. Each round is
+    * one bounded vocabulary-table aggregate (|vocab| rows, never corpus
+    * rows) + one driver round-trip of ≤ `window` candidates — the
+    * wall-clock is O(rounds), not O(merges), which is the whole point.
+    * Returns (merge table, rounds actually run).
+    */
+  private[graft] def bpeTrainBatched(corpus: DataFrame, maxRounds: Int,
+      window: Int, targetMerges: Long = Long.MaxValue)
+      : (Seq[(Long, Long, String, String, Long)], Int) = {
+    var vocab = corpus.select(explode(wordsCol).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains("|"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true) // bounded: |vocabulary| rows
+    val out = Seq.newBuilder[(Long, Long, String, String, Long)]
+    var round = 1
+    var total = 0L
+    while (round <= maxRounds && total < targetMerges) {
+      val win = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(window).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      def toks(p: (String, String, Long)) = Set(p._1, p._2, p._1 + p._2)
+      val accepted = win.zipWithIndex.collect {
+        case (a, i) if !win.take(i).exists(b => (toks(a) & toks(b)).nonEmpty) => a
       }
-      out.result()
-    })
+      accepted.zipWithIndex.foreach { case ((l, r, c), k) =>
+        out += ((round.toLong, (k + 1).toLong, l, r, c))
+      }
+      total += accepted.length
+      if (accepted.nonEmpty) {
+        val prev = vocab
+        vocab = vocab.select(col("freq"),
+          filter(split(bpeFoldMulti(col("syms"),
+            accepted.toSeq.map(p => (p._1, p._2))), "[|]"), sy => sy =!= "")
+            .as("syms"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      round += 1
+    }
+    (out.result(), round - 1)
+  }
 
   /** The DuckDB unroll: per round, pair counts → ranked window → the
     * dominance anti-join → batch as a LIST → ONE multi-merge fold (the
