@@ -342,6 +342,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gif_dhash / q_jpeg_dhash / q_cross_codec_dups: codec tiers never plan a cartesian") {
+    // each container's fingerprint pass is partition-local decode (the
+    // memoized feature tables are map-side products), and the
+    // cross-codec comparison is an equi-join on doc_id — a shuffle on
+    // the join key is fine, an all-pairs plan never is
+    for (n <- Seq("q_gif_dhash", "q_jpeg_dhash", "q_cross_codec_dups",
+        "q_image_near_dup")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n must not plan a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n must join on keys, not nested-loop:\n$p")
+    }
+  }
+
   test("unpartitioned windows: fixed allow-list, every input bounded (agg/limit)") {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
