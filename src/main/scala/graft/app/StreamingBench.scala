@@ -88,6 +88,66 @@ object StreamingBench {
       progress.count(_.numInputRows > 0))
   }
 
+  /** The multimodal leg: a mixed-container image stream (each replica
+    * of a document's planted content rotates PNG → GIF → JPEG) through
+    * [[Streaming.imageNearDupStream]] — so the measured rate is REAL
+    * decode (inflate/unfilter, LZW, Huffman+IDCT) + fingerprint +
+    * watermark-bounded suppression, images/sec. Content collides across
+    * containers AND across the planted doc_id/4 groups (3 of 4 members
+    * pixel-identical), so suppression is exercised on both axes.
+    */
+  def runImageDedup(spark: SparkSession, sfDir: String, copies: Int,
+                    files: Int): NearDupResult = {
+    val work = Files.createTempDirectory("imgbench").toString
+    val mk = udf { (id: Long, c: Int) =>
+      (c % 3) match {
+        case 0 => graft.ImageQueries.plantedPng(id)
+        case 1 => graft.ImageQueries.plantedGif(id)
+        case _ => graft.ImageQueries.plantedJpeg(id)
+      }
+    }
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    for (f <- 0 until files) {
+      ids.filter(pmod(col("doc_id"), lit(files)) === f)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(copies - 1))).as("c"))
+        .select(
+          (col("doc_id") * copies + col("c")).as("id"),
+          mk(col("doc_id"), col("c")).as("img"),
+          lit(new java.sql.Timestamp(base + f * 5L * 60 * 1000)).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/in/f$f")
+      Thread.sleep(5)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("img", BinaryType),
+      StructField("ts", TimestampType)))
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (files + 16).toString)
+    val t0 = System.nanoTime()
+    val q = Streaming.imageNearDupStream(in, "img", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/out")
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    val stateRows = progress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val stateBytes = progress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+    val rowsIn = progress.map(_.numInputRows).sum
+    val rowsOut = spark.read.parquet(s"$work/out").count()
+    NearDupResult(rowsIn, rowsOut, math.rint(secs * 10) / 10,
+      (rowsIn / secs).toLong,
+      if (stateRows.isEmpty) 0 else stateRows.max,
+      if (stateRows.isEmpty) 0 else stateRows.last,
+      if (stateBytes.isEmpty) 0 else stateBytes.max,
+      progress.count(_.numInputRows > 0))
+  }
+
   final case class BfrStreamResult(
       rowsIn: Long, seconds: Double, rowsPerSec: Long, rounds: Int,
       dsClusters: Int, assigned: Long)
@@ -134,6 +194,10 @@ object StreamingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nd = runNearDup(spark, sfDir, copies, files)
+    // the image leg decodes every payload for real (~1 ms/image), so its
+    // volume is capped independently of the text leg's replication dial
+    val img = runImageDedup(spark, sfDir, math.min(copies, 8),
+      math.min(files, 12))
     val bf = runBfrStream(spark, sfDir, chunks = 8,
       replicate = args.lift(3).map(_.toInt).getOrElse(50))
     println(s"""{"mode":"streaming","near_dup":{"rows_in":${nd.rowsIn},""" +
@@ -141,6 +205,10 @@ object StreamingBench {
       s""""rows_per_sec":${nd.rowsPerSec},"max_state_rows":${nd.maxStateRows},""" +
       s""""last_state_rows":${nd.lastStateRows},"max_state_bytes":${nd.maxStateBytes},""" +
       s""""batches":${nd.batches}},""" +
+      s""""image_dedup":{"rows_in":${img.rowsIn},"rows_out":${img.rowsOut},""" +
+      s""""seconds":${img.seconds},"images_per_sec":${img.rowsPerSec},""" +
+      s""""max_state_rows":${img.maxStateRows},""" +
+      s""""max_state_bytes":${img.maxStateBytes},"batches":${img.batches}},""" +
       s""""bfr":{"rows_in":${bf.rowsIn},"seconds":${bf.seconds},""" +
       s""""rows_per_sec":${bf.rowsPerSec},"rounds":${bf.rounds},""" +
       s""""ds_clusters":${bf.dsClusters},"assigned":${bf.assigned}}}""")
