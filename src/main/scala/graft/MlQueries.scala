@@ -832,24 +832,67 @@ object MlQueries {
       .select(col("ida"), col("idb"), round(col("cos"), 6).as("cos_sim")),
     Some(s"WITH $bandedCtes\nSELECT ida, idb, round(cos, 6) AS cos_sim FROM vp"))
 
+  /** Unrolled pointer-jumping min-label rounds over an `edges(ea, eb)`
+    * CTE (symmetric, self-free): round t+1 sets
+    * lbl(v) = min( lbl(lbl(v)), min over neighbours u of lbl(u) ),
+    * i.e. neighbour-min propagation PLUS a pointer jump through the
+    * vertex's own current label — the path-halving that makes
+    * convergence O(log n) in component size instead of O(diameter).
+    * Emitted for oracles whose pair graph can form GIANT components
+    * (the sf1 embedding graph has an 18,990-vertex component at
+    * cos > 0.35): the classic `reach` transitive-closure CTE is
+    * Σ n_c² ≈ 3.6e8 result rows there with far larger recursive
+    * intermediates — it never finishes — while each unrolled round here
+    * is one |edges|-sized join (~0.3 s at sf1). Round budget is set from
+    * MEASURED convergence: 42 rounds at sf0.1 (a sparse 548-vertex
+    * chain component — the convergence is diameter-bound when ids along
+    * a chain are adversarially ordered, the jump only helps once label
+    * paths form), 9 at sf1 (10× data but the cross-copy groups densify
+    * the graph), ≤ 16 at sf0.01; 64 gives ≥ 1.5× headroom over the
+    * worst measured case at negligible cost. A non-converged unroll can
+    * only DIFFER from the engine's fixpoint CC labels (labels are
+    * monotone decreasing and bounded below by the component min), so
+    * under-unrolling surfaces as a hash mismatch, never a silent pass.
+    */
+  private def pointerJumpCcSql(rounds: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs PER
+    // REFERENCE, and each round references its predecessor three times —
+    // an un-materialized unroll re-expands the whole upstream chain
+    // 3^rounds times (observed as "Too many open files" from the same
+    // parquet scan planned 3^16 times).
+    val l0 =
+      "l0 AS MATERIALIZED (SELECT ea AS v, least(ea, min(eb)) AS lbl FROM edges GROUP BY ea)"
+    val steps = (1 to rounds).map { t =>
+      s"""l$t AS MATERIALIZED (
+         |  SELECT e.ea AS v, least(min(lp.lbl), min(lu.lbl)) AS lbl
+         |  FROM edges e
+         |  JOIN l${t - 1} lu ON lu.v = e.eb
+         |  JOIN l${t - 1} lv ON lv.v = e.ea
+         |  JOIN l${t - 1} lp ON lp.v = lv.lbl
+         |  GROUP BY e.ea)""".stripMargin
+    }
+    (l0 +: steps).mkString(",\n")
+  }
+
   /** Embedding dedup GROUPS: connected components over the banded
     * verified pairs — the vector twin of q_dedup_groups (text tier),
-    * sharing the same iterative min-label operator; oracle = recursive
-    * transitive closure over the same verified-pair CTE chain.
+    * sharing the same iterative min-label operator; oracle = unrolled
+    * pointer-jump min-label rounds over the same verified-pair CTE
+    * chain (see [[pointerJumpCcSql]] — the text/media grouping oracles
+    * keep the simple recursive closure because their components are
+    * bounded by construction at ≤ 10 / ≤ 4 members; the embedding graph
+    * is the one whose components are data-driven and can go giant).
     */
   val embeddingDedupGroups = Q("q_embedding_dedup_groups",
     (s, dir) => graft.operators.ConnectedComponents
       .canonicalize(bandedNearDup(s, dir).select(col("ida"), col("idb")))
       .select(col("doc_id").as("vec_id"), col("canonical_id")),
-    Some(s"""WITH RECURSIVE $bandedCtes,
-            |edges AS (
+    Some(s"""WITH $bandedCtes,
+            |edges AS MATERIALIZED (
             |  SELECT ida AS ea, idb AS eb FROM vp
             |  UNION SELECT idb, ida FROM vp),
-            |reach(ra, rb) AS (
-            |  SELECT ea, eb FROM edges
-            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
-            |SELECT ra AS vec_id, least(min(rb), ra) AS canonical_id
-            |FROM reach GROUP BY ra""".stripMargin))
+            |${pointerJumpCcSql(64)}
+            |SELECT v AS vec_id, lbl AS canonical_id FROM l64""".stripMargin))
 
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)
