@@ -197,11 +197,13 @@ object AudioQueries {
       val bands = (0 to 3).map(b =>
         f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)
-      // skew-guarded candidate generation (census + hub stars at hot
-      // buckets) — same 100 TB posture as the MinHash/SimHash/image
-      // tiers; no bucket is hot at the test SFs, so the pair set equals
-      // the closed-form oracle's exactly
-      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id")
+      // skew-guarded candidate generation in SALTED-COMPLETE mode:
+      // the 16-bit band space saturates combinatorially as the corpus
+      // grows (bucket-mates are then not near-dup families), so hot
+      // buckets keep the COMPLETE pair relation via the block-grid
+      // salted self-join — bounded per-task output, exact at every SF
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
+          hotComplete = true)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))

@@ -759,8 +759,12 @@ object MlQueries {
     * vs 0.43 for the single 8-bit bucket (q_embedding_near_dup_lsh) —
     * the same banding shape as the MinHash tier, and candidate
     * generation reuses the SAME skew-guarded [[TextOps.candidatePairs]]
-    * (hot buckets star out; organic buckets top out at 153 < 256 at
-    * every SF, so the unguarded oracle join is exact).
+    * in SALTED-COMPLETE mode: the FIXED 8-bit band space saturates
+    * combinatorially (sf1's 20k vectors average 78 per bucket), so
+    * bucket-mates are not a near-dup family and hub stars would drop
+    * verified pairs and split components (caught by the sf1 oracle
+    * gate) — hot buckets instead keep the complete pair relation via
+    * the block-grid salted self-join, per-task output bounded.
     */
   private val BandedBandCount = 4
   private def bandedBits(b: Int): Column = concat((b * LshPlanes until (b + 1) * LshPlanes).map(j =>
@@ -788,7 +792,7 @@ object MlQueries {
     val bands = (0 until BandedBandCount).map(b =>
       bucketed.select(col("id"), lit(b).as("band"), col(s"bk$b").as("bucket")))
       .reduce(_ union _)
-    val cand = TextOps.candidatePairs(bands, "id")
+    val cand = TextOps.candidatePairs(bands, "id", hotComplete = true)
     val l = bucketed.select(col("id").as("doc_a"), col("features").as("fa"), col("nrm").as("na"))
     val r = bucketed.select(col("id").as("doc_b"), col("features").as("fb"), col("nrm").as("nb"))
     cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
@@ -974,7 +978,8 @@ object MlQueries {
         sig.select(col("doc_id"), lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))
         .reduce(_ union _)
-      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id", hotThreshold = 1024)
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
+        hotThreshold = 1024, hotComplete = true)
       val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
       val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
       cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))

@@ -921,18 +921,34 @@ object OlapQueries {
 
   /** Winsorization — robust-statistics outlier clipping at exact
     * per-group percentiles (p05/p95), the standard numeric-feature
-    * cleaning step before training. Exact interpolated percentiles are
-    * one shuffle on the group key; the clip itself is map-side against
-    * the broadcast per-group bounds. (At 100 TB the exact percentile
-    * would swap in the KLL sketch — `q_approx_quantiles` — with the
-    * same downstream clip; this query pins the exact semantics.)
+    * cleaning step before training. The cut points are DISCRETE
+    * quantiles (the k-th smallest value, k = ceil(p·n)) rather than
+    * interpolated ones: an interpolated cut is a value that exists in
+    * neither engine's data, and with heavily tied inputs (sf1 carries
+    * every value at ~10× multiplicity) a 1-ULP cross-engine difference
+    * in the interpolation arithmetic moves whole tie-runs across the
+    * strict `value < p05` clip predicate — observed at sf1 as a ±50
+    * n_clipped_low mismatch. A discrete cut is an actual data value
+    * selected by integer rank, so the clip counts are tie-exact in any
+    * engine computing the same k (both sides share the identical
+    * `ceil(n * 0.05)` double expression). One rank window per group
+    * (partitioned — never global) feeds the cut selection; the clip
+    * itself stays map-side against the broadcast per-group bounds. (At
+    * 100 TB the exact rank would swap in the KLL sketch —
+    * `q_approx_quantiles` — with the same downstream clip; this query
+    * pins the exact semantics.)
     */
   val winsorize = Q("q_winsorize",
     (s, dir) => {
       val ev = Queries.events(s, dir)
-      val bounds = ev.groupBy(col("event_type"))
-        .agg(percentile(col("value"), lit(0.05)).as("p05"),
-          percentile(col("value"), lit(0.95)).as("p95"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val wc = Window.partitionBy(col("event_type"))
+      val ranked = ev.select(col("event_type"), col("value"),
+        row_number().over(w).as("r"),
+        count(lit(1)).over(wc).as("n"))
+      val bounds = ranked.groupBy(col("event_type")).agg(
+        max(when(col("r") === ceil(col("n") * lit(0.05)), col("value"))).as("p05"),
+        max(when(col("r") === ceil(col("n") * lit(0.95)), col("value"))).as("p95"))
       ev.join(broadcast(bounds), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
@@ -943,10 +959,16 @@ object OlapQueries {
           round(avg(greatest(least(col("value"), col("p95")), col("p05"))), 4)
             .as("winsorized_mean"))
     },
-    Some("""WITH b AS (
-           |  SELECT event_type, quantile_cont(value, 0.05) AS p05,
-           |         quantile_cont(value, 0.95) AS p95
-           |  FROM events GROUP BY 1)
+    Some("""WITH rk AS (
+           |  SELECT event_type, value,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
+           |    count(*) OVER (PARTITION BY event_type) AS n
+           |  FROM events),
+           |b AS (
+           |  SELECT event_type,
+           |    max(CASE WHEN r = CAST(ceil(n * 0.05) AS BIGINT) THEN value END) AS p05,
+           |    max(CASE WHEN r = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+           |  FROM rk GROUP BY 1)
            |SELECT e.event_type, round(any_value(b.p05), 6) AS p05,
            |  round(any_value(b.p95), 6) AS p95,
            |  CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)

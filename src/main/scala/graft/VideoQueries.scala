@@ -263,7 +263,8 @@ object VideoQueries {
       val bands = (0 to 3).map(b =>
         f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
         .reduce(_ unionByName _)
-      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id")
+      val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
+          hotComplete = true)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
       val fa = f.select(col("doc_id").as("id_a"), col("b0").as("a0"),
         col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))

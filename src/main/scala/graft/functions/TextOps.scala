@@ -193,13 +193,40 @@ object TextOps {
     *
     * Skew guard: bucket sizes are counted first (one partial+final agg on
     * the same key as the join). Buckets at or under `hotThreshold` take
-    * the normal pair self-join. Oversized buckets — whose members share a
-    * full band of the MinHash signature with thousands of others, i.e.
-    * guaranteed near-dup families — short-circuit to a STAR on the
-    * bucket's minimum id (b−1 pairs instead of b(b−1)/2), which preserves
-    * the connected components the dedup consumer builds while bounding
-    * any single key's output linearly. With no hot bucket the output is
-    * identical to the unguarded join (oracle-checked).
+    * the normal pair self-join. Oversized buckets take one of two paths,
+    * chosen by the TIER's bucket-space geometry:
+    *
+    *  - `hotComplete = false` (STAR, the text-shingle default): the
+    *    bucket short-circuits to a star on its minimum id (b−1 pairs
+    *    instead of b(b−1)/2). Valid ONLY where a hot bucket is a
+    *    guaranteed near-dup family — true for MinHash band signatures
+    *    over shingles (an effectively 2^64 bucket space that cannot
+    *    saturate combinatorially; a 100k-member bucket means 100k
+    *    near-identical docs, and every star edge survives the Jaccard
+    *    verify, so the dedup consumer's connected components are
+    *    preserved while any single key's output stays linear).
+    *
+    *  - `hotComplete = true` (SALTED COMPLETE, the fingerprint tiers):
+    *    FIXED-WIDTH fingerprint bands (8-bit embedding sign patterns,
+    *    16-bit dHash / audio / video bands, SimHash) saturate
+    *    combinatorially — at sf1 the 8-bit embedding band space holds
+    *    20k vectors at ~78/bucket, so bucket-mates are NOT near-dups
+    *    and star edges routinely FAIL the downstream cosine/hamming
+    *    verify, splitting components and shrinking the declared pair
+    *    relation (caught by the sf1 oracle gate: 71,351 engine pairs vs
+    *    199,746 complete). These tiers get the COMPLETE pair relation
+    *    via a block-grid salted self-join: members hash into
+    *    g = ceil(n / hotThreshold) blocks, each unordered block pair
+    *    (i ≤ j) becomes its own shuffle key carrying |Bi|·|Bj| ≈
+    *    hotThreshold² output rows, so per-task work is bounded no
+    *    matter how hot the bucket. The TOTAL output is the semantics'
+    *    inherent b(b−1)/2 — at corpus scale the knob is fingerprint
+    *    WIDTH (more bands/bits per band), which grows the bucket space
+    *    with the corpus; the salting keeps every task bounded at any
+    *    width/corpus mismatch instead of stalling one shuffle key.
+    *
+    * With no hot bucket both modes are identical to the unguarded join
+    * (oracle-checked at every SF).
     */
   /** Per-(band, bucket) census: member count and the min-id hub — the
     * SHARED input of every hot-bucket guard (batch candidate generation
@@ -212,7 +239,8 @@ object TextOps {
       .agg(count(lit(1)).as("__n"), min(col(idCol)).as("__hub"))
 
   def candidatePairs(bands: DataFrame, idCol: String,
-                     hotThreshold: Int = hotBucketThreshold): DataFrame = {
+                     hotThreshold: Int = hotBucketThreshold,
+                     hotComplete: Boolean = false): DataFrame = {
     val sizes = bucketCensus(bands, idCol)
     // corpus-scale × corpus-scale: pin the shuffled merge join (see
     // [[pairOverlap]] — static broadcast here killed the 100× probe)
@@ -224,10 +252,38 @@ object TextOps {
       l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
           && col(s"l.$idCol") < col(s"r.$idCol"))
         .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
-    // hub = min id per bucket, so hub < id keeps the doc_a < doc_b contract
-    val hotStars = sized.filter(col("__n") > hotThreshold && col(idCol) =!= col("__hub"))
-      .select(col("__hub").as("doc_a"), col(idCol).as("doc_b"))
-    normalPairs.union(hotStars).distinct()
+    val hot = sized.filter(col("__n") > hotThreshold)
+    val hotPairs =
+      if (!hotComplete) {
+        // hub = min id per bucket, so hub < id keeps the doc_a < doc_b contract
+        hot.filter(col(idCol) =!= col("__hub"))
+          .select(col("__hub").as("doc_a"), col(idCol).as("doc_b"))
+      } else {
+        // Block-grid salted COMPLETE self-join: member → block
+        // i = hash(id) mod g; the left side registers each row under
+        // every block-pair key (i, j ≥ i), the right side under every
+        // key (k ≤ i, i), so each unordered block pair meets on exactly
+        // one (band, bucket, bi, bj) shuffle key. Cross-block pairs
+        // appear exactly once (normalized via least/greatest); same-
+        // block keys self-join under id < id. Per-key output is
+        // |Bi|·|Bj| ≈ hotThreshold² regardless of bucket size.
+        val blk = hot.select(col("band"), col("bucket"), col(idCol),
+            ceil(col("__n") / lit(hotThreshold.toDouble)).cast("int").as("__g"))
+          .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))
+        val lh = blk
+          .withColumn("__bj", explode(sequence(col("__blk"), col("__g") - lit(1))))
+          .select(col("band"), col("bucket"), col("__blk").as("__bi"),
+            col("__bj"), col(idCol).as("__ida"))
+        val rh = blk
+          .withColumn("__bi", explode(sequence(lit(0), col("__blk"))))
+          .select(col("band"), col("bucket"), col("__bi"),
+            col("__blk").as("__bj"), col(idCol).as("__idb"))
+        lh.join(rh.hint("shuffle_merge"), Seq("band", "bucket", "__bi", "__bj"))
+          .filter(col("__bi") =!= col("__bj") || col("__ida") < col("__idb"))
+          .select(least(col("__ida"), col("__idb")).as("doc_a"),
+            greatest(col("__ida"), col("__idb")).as("doc_b"))
+      }
+    normalPairs.union(hotPairs).distinct()
   }
 
   /** Per-candidate-pair set-overlap counts (|A∩B|, |A|, |B|) from the

@@ -103,6 +103,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(g.sameElements(u), "guarded components differ from unguarded")
   }
 
+  test("salted-complete hot bucket ≡ unguarded complete pairs") {
+    import spark.implicits._
+    // Fingerprint-tier mode: two hot buckets (100 and 40 members at a
+    // threshold of 16 → 7 and 3 hash blocks), one cold bucket, and a
+    // cross-band repeat (docs 1,2 share a bucket on band 0 AND band 1)
+    // exercising the trailing distinct. The complete mode must
+    // reproduce the unguarded pair relation EXACTLY — the property the
+    // sf1 gate caught the star mode violating on saturated band spaces.
+    val bands = ((1L to 100L).map(i => (i, 0, "hotA")) ++
+      (200L to 239L).map(i => (i, 0, "hotB")) ++
+      Seq((300L, 0, "cold"), (301L, 0, "cold"),
+        (1L, 1, "rep"), (2L, 1, "rep"))).toDF("doc_id", "band", "bucket")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val complete = pairSet(
+      TextOps.candidatePairs(bands, "doc_id", hotThreshold = 16, hotComplete = true))
+    val unguarded = pairSet(
+      TextOps.candidatePairs(bands, "doc_id", hotThreshold = Int.MaxValue))
+    assert(complete == unguarded, "salted-complete pair relation diverged")
+    // (1,2) surfaces in hotA AND rep — the trailing distinct keeps one
+    assert(complete.size == 100 * 99 / 2 + 40 * 39 / 2 + 1)
+    assert(complete.forall(p => p._1 < p._2), "doc_a < doc_b contract broken")
+    // and the star mode genuinely differs here (it is NOT pair-complete)
+    val starred = pairSet(
+      TextOps.candidatePairs(bands, "doc_id", hotThreshold = 16))
+    assert(starred.size == 99 + 39 + 1)
+  }
+
   test("salted hot-key verify path ≡ unsalted pairOverlap") {
     import spark.implicits._
     val rng = new scala.util.Random(19)
