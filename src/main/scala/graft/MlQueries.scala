@@ -37,7 +37,9 @@ object MlQueries {
     */
   private[graft] class KmeansOracleGen(val K: Int, val Iters: Int, val D: Int = 64,
       prefix: String = "",
-      embExpr: String = "list_transform(embedding, x -> CAST(x AS DOUBLE))") {
+      embExpr: String = "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+      srcTable: String = "embeddings",
+      emitFinalAssign: Boolean = true) {
 
     private[graft] def sqdist(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1,$D), i -> pow($a[i]-$b[i],2)))"
@@ -48,13 +50,13 @@ object MlQueries {
       */
     private[graft] def p(n: String): String = prefix + n
 
-    /** The WITH-clause body (no `WITH` prefix): emb → seeds → c0 →
-      * a0..c{Iters} → afin (final assignment against the final centers).
+    /** CTEs from the source projection `p(emb)` down to the initial
+      * centers `p(c0)` — the maximin seeding by default, overridable so
+      * a subclass can swap in a different deterministic init (the
+      * balanced-IVF split oracle uses the robust median-cut init).
       */
-    val withClauses: String = {
+    protected def seedCtes: Seq[String] = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
-      parts += s"${p("emb")} AS MATERIALIZED (SELECT vec_id, " +
-        s"$embExpr AS e FROM embeddings)"
       parts += s"${p("sd0")} AS MATERIALIZED (SELECT e FROM ${p("emb")} ORDER BY vec_id LIMIT 1)"
       parts += s"${p("m0")} AS MATERIALIZED (SELECT vec_id, emb.e AS e, ${sqdist("emb.e", "s.e")} AS md " +
         s"FROM ${p("emb")} emb, ${p("sd0")} s)"
@@ -65,6 +67,17 @@ object MlQueries {
             s"least(md, ${sqdist("m.e", "s.e")}) AS md FROM ${p(s"m${j - 1}")} m, ${p(s"sd$j")} s)"
       }
       parts += s"${p("c0")} AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM ${p(s"sd$j")}").mkString(" UNION ALL ")})"
+      parts.toSeq
+    }
+
+    /** The WITH-clause body (no `WITH` prefix): emb → seeds → c0 →
+      * a0..c{Iters} → afin (final assignment against the final centers).
+      */
+    lazy val withClauses: String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      parts += s"${p("emb")} AS MATERIALIZED (SELECT vec_id, " +
+        s"$embExpr AS e FROM $srcTable)"
+      parts ++= seedCtes
       for (t <- 0 until Iters) {
         parts += s"${p(s"a$t")} AS MATERIALIZED (SELECT vec_id, e, cl FROM (" +
           s"SELECT p.vec_id, p.e AS e, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
@@ -75,9 +88,10 @@ object MlQueries {
         parts += s"${p(s"c${t + 1}")} AS MATERIALIZED (SELECT c.cl, coalesce(n.e, c.e) AS e " +
           s"FROM ${p(s"c$t")} c LEFT JOIN ${p(s"cn$t")} n ON n.cl = c.cl)"
       }
-      parts += s"${p("afin")} AS MATERIALIZED (SELECT vec_id, cl FROM (" +
-        s"SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
-        s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM ${p("emb")} p, ${p(s"c$Iters")} c) WHERE rn = 1)"
+      if (emitFinalAssign)
+        parts += s"${p("afin")} AS MATERIALIZED (SELECT vec_id, cl FROM (" +
+          s"SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id " +
+          s"ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn FROM ${p("emb")} p, ${p(s"c$Iters")} c) WHERE rn = 1)"
       parts.mkString(",\n")
     }
 
@@ -105,26 +119,134 @@ object MlQueries {
 
   private object KmeansOracle extends KmeansOracleGen(10, 5)
 
-  /** DuckDB oracle for the IVF ANN: the k=8/iters=3 coarse quantizer is
-    * the same unrolled deterministic k-means, then the probe (2 nearest
-    * cells per query, ties to the lower cell), candidate fetch
-    * (cell-joined, self excluded) and exact cosine top-3 are replicated
-    * with the engine's tie-breaks. Makes the recall<1 scale path exactly
-    * checkable — the "approximation" is deterministic cell pruning, not
-    * randomness.
+  /** Served IVF quantizer hyperparameters, shared verbatim by the engine
+    * path ([[ivfModel]] → [[graft.kmeans.BalancedIvf.splitHotCells]]) and
+    * the unrolled DuckDB oracle ([[IvfOracle]]): base k-means k/iters,
+    * then skew-aware balancing — cells above `IvfCapFactor ×` the
+    * original average occupancy are recursively 2-means split (largest
+    * first), at most `IvfSplitBudget` splits.
     */
-  private object IvfOracle extends KmeansOracleGen(8, 3) {
+  private[graft] val IvfK = 8
+  private[graft] val IvfIters = 3
+  private[graft] val IvfCapFactor = 2.0
+  private[graft] val IvfSplitBudget = 8
+
+  /** DuckDB oracle for the IVF ANN: the k=8/iters=3 coarse quantizer is
+    * the same unrolled deterministic k-means, BALANCED by the same
+    * hot-cell split loop the engine serves (see [[balancedCtes]]), then
+    * the probe (nprobe nearest cells per query, ties to the lower cell),
+    * candidate fetch (cell-joined, self excluded) and exact cosine top-3
+    * are replicated with the engine's tie-breaks. Makes the recall<1
+    * scale path exactly checkable — the "approximation" is deterministic
+    * cell pruning, not randomness.
+    */
+  private object IvfOracle extends KmeansOracleGen(IvfK, IvfIters) {
+
+    /** Local 2-means over the members of the cell split at step `t` —
+      * the unrolled-k-means generator (K=2, Iters=5) pointed at the
+      * step's member CTE, with the seeding overridden to the ROBUST
+      * median-cut init, replicating
+      * `KMeans.fitLocal(sub, 2, 5, 0, BalancedIvf.medianCutInit(sub))`
+      * exactly: spread score n·Σx² − (Σx)² per dimension (argmax ties to
+      * the lowest dim), members ranked by (value, vec_id), initial
+      * centers = means of the two rank halves (lower half → child 0),
+      * then first-min Lloyd ties, empty cluster keeps its center.
+      */
+    private def subGen(t: Int): KmeansOracleGen =
+      new KmeansOracleGen(2, 5, this.D, prefix = s"s${t}_", embExpr = "e",
+        srcTable = s"bm$t", emitFinalAssign = false) {
+        override protected def seedCtes: Seq[String] = Seq(
+          s"${p("vardim")} AS MATERIALIZED (" +
+            s"SELECT t.i AS dim FROM ${p("emb")}, generate_series(1,${this.D}) t(i) GROUP BY t.i " +
+            s"ORDER BY count(*) * sum(e[t.i]*e[t.i]) - sum(e[t.i]) * sum(e[t.i]) DESC, t.i LIMIT 1)",
+          s"${p("rk")} AS MATERIALIZED (SELECT vec_id, e, " +
+            s"row_number() OVER (ORDER BY e[(SELECT dim FROM ${p("vardim")})], vec_id) AS r, " +
+            s"count(*) OVER () AS n FROM ${p("emb")})",
+          s"${p("hg")} AS MATERIALIZED (" +
+            s"SELECT CASE WHEN r <= n // 2 THEN 0 ELSE 1 END AS cl, t.i AS i, avg(e[t.i]) AS m " +
+            s"FROM ${p("rk")}, generate_series(1,${this.D}) t(i) GROUP BY 1, 2)",
+          s"${p("c0")} AS MATERIALIZED (SELECT cl, list(m ORDER BY i) AS e FROM ${p("hg")} GROUP BY cl)")
+      }
+
+    /** Unroll of `BalancedIvf.splitHotCells(rows, centers, IvfCapFactor,
+      * IvfK + IvfSplitBudget)` as `IvfSplitBudget` CONDITIONAL steps:
+      * step t picks the largest cell above cap (ties to the lowest cell
+      * id) — empty pick ⇒ the whole step is a no-op (the engine's loop
+      * has exited) — 2-means its members, replaces the picked center
+      * with child A, appends child B at index `IvfK + t - 1`, and
+      * reassigns ONLY the picked cell's members between the two children
+      * (ties to child A, matching the engine's first-min pair scan).
+      * A split can never follow a no-op (once balanced, the engine loop
+      * exits and every later oracle pick is empty too), so the appended
+      * center index is deterministic. `bguard` asserts no split was
+      * degenerate (a child with zero members would make the engine
+      * revert + freeze — impossible on continuous data, and LOUD here:
+      * `bafin` raises `error()` instead of silently diverging).
+      * `bafin` is the served cell map: global argmin over the final
+      * enlarged center list `bc{S}`, exactly `Model.assign`.
+      */
+    private val S = IvfSplitBudget
+    private val balancedCtes: String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      parts += s"bcap AS MATERIALIZED (SELECT greatest(1, CAST(ceil($IvfCapFactor * count(*) / $IvfK) AS BIGINT)) AS cap FROM emb)"
+      parts += "ba0 AS MATERIALIZED (SELECT vec_id, cl FROM afin)"
+      parts += s"bc0 AS MATERIALIZED (SELECT cl, e FROM c$Iters)"
+      for (t <- 1 to S) {
+        val newId = IvfK + t - 1
+        parts += s"bocc$t AS MATERIALIZED (SELECT cl, count(*) AS n FROM ba${t - 1} GROUP BY cl)"
+        parts += s"bpick$t AS MATERIALIZED (SELECT o.cl FROM bocc$t o, bcap WHERE o.n > bcap.cap ORDER BY o.n DESC, o.cl LIMIT 1)"
+        parts += s"bm$t AS MATERIALIZED (SELECT a.vec_id, e.e AS e FROM ba${t - 1} a " +
+          s"JOIN emb e ON e.vec_id = a.vec_id WHERE a.cl = (SELECT cl FROM bpick$t))"
+        parts += subGen(t).withClauses
+        parts += s"""bc$t AS MATERIALIZED (
+           |  SELECT c.cl, CASE WHEN c.cl = (SELECT cl FROM bpick$t)
+           |    THEN (SELECT e FROM s${t}_c5 WHERE cl = 0) ELSE c.e END AS e
+           |  FROM bc${t - 1} c
+           |  UNION ALL
+           |  SELECT $newId AS cl, (SELECT e FROM s${t}_c5 WHERE cl = 1) AS e
+           |  WHERE EXISTS (SELECT 1 FROM bpick$t))""".stripMargin
+        parts += s"""ba$t AS MATERIALIZED (
+           |  SELECT a.vec_id, a.cl FROM ba${t - 1} a
+           |  WHERE a.cl IS DISTINCT FROM (SELECT cl FROM bpick$t)
+           |  UNION ALL
+           |  SELECT m.vec_id, CASE WHEN ${sqdist("m.e", "ca.e")} <= ${sqdist("m.e", "cb.e")}
+           |    THEN (SELECT cl FROM bpick$t) ELSE $newId END AS cl
+           |  FROM bm$t m,
+           |    (SELECT e FROM s${t}_c5 WHERE cl = 0) ca(e),
+           |    (SELECT e FROM s${t}_c5 WHERE cl = 1) cb(e))""".stripMargin
+      }
+      val guardRows = (1 to S).map { t =>
+        val newId = IvfK + t - 1
+        s"""SELECT EXISTS (SELECT 1 FROM bpick$t) AS active,
+           |  (SELECT count(*) FROM ba$t a JOIN bm$t m ON m.vec_id = a.vec_id
+           |   WHERE a.cl = (SELECT cl FROM bpick$t)) AS na,
+           |  (SELECT count(*) FROM ba$t a JOIN bm$t m ON m.vec_id = a.vec_id
+           |   WHERE a.cl = $newId) AS nb""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      parts += s"""bguard AS MATERIALIZED (
+         |  SELECT sum(CASE WHEN active AND (na = 0 OR nb = 0) THEN 1 ELSE 0 END) AS bad
+         |  FROM ($guardRows))""".stripMargin
+      parts += s"""bafin AS MATERIALIZED (SELECT vec_id,
+         |  CASE WHEN (SELECT bad FROM bguard) = 0 THEN cl
+         |       ELSE CAST(error('balanced-IVF oracle assumption violated: degenerate 2-means split (engine reverts+freezes there) — regenerate the oracle') AS INTEGER)
+         |  END AS cl
+         |  FROM (SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id
+         |          ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn
+         |        FROM emb p, bc$S c) WHERE rn = 1)""".stripMargin
+      parts.mkString(",\n")
+    }
     /** Shared base: quantizer k-means → cells, query side, query↔center
       * distances (`cd`) — everything before the nprobe choice.
       */
     private val baseCtes: String =
       s"""$withClauses,
+         |$balancedCtes,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
-         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
          |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
          |cd AS (SELECT q.qid, q.qe, c.cl AS cell, ${sqdist("q.qe", "c.e")} AS dd
-         |       FROM q, c$Iters c)""".stripMargin
+         |       FROM q, bc$S c)""".stripMargin
 
     /** Probe-parameterized chain: nearest-`p`-cells probe → candidate
       * fetch → cosine top ranking (`r_$p`). Mirrors the engine's
@@ -208,10 +330,11 @@ object MlQueries {
       */
     val clustersSql: String =
       s"""WITH $withClauses,
+         |$balancedCtes,
          |mem AS (
          |  SELECT a.vec_id, a.cl, ${sqdist("e.e", "c.e")} AS d2
-         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id
-         |              JOIN c$Iters c ON c.cl = a.cl)
+         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id
+         |              JOIN bc$S c ON c.cl = a.cl)
          |SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n,
          |  CAST(sum(CAST(floor(1e6 * d2) AS BIGINT)) AS BIGINT) AS sse_micro,
          |  min(vec_id) AS exemplar,
@@ -226,9 +349,10 @@ object MlQueries {
       */
     val knnSql: String =
       s"""WITH $withClauses,
+         |$balancedCtes,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
-         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
          |pr AS (
          |  SELECT l.cid AS qid, l.ce AS qe, r.cid, r.ce
          |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.cid <> r.cid),
@@ -250,9 +374,10 @@ object MlQueries {
       */
     def semanticDedupSql(tau: Double): String =
       s"""WITH $withClauses,
+         |$balancedCtes,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
-         |  FROM afin a JOIN emb e ON e.vec_id = a.vec_id),
+         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
          |pr AS (
          |  SELECT l.cid AS vid, l.ce AS qe, r.cid AS nn, r.ce AS ce
          |  FROM cells l JOIN cells r ON l.cell = r.cell AND r.cid < l.cid),
@@ -483,9 +608,29 @@ object MlQueries {
   private def ivfModel(s: SparkSession, dir: String): KMeans.Model =
     ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       // load-if-persisted, train-and-persist otherwise: a second cold
-      // session serves the identical quantizer without refitting
-      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, "ivf-k8-i3"),
-        Array(KMeans.fit(emb(s, dir), k = 8, iters = 3))).head)
+      // session serves the identical quantizer without refitting. The
+      // SERVED codebook is the skew-BALANCED one: base k-means, then
+      // BalancedIvf.splitHotCells caps cell occupancy at IvfCapFactor ×
+      // average so probe-time candidate volume (and the posting-list
+      // size a 100 TB layout buckets by) is bounded — the enlarged
+      // center list changes nothing downstream (assignment stays the
+      // same map-side argmin kernel). Balancing runs on the quantizer's
+      // fit sample: the full corpus at test SFs (id-ordered, matching
+      // the unrolled oracle); at real scale the same driver-held
+      // training sample the base fit would use.
+      graft.kmeans.ModelStore.getOrFit(s,
+        // "mc" = median-cut split init — part of the artifact identity so a
+        // split-rule change can never serve a stale persisted codebook
+        modelPath(s, dir, s"ivf-k$IvfK-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc"), {
+        val e = emb(s, dir)
+        val base = KMeans.fit(e, k = IvfK, iters = IvfIters)
+        val rows = e.select(col("id").cast("long").as("__id"), col("features"))
+          .orderBy(col("__id")).collect()
+          .map(_.getSeq[Double](1).toArray)
+        val bal = graft.kmeans.BalancedIvf.splitHotCells(rows, base.centers,
+          capFactor = IvfCapFactor, maxCenters = IvfK + IvfSplitBudget)
+        Array(KMeans.Model(bal.centers))
+      }).head)
 
   /** IVF top-3 per query with the running cosine: nearest-`nprobe`-cells
     * pruning, self excluded (shared by q_ann_ivf and the recall
@@ -857,6 +1002,11 @@ object MlQueries {
     * only DIFFER from the engine's fixpoint CC labels (labels are
     * monotone decreasing and bounded below by the component min), so
     * under-unrolling surfaces as a hash mismatch, never a silent pass.
+    * On top of that, [[pointerJumpCcGuardedSelect]] appends a
+    * convergence-assert: if any label still changed between the last
+    * two rounds the oracle RAISES (`error('…under-unrolled…')`) instead
+    * of emitting rows, so a too-long chain at a future SF reads as
+    * "oracle under-unrolled", not as a generic engine-CC hash mismatch.
     */
   private def pointerJumpCcSql(rounds: Int): String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs PER
@@ -878,6 +1028,24 @@ object MlQueries {
     (l0 +: steps).mkString(",\n")
   }
 
+  /** Final SELECT for the unrolled pointer-jump chain with a loud
+    * non-convergence guard: counts labels that still changed between
+    * round `rounds-1` and `rounds`; if any did, every output row raises
+    * a DuckDB `error()` naming the real cause (oracle round budget too
+    * small) instead of hash-mismatching. `error()` is only evaluated on
+    * the non-converged branch (verified: CASE short-circuits it).
+    */
+  private def pointerJumpCcGuardedSelect(rounds: Int, idCol: String): String =
+    s"""cc_guard AS MATERIALIZED (
+       |  SELECT count(*) AS changed
+       |  FROM l$rounds a JOIN l${rounds - 1} b ON a.v = b.v
+       |  WHERE a.lbl <> b.lbl)
+       |SELECT v AS $idCol,
+       |  CASE WHEN (SELECT changed FROM cc_guard) = 0 THEN lbl
+       |       ELSE CAST(error('pointer-jump CC oracle under-unrolled: labels still changing at round $rounds — raise the round budget') AS BIGINT)
+       |  END AS canonical_id
+       |FROM l$rounds""".stripMargin
+
   /** Embedding dedup GROUPS: connected components over the banded
     * verified pairs — the vector twin of q_dedup_groups (text tier),
     * sharing the same iterative min-label operator; oracle = unrolled
@@ -895,8 +1063,8 @@ object MlQueries {
             |edges AS MATERIALIZED (
             |  SELECT ida AS ea, idb AS eb FROM vp
             |  UNION SELECT idb, ida FROM vp),
-            |${pointerJumpCcSql(64)}
-            |SELECT v AS vec_id, lbl AS canonical_id FROM l64""".stripMargin))
+            |${pointerJumpCcSql(64)},
+            |${pointerJumpCcGuardedSelect(64, "vec_id")}""".stripMargin))
 
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)

@@ -940,7 +940,11 @@ object OlapQueries {
     */
   val winsorize = Q("q_winsorize",
     (s, dir) => {
-      val ev = Queries.events(s, dir)
+      // NULL values are excluded up front: Spark sorts ASC NULLS FIRST while
+      // DuckDB sorts ASC NULLS LAST, and count(*) counts NULLs that the old
+      // interpolated percentile silently skipped — either difference shifts
+      // the rank k per engine. Filtering pins rank semantics identically.
+      val ev = Queries.events(s, dir).filter(col("value").isNotNull)
       val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
       val wc = Window.partitionBy(col("event_type"))
       val ranked = ev.select(col("event_type"), col("value"),
@@ -959,11 +963,13 @@ object OlapQueries {
           round(avg(greatest(least(col("value"), col("p95")), col("p05"))), 4)
             .as("winsorized_mean"))
     },
-    Some("""WITH rk AS (
+    Some("""WITH ev AS (
+           |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+           |rk AS (
            |  SELECT event_type, value,
            |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS r,
            |    count(*) OVER (PARTITION BY event_type) AS n
-           |  FROM events),
+           |  FROM ev),
            |b AS (
            |  SELECT event_type,
            |    max(CASE WHEN r = CAST(ceil(n * 0.05) AS BIGINT) THEN value END) AS p05,
@@ -977,7 +983,7 @@ object OlapQueries {
            |    AS n_clipped_high,
            |  round(avg(greatest(least(e.value, b.p95), b.p05)), 4)
            |    AS winsorized_mean
-           |FROM events e JOIN b USING (event_type)
+           |FROM ev e JOIN b USING (event_type)
            |GROUP BY e.event_type""".stripMargin))
 
   /** k-anonymity audit over quasi-identifiers — the privacy gate a

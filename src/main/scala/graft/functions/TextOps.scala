@@ -266,7 +266,10 @@ object TextOps {
         // one (band, bucket, bi, bj) shuffle key. Cross-block pairs
         // appear exactly once (normalized via least/greatest); same-
         // block keys self-join under id < id. Per-key output is
-        // |Bi|·|Bj| ≈ hotThreshold² regardless of bucket size.
+        // |Bi|·|Bj| — EXPECTED ~hotThreshold² under a balanced hash
+        // split; an imbalanced xxhash64 split inflates a key by the
+        // square of its imbalance factor (pair coverage stays exact
+        // either way — this is a task-size bound, not correctness).
         val blk = hot.select(col("band"), col("bucket"), col(idCol),
             ceil(col("__n") / lit(hotThreshold.toDouble)).cast("int").as("__g"))
           .withColumn("__blk", pmod(xxhash64(col(idCol)), col("__g")).cast("int"))

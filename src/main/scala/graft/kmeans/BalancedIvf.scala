@@ -9,11 +9,13 @@ package graft.kmeans
   * Fix: recursively SPLIT oversized cells. On the fit sample (the same
   * sample the quantizer trains on — driver-held model state), any cell
   * whose occupancy exceeds `capFactor ×` the original average is replaced
-  * by the two children of a deterministic local 2-means over its members;
-  * repeat (always splitting the currently-largest oversized cell) until
-  * balanced or the center budget is reached. Only the split cell's
-  * members are reassigned per step, so the loop is O(splits · cellN · d)
-  * after one initial full assignment.
+  * by the two children of a deterministic local 2-means over its members
+  * (Lloyd refined from the robust MEDIAN-CUT init — see
+  * [[medianCutInit]]; maximin init degenerates to one-outlier-per-split
+  * peeling on blob-heavy cells); repeat (always splitting the
+  * currently-largest oversized cell) until balanced or the center budget
+  * is reached. Only the split cell's members are reassigned per step, so
+  * the loop is O(splits · cellN · d) after one initial full assignment.
   *
   * The output is just a LARGER center list — the map-side argmin
   * assignment kernel, the probe-order computation, and the banded search
@@ -44,6 +46,49 @@ object BalancedIvf {
       j += 1
     }
     bi
+  }
+
+  /** Median-cut 2-means init for a cell split: rank the members along
+    * the max-spread dimension (score n·Σx² − (Σx)², strict-> argmax ties
+    * to the lowest dim; rank ties to the lower position = lower id) and
+    * seed Lloyd with the means of the two rank halves. Both seeds are
+    * INTERIOR and each starts with ~half the members — unlike maximin,
+    * whose farthest-point second seed degenerates to peeling one outlier
+    * per split on blob-heavy hot cells (observed: a 2000-member cell
+    * kept 1722 members after the full 8-split budget under maximin;
+    * under median-cut init the same cell balances to ~cap).
+    */
+  private def medianCutInit(sub: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = sub.length
+    val d = sub(0).length
+    var bestDim = 0; var bestV = Double.NegativeInfinity
+    var j = 0
+    while (j < d) {
+      var s = 0.0; var ss = 0.0; var i = 0
+      while (i < n) { val x = sub(i)(j); s += x; ss += x * x; i += 1 }
+      val v = n * ss - s * s
+      if (v > bestV) { bestV = v; bestDim = j } // strict > = lowest dim ties
+      j += 1
+    }
+    val dim = bestDim
+    val order = sub.indices.sortBy(i => (sub(i)(dim), i)).toArray
+    val half = n / 2
+    val mean = Array.fill(2)(new Array[Double](d))
+    var i = 0
+    while (i < n) {
+      val side = if (i < half) 0 else 1
+      val row = sub(order(i))
+      var x = 0
+      while (x < d) { mean(side)(x) += row(x); x += 1 }
+      i += 1
+    }
+    var x = 0
+    while (x < d) {
+      mean(0)(x) /= half.max(1)
+      mean(1)(x) /= (n - half)
+      x += 1
+    }
+    mean
   }
 
   /** Balance `centers0` over the id-ordered sample `rows`. `capFactor` is
@@ -87,9 +132,11 @@ object BalancedIvf {
         val (cell, mem) = members.iterator
           .filter { case (c, m) => m.length > cap && !frozen(c) }
           .maxBy { case (c, m) => (m.length.toLong, -c.toLong) }
-        // deterministic 2-means over the members (id-ordered rows)
+        // deterministic 2-means over the members (id-ordered rows),
+        // Lloyd-refined from the robust median-cut init
         val sub = mem.sortInPlace().map(rows(_)).toArray
-        val twoMeans = KMeans.fitLocal(sub, k = 2, iters = 5, firstSeedRank = 0)
+        val twoMeans = KMeans.fitLocal(sub, k = 2, iters = 5, firstSeedRank = 0,
+          initCenters = medianCutInit(sub))
         val childA = twoMeans.centers(0)
         val childB = twoMeans.centers(1)
         val newId = centers.length

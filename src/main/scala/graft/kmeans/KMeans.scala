@@ -181,10 +181,15 @@ object KMeans {
   /** Driver-local twin of the distributed fit: exact maximin seeding
     * (first seed = point with `firstSeedRank`-th smallest id; rows arrive
     * id-sorted) + Lloyd with first-min argmin ties, empty clusters keep
-    * their center — semantics of code/bfr.py:18-90.
+    * their center — semantics of code/bfr.py:18-90. `initCenters`, when
+    * given, SKIPS the maximin seeding and runs Lloyd from the supplied
+    * centers instead (used by [[BalancedIvf]]'s robust median-cut split
+    * init, where maximin's farthest-point second seed degenerates to
+    * outlier-peeling on blob-heavy cells).
     */
   private[graft] def fitLocal(rows: Array[Array[Double]], k: Int, iters: Int,
-                              firstSeedRank: Int): Model = {
+                              firstSeedRank: Int,
+                              initCenters: Array[Array[Double]] = null): Model = {
     val n = rows.length
     val d = rows.head.length
     def sq(a: Array[Double], b: Array[Double]): Double = {
@@ -192,23 +197,29 @@ object KMeans {
       while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
       s
     }
-    // maximin seeding
     val centers = new Array[Array[Double]](k)
-    centers(0) = rows(math.min(firstSeedRank, n - 1)).clone()
-    val minD = Array.fill(n)(Double.MaxValue)
-    var c = 0
-    while (c + 1 < k) {
-      var best = -1; var bestD = -1.0
-      var i = 0
-      while (i < n) {
-        val dd = sq(rows(i), centers(c))
-        if (dd < minD(i)) minD(i) = dd
-        // strict > keeps the lowest id on ties (rows are id-sorted)
-        if (minD(i) > bestD) { bestD = minD(i); best = i }
-        i += 1
+    if (initCenters != null) {
+      require(initCenters.length == k, "initCenters must have k entries")
+      var c = 0
+      while (c < k) { centers(c) = initCenters(c).clone(); c += 1 }
+    } else {
+      // maximin seeding
+      centers(0) = rows(math.min(firstSeedRank, n - 1)).clone()
+      val minD = Array.fill(n)(Double.MaxValue)
+      var c = 0
+      while (c + 1 < k) {
+        var best = -1; var bestD = -1.0
+        var i = 0
+        while (i < n) {
+          val dd = sq(rows(i), centers(c))
+          if (dd < minD(i)) minD(i) = dd
+          // strict > keeps the lowest id on ties (rows are id-sorted)
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        c += 1
+        centers(c) = rows(best).clone()
       }
-      c += 1
-      centers(c) = rows(best).clone()
     }
     // Lloyd
     var it = 0

@@ -41,6 +41,28 @@ class BalancedIvfSpec extends AnyFunSuite {
     assert(r.centers.length <= 64 && r.centers.length > base.centers.length)
   }
 
+  test("median-cut init splits a blob-heavy cell instead of peeling outliers") {
+    // one dominant blob (moderate internal spread) + a sparse halo: under
+    // maximin-seeded 2-means the second seed lands on a halo outlier and
+    // each split peels ~1 point (observed live: a 2000-member cell kept
+    // 1722 members after the full split budget); median-cut init halves
+    // the blob, so a small budget reaches the cap
+    def h(i: Int, j: Int): Double = (((i * 2654435761L + j * 40503L) >>> 16) %
+      1000L).toDouble / 1000.0
+    val blob = Array.tabulate(900)(i => Array(h(i, 0) * 2.0, h(i, 1) * 2.0))
+    val halo = Array.tabulate(100)(i =>
+      Array(20.0 + h(i + 900, 0) * 40.0, 20.0 + h(i + 900, 1) * 40.0))
+    val rows = blob ++ halo
+    val base = KMeans.fitLocal(rows, k = 4, iters = 5, firstSeedRank = 0)
+    val r = BalancedIvf.splitHotCells(rows, base.centers,
+      capFactor = 2.0, maxCenters = 4 + 8)
+    val occ = occupancy(rows, r.centers)
+    assert(occ.values.max <= r.capUsed,
+      s"cap=${r.capUsed} but max occupancy=${occ.values.max} " +
+        s"(splits=${r.splits}, occ=$occ)")
+    assert(occ.values.sum == rows.length)
+  }
+
   test("balancing is deterministic") {
     val rows = skewedRows
     val base = KMeans.fitLocal(rows, k = 4, iters = 5, firstSeedRank = 0)
