@@ -898,21 +898,53 @@ object MlQueries {
             |FROM d WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35""".stripMargin))
 
   /** Banded random-hyperplane LSH — the recall-tunable production form
-    * of the embedding near-dup tier: 4 bands × 8 planes (32 planes
-    * total), candidates = pairs sharing ANY band's full 8-bit sign
-    * pattern. OR-of-ANDs detection 1−(1−(1−θ/π)⁸)⁴ ≈ 0.89 at cos 0.95
-    * vs 0.43 for the single 8-bit bucket (q_embedding_near_dup_lsh) —
-    * the same banding shape as the MinHash tier, and candidate
-    * generation reuses the SAME skew-guarded [[TextOps.candidatePairs]]
-    * in SALTED-COMPLETE mode: the FIXED 8-bit band space saturates
-    * combinatorially (sf1's 20k vectors average 78 per bucket), so
-    * bucket-mates are not a near-dup family and hub stars would drop
-    * verified pairs and split components (caught by the sf1 oracle
-    * gate) — hot buckets instead keep the complete pair relation via
-    * the block-grid salted self-join, per-task output bounded.
+    * of the embedding near-dup tier: B(w) bands × w planes, candidates =
+    * pairs sharing ANY band's full w-bit sign pattern, with (w, B)
+    * picked from the corpus census (see [[bandedPlanesFor]] /
+    * [[BandedBandsForWidth]]: w keeps expected bucket occupancy ≤ 2 so
+    * candidate volume stays ~linear in n; B(w) holds OR-of-ANDs
+    * detection at cos 0.95 near the 4×8 design point's ≈ 0.89 —
+    * 4×8 at ≤ 512 vectors, 6×10 at sf0.1, 9×14 at sf1). The same
+    * banding shape as the MinHash tier; candidate generation reuses the
+    * SAME skew-guarded [[TextOps.candidatePairs]] in SALTED-COMPLETE
+    * mode as defense in depth: even when a band space saturates (the
+    * round-10 fixed-8-bit failure: sf1 averaged 78 vectors per bucket),
+    * hot buckets keep the complete pair relation via the block-grid
+    * salted self-join, per-task output bounded — the width knob makes
+    * saturation not happen, the salted mode makes it safe if it does.
     */
-  private val BandedBandCount = 4
-  private def bandedBits(b: Int): Column = concat((b * LshPlanes until (b + 1) * LshPlanes).map(j =>
+  /** Corpus-density fingerprint sizing for the banded tier — the round-10
+    * sf1 lesson generalized: a FIXED band width saturates combinatorially
+    * once corpus/2^w ≫ 1 (sf1's 20k vectors averaged 78 per 8-bit bucket,
+    * making candidate volume ~quadratic BY CONSTRUCTION). The width is
+    * now a census-driven knob both engines pick identically:
+    * w = smallest plane count in 8..16 with n ≤ 2·2^w (expected bucket
+    * occupancy ≤ 2 ⇒ expected candidate volume ~linear in n), and the
+    * band count B(w) holds the OR-of-ANDs detection probability at
+    * cos 0.95 near the original 4×8 design point (≈ 0.89):
+    * B = ⌈ln(0.11)/ln(1 − (1 − θ/π)^w)⌉, θ = acos(0.95) — PRECOMPUTED as
+    * a constant table so the pick is exact-integer in both engines (no
+    * runtime ceil on a transcendental boundary).
+    */
+  private val BandedWidthRange = 8 to 16
+  private val BandedTargetOcc = 2L
+  private[graft] val BandedBandsForWidth: Map[Int, Int] =
+    Map(8 -> 4, 9 -> 5, 10 -> 6, 11 -> 6, 12 -> 7, 13 -> 8, 14 -> 9,
+      15 -> 10, 16 -> 11)
+  private[graft] def bandedPlanesFor(n: Long): Int =
+    BandedWidthRange.find(w => n <= (BandedTargetOcc << w))
+      .getOrElse(BandedWidthRange.last)
+
+  /** One corpus-count census per (session, dir) — the input to the width
+    * pick (a count-star on a parquet footer scan, not a data read).
+    */
+  private val embCountCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      emb(s, dir).count())
+
+  private def bandedBits(b: Int, w: Int): Column = concat((b * w until (b + 1) * w).map(j =>
     when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0"))): _*)
 
   /** Banded candidates → exact-cosine verify (> 0.35): (ida, idb, cos) —
@@ -930,11 +962,13 @@ object MlQueries {
 
   private def bandedNearDupUncached(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val w = bandedPlanesFor(embCount(s, dir))
+    val nBands = BandedBandsForWidth(w)
     val bucketed = e.select(Seq(col("id"), col("features"),
         norm2(col("features")).as("nrm")) ++
-        (0 until BandedBandCount).map(b => bandedBits(b).as(s"bk$b")): _*)
+        (0 until nBands).map(b => bandedBits(b, w).as(s"bk$b")): _*)
       .localCheckpoint(true)
-    val bands = (0 until BandedBandCount).map(b =>
+    val bands = (0 until nBands).map(b =>
       bucketed.select(col("id"), lit(b).as("band"), col(s"bk$b").as("bucket")))
       .reduce(_ union _)
     val cand = TextOps.candidatePairs(bands, "id", hotComplete = true)
@@ -948,21 +982,37 @@ object MlQueries {
 
   /** Banded plane → bit → band-bucket → candidate → verify CTE chain,
     * shared by the pair and grouping oracles. `vp` = verified pairs.
+    * The width/band-count pick is replicated from the census (`wn`/`wd`/
+    * `wb`) with the same exact-integer rule and constant B(w) table as
+    * the engine; the plane range is generated to the table's maximum and
+    * filtered down to the picked nb·w (DuckDB's generate_series takes no
+    * lateral column bounds).
     */
-  private val bandedCtes: String =
-    s"""p AS (
+  private val bandedCtes: String = {
+    val maxPlanes =
+      BandedBandsForWidth(BandedWidthRange.last) * BandedWidthRange.last
+    val bCase = BandedWidthRange
+      .map(w => s"WHEN $w THEN ${BandedBandsForWidth(w)}")
+      .mkString(" ")
+    s"""wn AS (SELECT count(*) AS n FROM embeddings),
+       |wd AS (SELECT coalesce(min(t.p), ${BandedWidthRange.last}) AS w
+       |       FROM generate_series(${BandedWidthRange.head}, ${BandedWidthRange.last}) t(p), wn
+       |       WHERE wn.n <= $BandedTargetOcc * (1 << t.p)),
+       |wb AS (SELECT w, CASE w $bCase END AS nb FROM wd),
+       |p AS (
        |  SELECT j.j AS j, i.i AS i,
        |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
-       |  FROM generate_series(0, ${BandedBandCount * LshPlanes - 1}) j(j),
-       |       generate_series(0, ${D - 1}) i(i)),
+       |  FROM generate_series(0, ${maxPlanes - 1}) j(j),
+       |       generate_series(0, ${D - 1}) i(i), wb
+       |  WHERE j.j < wb.nb * wb.w),
        |b AS (
        |  SELECT e.vec_id, p.j,
        |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
        |         THEN '1' ELSE '0' END AS bit
        |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
        |k AS (
-       |  SELECT vec_id, j // $LshPlanes AS band, string_agg(bit, '' ORDER BY j) AS bucket
-       |  FROM b GROUP BY vec_id, j // $LshPlanes),
+       |  SELECT vec_id, b.j // wb.w AS band, string_agg(bit, '' ORDER BY b.j) AS bucket
+       |  FROM b, wb GROUP BY vec_id, b.j // wb.w),
        |cand AS (
        |  SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb
        |  FROM k l JOIN k r ON l.band = r.band AND l.bucket = r.bucket
@@ -975,6 +1025,7 @@ object MlQueries {
        |                  JOIN embeddings bb ON bb.vec_id = c.idb),
        |vp AS (SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dd
        |       WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35)""".stripMargin
+  }
 
   val embeddingNearDupBanded = Q("q_embedding_near_dup_banded",
     (s, dir) => bandedNearDup(s, dir)

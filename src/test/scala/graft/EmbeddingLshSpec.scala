@@ -75,6 +75,29 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(banded > single, s"banded=$banded not ahead of single=$single")
   }
 
+  test("census-driven band width: pick rule and B(w) table match the detection math") {
+    // width pick: smallest w in 8..16 with n <= 2*2^w (expected bucket
+    // occupancy <= 2), clamped to 16
+    assert(MlQueries.bandedPlanesFor(1L) == 8)
+    assert(MlQueries.bandedPlanesFor(512L) == 8)
+    assert(MlQueries.bandedPlanesFor(513L) == 9)
+    assert(MlQueries.bandedPlanesFor(2000L) == 10)    // sf0.01
+    assert(MlQueries.bandedPlanesFor(20000L) == 14)   // sf1
+    assert(MlQueries.bandedPlanesFor(1L << 40) == 16) // clamp
+    // B(w) table: each entry must be the MINIMAL band count holding
+    // OR-of-ANDs detection at cos 0.95 at/above the 4×8 design point's
+    // 0.89 (epsilon 5e-4 absorbs the w=16 boundary, where detection at
+    // B=11 is 0.8900 to four places — exactly the transcendental-boundary
+    // case the table exists to pin)
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    def detect(w: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, w), b)
+    (8 to 16).foreach { w =>
+      val b = MlQueries.BandedBandsForWidth(w)
+      assert(detect(w, b) >= 0.89 - 5e-4, s"w=$w B=$b detection ${detect(w, b)} < 0.89")
+      assert(detect(w, b - 1) < 0.89 - 5e-4, s"w=$w B=$b not minimal")
+    }
+  }
+
   test("embedding cluster profile: partition is total and arithmetic consistent") {
     val dir = "/root/testdata/sf0.001"
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
