@@ -2658,25 +2658,111 @@ object TextQueries {
     * candidates. Identical exact output either way (equivalence
     * unit-tested).
     */
-  val ppjoin = Q("q_ppjoin",
-    (s, dir) => graft.operators.SetSimJoin.selfJoin(
+  /** One PPJoin pair relation per (session, dir), shared by the digest
+    * and the bounded row-level certification query.
+    */
+  private val ppjoinCache =
+    new scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+  /** Un-materialized pair relation — also the plan-shape probe target
+    * ([[PlanShapeSpec]]): the cached form below checkpoints to a
+    * LogicalRDD, which would hide the join shapes the spec pins.
+    */
+  private[graft] def ppjoinPairsUncached(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimJoin.selfJoin(
       docs(s, dir)
         .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
         .localCheckpoint(true),
-      "doc_id", "w", t = 0.8),
-    Some(s"""WITH dw AS (
-            |  SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
-            |cnt AS (SELECT doc_id, count(*) AS n FROM dw GROUP BY doc_id),
-            |inter AS (
-            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-            |  FROM dw a JOIN dw b ON a.w = b.w AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2)
-            |SELECT i.doc_a, i.doc_b, i.ni,
-            |  CAST(floor(1e6 * i.ni / CAST(ca.n + cb.n - i.ni AS DOUBLE)) AS BIGINT)
-            |    AS jacc_micro
-            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-            |             JOIN cnt cb ON cb.doc_id = i.doc_b
-            |WHERE i.ni >= 0.8 * (ca.n + cb.n - i.ni)""".stripMargin))
+      "doc_id", "w", t = 0.8)
+  private def ppjoinPairs(s: SparkSession, dir: String): DataFrame =
+    ppjoinCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      ppjoinPairsUncached(s, dir).localCheckpoint(true))
+
+  /** Row-level certification stratum: pairs whose smaller id < 500 —
+    * the FULL relation at sf0.01 (500 docs), a fixed-size slice above,
+    * so the per-pair (ni, jacc_micro) arithmetic stays value-certified
+    * at every SF while the whole-relation check rides the digest.
+    */
+  private val PpjoinSampleBound = 500L
+
+  /** Shared DuckDB CTE chain for the PPJoin oracles — verified pairs
+    * `v(doc_a, doc_b, ni, jacc_micro)` via per-doc RANK BITMASKS (the
+    * same dense-vocabulary trick the engine's [[graft.operators
+    * .SetSimJoin]] verify uses): doc → ≤2×64-bit masks of vocabulary
+    * ranks, pair intersection = popcount(maskA AND maskB). The previous
+    * token-level join oracle (dw ⋈ dw on w, GROUP BY pair) is ~3e10
+    * intermediate rows with a pair-count-sized hash aggregate at sf1's
+    * dense 31-word corpus — infeasible; the mask form is one O(n²/2)
+    * scan of 50k mask rows with integer ops and NO pair-level
+    * aggregation, which DuckDB streams in seconds. `mg` carries the
+    * vocabulary-size guard: above 128 distinct tokens the 2-word masks
+    * would silently truncate, so the oracle RAISES (reads as "oracle
+    * assumption broken", never as an engine mismatch). `aPred` lets the
+    * row-level query push its stratum bound into the pair scan's build
+    * side.
+    */
+  private def ppjoinMaskCtes(aPred: String = "TRUE"): String =
+    s"""dw AS (
+       |  SELECT doc_id, unnest(list_distinct($wordsSql)) AS w FROM documents),
+       |vr AS (
+       |  SELECT w, row_number() OVER (ORDER BY w) - 1 AS r
+       |  FROM (SELECT DISTINCT w FROM dw)),
+       |mg AS (SELECT CASE WHEN max(r) < 128 THEN 1
+       |  ELSE CAST(error('ppjoin mask oracle: vocabulary exceeds 128 tokens — widen the mask words') AS BIGINT)
+       |  END AS ok FROM vr),
+       |m AS (
+       |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n,
+       |    bit_or(CASE WHEN vr.r < 64 THEN (1::BIGINT << vr.r) ELSE 0 END) AS m0,
+       |    bit_or(CASE WHEN vr.r >= 64 THEN (1::BIGINT << (vr.r - 64)) ELSE 0 END) AS m1
+       |  FROM dw JOIN vr USING (w), mg WHERE mg.ok = 1 GROUP BY dw.doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+       |    CAST(bit_count(a.m0 & b.m0) + bit_count(a.m1 & b.m1) AS BIGINT) AS ni
+       |  FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($aPred)),
+       |v AS (
+       |  SELECT doc_a, doc_b, ni,
+       |    CAST(floor(1e6 * ni / CAST(na + nb - ni AS DOUBLE)) AS BIGINT) AS jacc_micro
+       |  FROM p WHERE ni >= 0.8 * (na + nb - ni))""".stripMargin
+
+  /** Whole-relation PPJoin certification as a per-stratum DIGEST: the
+    * exact pair relation is the operator's product (and is itself
+    * ~2e8 rows at sf1 by declared semantics on the dense test corpus —
+    * un-materializable through a row-compare gate), so the compared
+    * surface is (count, Σni, Σjacc, XOR of an INJECTIVE packing of
+    * (doc_b, ni, jacc_micro)) per doc_a stratum — any row-level
+    * difference flips a stratum's count/sums or its xor signature.
+    * The packing doc_b·2²⁸ + ni·2²⁰ + jacc_micro is injective because
+    * ni ≤ 128 < 2⁸ (vocabulary guard) and jacc_micro ≤ 10⁶ < 2²⁰.
+    * Engine side: the REAL pair relation from [[graft.operators
+    * .SetSimJoin]] (unchanged), one partial-aggregable groupBy on top.
+    */
+  val ppjoin = Q("q_ppjoin",
+    (s, dir) => ppjoinPairs(s, dir)
+      .withColumn("pk", col("doc_b") * lit(1L << 28) +
+        col("ni").cast("long") * lit(1L << 20) + col("jacc_micro"))
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ni")).cast("long").as("sum_ni"),
+        sum(col("jacc_micro")).cast("long").as("sum_jacc_micro"),
+        expr("bit_xor(pk)").as("xor_sig")),
+    Some(s"""WITH ${ppjoinMaskCtes()}
+            |SELECT doc_a, CAST(count(*) AS BIGINT) AS n_pairs,
+            |  CAST(sum(ni) AS BIGINT) AS sum_ni,
+            |  CAST(sum(jacc_micro) AS BIGINT) AS sum_jacc_micro,
+            |  bit_xor(doc_b * ${1L << 28} + ni * ${1L << 20} + jacc_micro) AS xor_sig
+            |FROM v GROUP BY doc_a""".stripMargin))
+
+  /** Row-level PPJoin pairs on the bounded stratum (smaller id <
+    * [[PpjoinSampleBound]]) — value-exact (doc_a, doc_b, ni,
+    * jacc_micro) rows at every SF: the full relation at sf0.01, a
+    * fixed ~500-doc_a slice above, so the gate never loses per-pair
+    * arithmetic certification to the digest. Engine side filters the
+    * SHARED cached relation; oracle side pushes the bound into the
+    * mask scan's build side (500 × n pair evaluations, not n²/2).
+    */
+  val ppjoinPairsSample = Q("q_ppjoin_pairs",
+    (s, dir) => ppjoinPairs(s, dir).filter(col("doc_a") < PpjoinSampleBound),
+    Some(s"""WITH ${ppjoinMaskCtes(s"a.doc_id < $PpjoinSampleBound")}
+            |SELECT doc_a, doc_b, ni, jacc_micro FROM v""".stripMargin))
 
   /** Bounded BFS over the near-dup graph — shortest hop distance (≤ 3)
     * from a seed set, the graph-exploration primitive behind "how far
@@ -3196,6 +3282,7 @@ object TextQueries {
     fuzzyJoin, heavyHittersBound,
     nearDedupKeep, sourceOverlap, crossSourceDups, sourceJsDiv, sourceMix,
     temperatureMix, pmiCooccurrence, cdcChunks, graphBfs, ppjoin,
+    ppjoinPairsSample,
     applyMixture, arrayOps, tokenBudget,
     corpusAssembly, piiScrub, docChunks, nearDedupKeepPref, qualityBuckets,
     trainingExamples)

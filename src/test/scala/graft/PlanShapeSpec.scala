@@ -125,7 +125,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // checkpoint (sizes are planner guesses) — the static-broadcast
     // hazard class; tiny freq/count dims broadcasting is fine
     for (name <- Seq("q_cdc_chunks", "q_ppjoin")) {
-      val p = plan(name)
+      // q_ppjoin's registered form digests a CACHED (checkpointed) pair
+      // relation — probe the un-materialized relation so the SetSimJoin
+      // join shapes stay visible to the assertions
+      val p = if (name == "q_ppjoin")
+        TextQueries.ppjoinPairsUncached(spark, sf)
+          .queryExecution.executedPlan.toString
+      else plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name must not cross-join:\n$p")
       assert("BroadcastHashJoin \\[(fp|w|doc)".r.findFirstIn(p).isEmpty,

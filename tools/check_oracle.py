@@ -91,4 +91,20 @@ print(f"ROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_onl
 print(f"FAIL ({len(fails)}):")
 for n, m in fails:
     print(f"  {n}: {m}")
+
+# CHECK_ORACLE_JSON: write a machine-readable per-query artifact (the
+# standing-gate record, e.g. CORRECTNESS_sf1_r11.json)
+json_out = os.environ.get("CHECK_ORACLE_JSON", "")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({
+            "sf_dir": sf_dir,
+            "n_pass": len(passes), "n_fail": len(fails),
+            "n_rows_only": len(rows_only), "n_skipped": len(skipped),
+            "pass": sorted(passes),
+            "rows_only": {n: r for n, r in rows_only},
+            "skipped": sorted(skipped),
+            "fail": {n: m for n, m in fails},
+        }, f, indent=1)
+    print(f"wrote {json_out}")
 sys.exit(1 if fails else 0)
