@@ -1121,81 +1121,123 @@ object MlQueries {
   // SimHash near-dup (documents)
   // ---------------------------------------------------------------------
 
-  /** 32-bit SimHash fingerprints: (doc_id, simhash). Single pass: explode
-    * words, hash once, 32 conditional popcounts as one partial+final
-    * aggregation (the 32-bit tally per doc is the only thing that
-    * shuffles). Shared by the fingerprint query and the pairing stage.
+  /** Census-driven SimHash fingerprint width — the same sf1 lesson as
+    * [[bandedPlanesFor]] applied to the text-fingerprint tier: the
+    * hamming ≤ 1 pairing needs 2 exact bands (pigeonhole), so a W-bit
+    * fingerprint buckets into 2^(W/2) values per band, and a FIXED
+    * W=32 saturates (expected occupancy ≫ 1 ⇒ candidate volume
+    * ~quadratic by construction) once the corpus passes ~2·2^16 docs.
+    * The width doubles to 64 there (2^32 buckets/band: occupancy ≤ 2
+    * to ~8.6e9 docs); bits 0..31 of the 64-bit fingerprint are the
+    * UNCHANGED 32-bit fingerprint (the high half hashes independently),
+    * so below the threshold the output is bit-identical to the fixed
+    * design. Both engines pick from the same integer census.
     */
-  private def simhashDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val SimhashWidthThreshold = 2L << 16
+  private[graft] def simhashBitsFor(n: Long): Int =
+    if (n <= SimhashWidthThreshold) 32 else 64
+
+  private val docCountCache =
+    new scala.collection.concurrent.TrieMap[(String, String), Long]()
+  private def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      s.read.parquet(s"$dir/documents.parquet").count())
+
+  /** W-bit SimHash fingerprints: (doc_id, simhash). Single pass: explode
+    * words, hash once (two independent md5-derived 32-bit halves), W
+    * conditional popcounts as one partial+final aggregation (the W-bit
+    * tally per doc is the only thing that shuffles). Shared by the
+    * fingerprint query and the pairing stage. Bit 63 contributes
+    * `1L << 63` (negative) — the fold stays in-range: positive powers
+    * sum to at most Long.MaxValue before the single negative term.
+    */
+  private[graft] def simhashDf(s: SparkSession, dir: String,
+                               widthOverride: Option[Int] = None): DataFrame = {
+    val w = widthOverride.getOrElse(simhashBitsFor(docCount(s, dir)))
     val words = split(trim(col("text")), "\\s+")
     val hashed = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long").as("hhi"))
+    def bitOf(b: Int): Column =
+      if (b < 32) shiftright(col("hlo"), b).bitwiseAND(1)
+      else shiftright(col("hhi"), b - 32).bitwiseAND(1)
     val tallies = hashed.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n"),
-      (0 until 32).map(b =>
-        sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"c$b")): _*)
-    val sig = (0 until 32).foldLeft[Column](lit(0L)) { (acc, b) =>
+      (0 until w).map(b => sum(bitOf(b)).as(s"c$b")): _*)
+    val sig = (0 until w).foldLeft[Column](lit(0L)) { (acc, b) =>
       acc + when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
     }
     tallies.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** 32-bit SimHash over word hashes (md5-derived, identical in both
-    * engines): bit b of the fingerprint is 1 iff more words have bit b
-    * set than not. Map-side only — one expression per document.
-    */
-  val simhash = Q("q_simhash",
-    (s, dir) => simhashDf(s, dir),
-    Some("""WITH wh AS (
-           |  SELECT doc_id,
-           |    ('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT AS h
-           |  FROM documents),
-           |wc AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
-           |bits AS (
-           |  SELECT wh.doc_id, t.b,
-           |    CASE WHEN 2 * sum(CASE WHEN (wh.h >> t.b) & 1 = 1 THEN 1 ELSE 0 END)
-           |              > max(wc.n) THEN (1::BIGINT << t.b) ELSE 0 END AS bit
-           |  FROM wh JOIN wc ON wh.doc_id = wc.doc_id, generate_series(0, 31) AS t(b)
-           |  GROUP BY wh.doc_id, t.b)
-           |SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id""".stripMargin))
-
-  /** The simhash CTE chain (word hashes → bit tallies → fingerprint),
-    * shared by the pairing oracle.
+  /** The simhash CTE chain (width census → word hashes → bit tallies →
+    * fingerprint), shared by the fingerprint and pairing oracles. The
+    * width pick replicates [[simhashBitsFor]] with the same integer
+    * census; the bit range is generated to 64 and filtered down to the
+    * picked width, so both widths live in one static SQL text.
     */
   private val simhashCtes: String =
-    """wh AS (
+    s"""swn AS (SELECT CASE WHEN count(*) <= $SimhashWidthThreshold
+      |  THEN 32 ELSE 64 END AS w FROM documents),
+      |wh AS (
       |  SELECT doc_id,
-      |    ('0x' || substring(md5(unnest(regexp_split_to_array(trim(text), '\s+'))), 1, 8))::BIGINT AS h
-      |  FROM documents),
+      |    ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hlo,
+      |    ('0x' || substring(md5(tok), 9, 8))::BIGINT AS hhi
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      |        FROM documents)),
       |wc AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
       |bits AS (
+      |  -- bit 63's weight is written literally: DuckDB raises on the
+      |  -- overflowing 1::BIGINT << 63 where Spark's 1L << 63 wraps
       |  SELECT wh.doc_id, t.b,
-      |    CASE WHEN 2 * sum(CASE WHEN (wh.h >> t.b) & 1 = 1 THEN 1 ELSE 0 END)
-      |              > max(wc.n) THEN (1::BIGINT << t.b) ELSE 0 END AS bit
-      |  FROM wh JOIN wc ON wh.doc_id = wc.doc_id, generate_series(0, 31) AS t(b)
+      |    CASE WHEN 2 * sum(CASE WHEN t.b < 32 THEN (wh.hlo >> t.b) & 1
+      |                           ELSE (wh.hhi >> (t.b - 32)) & 1 END)
+      |              > max(wc.n)
+      |         THEN CASE WHEN t.b = 63 THEN -9223372036854775807 - 1
+      |                   ELSE (1::BIGINT << t.b) END
+      |         ELSE 0 END AS bit
+      |  FROM wh JOIN wc ON wh.doc_id = wc.doc_id,
+      |       generate_series(0, 63) AS t(b), swn
+      |  WHERE t.b < swn.w
       |  GROUP BY wh.doc_id, t.b),
       |sig AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** SimHash near-dup PAIRS — the stage q_simhash feeds: 2 bands × 16
+  /** W-bit SimHash over word hashes (md5-derived, identical in both
+    * engines): bit b of the fingerprint is 1 iff more words have bit b
+    * set than not. Map-side only — one expression per document; W from
+    * the corpus census ([[simhashBitsFor]]).
+    */
+  val simhash = Q("q_simhash",
+    (s, dir) => simhashDf(s, dir),
+    Some(s"""WITH $simhashCtes
+            |SELECT doc_id, simhash FROM sig""".stripMargin))
+
+  /** SimHash near-dup PAIRS — the stage q_simhash feeds: 2 bands × W/2
     * bits bucket the fingerprints (pigeonhole: any pair within hamming 1
     * shares at least one exact band, so the candidate set is COMPLETE for
     * the ≤1 bar — the query is exactly "all pairs at hamming ≤ 1", not an
-    * approximation), then the verify is one popcount per candidate.
+    * approximation), then the verify is one popcount per candidate. The
+    * band width rides the census fingerprint width ([[simhashBitsFor]]):
+    * W=32 → 2^16 buckets/band (saturates past ~131k docs), W=64 → 2^32
+    * buckets/band, so candidate volume stays ~linear to ~8.6e9 docs.
     * Candidate generation reuses the skew-guarded [[TextOps
     * .candidatePairs]]; the hot threshold is raised to 1024 because
-    * 16-bit simhash bands concentrate harder than 64-bit MinHash buckets
+    * narrow simhash bands concentrate harder than 64-bit MinHash buckets
     * (organic max ≈ 290 docs/bucket at sf0.1 — a band value shared by
-    * MORE than 1024 docs means a degenerate near-identical family, which
-    * the hub star still groups correctly).
+    * MORE than 1024 docs means a degenerate near-identical family, kept
+    * complete by the salted hot mode).
     */
   val simhashPairs = Q("q_simhash_pairs",
     (s, dir) => {
+      val half = simhashBitsFor(docCount(s, dir)) / 2
+      val mask = (1L << half) - 1L
       val sig = simhashDf(s, dir).localCheckpoint(true)
       val bands = Seq(0, 1).map(b =>
         sig.select(col("doc_id"), lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("bucket")))
+          shiftright(col("simhash"), b * half).bitwiseAND(mask).as("bucket")))
         .reduce(_ union _)
       val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
         hotThreshold = 1024, hotComplete = true)
@@ -1208,9 +1250,11 @@ object MlQueries {
     },
     Some(s"""WITH $simhashCtes,
             |bands AS (
-            |  SELECT doc_id, 0 AS band, simhash & 65535 AS bucket FROM sig
+            |  SELECT doc_id, 0 AS band,
+            |    simhash & ((1::BIGINT << (swn.w // 2)) - 1) AS bucket FROM sig, swn
             |  UNION ALL
-            |  SELECT doc_id, 1, (simhash >> 16) & 65535 FROM sig),
+            |  SELECT doc_id, 1,
+            |    (simhash >> (swn.w // 2)) & ((1::BIGINT << (swn.w // 2)) - 1) FROM sig, swn),
             |cand AS (
             |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             |  FROM bands l JOIN bands r

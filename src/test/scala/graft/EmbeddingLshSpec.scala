@@ -98,6 +98,33 @@ class EmbeddingLshSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash census width: pick rule and 64-bit low-half compatibility") {
+    // pick rule: W=32 holds exactly while expected 16-bit band-bucket
+    // occupancy stays <= 2 (n <= 2*2^16), then doubles to 64
+    assert(MlQueries.simhashBitsFor(1L) == 32)
+    assert(MlQueries.simhashBitsFor(50000L) == 32)           // sf1 corpus
+    assert(MlQueries.simhashBitsFor(MlQueries.SimhashWidthThreshold) == 32)
+    assert(MlQueries.simhashBitsFor(MlQueries.SimhashWidthThreshold + 1) == 64)
+    assert(MlQueries.simhashBitsFor(500000L) == 64)          // sf10 corpus
+    // widening is backward-compatible: bits 0..31 of the 64-bit
+    // fingerprint ARE the 32-bit fingerprint (high half hashes from
+    // independent md5 bytes), so crossing the threshold never rewrites
+    // the low-half fingerprints a narrower corpus would have produced
+    val dir = "/root/testdata/sf0.001"
+    val w32 = MlQueries.simhashDf(spark, dir, Some(32))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w64 = MlQueries.simhashDf(spark, dir, Some(64))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w32.nonEmpty && w64.keySet == w32.keySet)
+    w32.foreach { case (id, s32) =>
+      assert((w64(id) & 0xFFFFFFFFL) == s32,
+        s"doc $id: 64-bit low half ${w64(id) & 0xFFFFFFFFL} != 32-bit $s32")
+    }
+    // and the high half is genuinely independent (not a copy / zero)
+    assert(w64.exists { case (id, s64) => (s64 >>> 32) != (s64 & 0xFFFFFFFFL) })
+    assert(w64.exists { case (_, s64) => (s64 >>> 32) != 0L })
+  }
+
   test("embedding cluster profile: partition is total and arithmetic consistent") {
     val dir = "/root/testdata/sf0.001"
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
