@@ -43,9 +43,15 @@ object ImageQueries {
   private val ImgW = GridW * CellW
   private val ImgH = GridH * CellH
 
-  /** Closed-form planted cell channels; MUST stay in lockstep with the
-    * SQL in the oracles below (the whole point: Spark recovers these
-    * by real decoding, DuckDB recomputes them arithmetically).
+  /** Closed-form planted cell content, defined in YCbCr SPACE and mapped
+    * to RGB through the pinned integer conversion ([[JpegCodec
+    * .yccToRgb]]) — so the SAME colored image is representable EXACTLY
+    * by all three containers: PNG and GIF store the converted RGB
+    * (losslessly), while JPEG stores the (Y, Cb, Cr) planes themselves
+    * as DC-only 4:2:0 blocks and reproduces the identical RGB through
+    * its real color decode chain. MUST stay in lockstep with the SQL in
+    * the oracles below (the whole point: Spark recovers these by real
+    * decoding, DuckDB recomputes them arithmetically).
     *
     * The `(g * (cx + 3 + cy * 9)) % 241` mixing term decorrelates the
     * PATTERN across groups: without it, adjacent-cell differences are
@@ -57,7 +63,7 @@ object ImageQueries {
     * cross-group collisions are chance-level at any corpus size and the
     * planted groups stay exact 4-cliques.
     */
-  private[graft] def cellRgb(docId: Long, cx: Int, cy: Int): (Int, Int, Int) = {
+  private[graft] def cellYcc(docId: Long, cx: Int, cy: Int): (Int, Int, Int) = {
     val g = docId / 4
     val j = docId % 4
     val base = ((g * 97 + cx * 53 + cy * 31 + cx * cy * 17 +
@@ -66,29 +72,71 @@ object ImageQueries {
     (v, (v * 2 + cx * 5) % 256, (v + cy * 11) % 256)
   }
 
+  private[graft] def cellRgb(docId: Long, cx: Int, cy: Int): (Int, Int, Int) = {
+    val (y, cb, cr) = cellYcc(docId, cx, cy)
+    JpegCodec.yccToRgb(y, cb, cr)
+  }
+
   /** One real PNG per document: cells expanded to CellW×CellH constant
     * blocks, truecolor, filter types cycling by row.
     */
   private[graft] def plantedPng(docId: Long): Array[Byte] =
     PixelCodec.encodePng(ImgW, ImgH, 3, buildRgb(docId))
 
-  /** The same planted content stored as an indexed GIF: the GIF's grey
-    * palette indices are EXACTLY the integer luminance of the PNG's
-    * truecolor cells, so both containers carry the same image and two
-    * completely independent compression stacks (zlib-deflate+unfilter vs
-    * variable-width LZW) must reconstruct identical dHash fingerprints.
+  /** The same planted content stored as an INDEXED-COLOR GIF: ≤ 72
+    * distinct cell colors per image map into a real color palette
+    * (first-appearance order), driving the decoder's arbitrary-palette
+    * branch; lookup expands back to the exact RGB, so two completely
+    * independent compression stacks (zlib-deflate+unfilter vs
+    * variable-width LZW + color map) must reconstruct identical dHash
+    * fingerprints.
     */
   private[graft] def plantedGif(docId: Long): Array[Byte] =
-    GifCodec.encodeGif(ImgW, ImgH, PixelCodec.luminance(buildRgb(docId), 3))
+    GifCodec.encodeGifColor(ImgW, ImgH, buildRgb(docId))
 
-  /** And as a baseline JPEG: the planted cells are 16×16-constant, hence
-    * 8×8-block-constant, so the (lossy in general) DCT chain preserves
-    * them EXACTLY — DC-only blocks with a flat quantization table decode
-    * to the original constants through the real Huffman + IDCT path.
+  /** And as a baseline COLOR JPEG — the web-dominant shape: 3-component
+    * YCbCr SOF0 with 4:2:0 chroma subsampling. The planted (Y, Cb, Cr)
+    * cells are 16×16-constant, so the luma plane is 8×8-block-constant
+    * and each quarter-resolution chroma block covers exactly one cell —
+    * DC-only blocks everywhere, and with a flat quantization table the
+    * (lossy in general) DCT chain preserves the planes EXACTLY through
+    * the real Huffman + IDCT + upsample + fixed-point YCbCr→RGB path,
+    * landing on the same RGB the PNG/GIF containers store directly.
     */
-  private[graft] def plantedJpeg(docId: Long): Array[Byte] =
-    JpegCodec.encodeJpegBlockConstant(ImgW, ImgH,
-      PixelCodec.luminance(buildRgb(docId), 3))
+  private[graft] def plantedJpeg(docId: Long): Array[Byte] = {
+    val yP = new Array[Byte](ImgW * ImgH)
+    val cbP = new Array[Byte](ImgW / 2 * (ImgH / 2))
+    val crP = new Array[Byte](ImgW / 2 * (ImgH / 2))
+    var cy = 0
+    while (cy < GridH) {
+      var cx = 0
+      while (cx < GridW) {
+        val (y, cb, cr) = cellYcc(docId, cx, cy)
+        var py = cy * CellH
+        while (py < (cy + 1) * CellH) {
+          var px = cx * CellW
+          while (px < (cx + 1) * CellW) {
+            yP(py * ImgW + px) = y.toByte
+            px += 1
+          }
+          py += 1
+        }
+        var qy = cy * CellH / 2
+        while (qy < (cy + 1) * CellH / 2) {
+          var qx = cx * CellW / 2
+          while (qx < (cx + 1) * CellW / 2) {
+            cbP(qy * (ImgW / 2) + qx) = cb.toByte
+            crP(qy * (ImgW / 2) + qx) = cr.toByte
+            qx += 1
+          }
+          qy += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    JpegCodec.encodeJpegColor(ImgW, ImgH, yP, cbP, crP, subsample420 = true)
+  }
 
   private def buildRgb(docId: Long): Array[Byte] = {
     val px = new Array[Byte](ImgW * ImgH * 3)
@@ -216,25 +264,37 @@ object ImageQueries {
 
   /** The oracle's closed-form twin of the planted-cell luma grid: one row
     * per (doc_id, cy, cx) with the integer luminance the real pipeline
-    * must reconstruct. Shared by both image oracles.
+    * must reconstruct — planted (Y, Cb, Cr) → the pinned fixed-point
+    * YCbCr→RGB (`>>` is arithmetic shift in DuckDB like Scala, so the
+    * rounding matches bit-for-bit on negative chroma offsets; `//`
+    * would NOT — it truncates toward zero) → Rec.601 integer luma.
+    * Shared by all image oracles.
     */
   private[graft] val lumaCellsSql: String =
     """cells AS (
-      |  SELECT doc_id, cy, cx,
-      |    (77 * v + 150 * ((v * 2 + cx * 5) % 256) + 29 * ((v + cy * 11) % 256)) // 256 AS lum
+      |  SELECT doc_id, cy, cx, (77 * r + 150 * g + 29 * b) // 256 AS lum
       |  FROM (
       |    SELECT doc_id, cy, cx,
-      |      CASE WHEN doc_id % 4 = 3 AND cx = 4 AND cy = 3
-      |        THEN (((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
-      |              + cx * cx * 7 + cy * cy * 13
-      |              + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256 + 7) % 256
-      |        ELSE ((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
-      |              + cx * cx * 7 + cy * cy * 13
-      |              + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256
-      |      END AS v
-      |    FROM documents,
-      |      (SELECT unnest(generate_series(0, 7)) AS cy),
-      |      (SELECT unnest(generate_series(0, 8)) AS cx))),
+      |      greatest(0, least(255, y + ((91881 * cr1 + 32768) >> 16))) AS r,
+      |      greatest(0, least(255, y + ((-22554 * cb1 - 46802 * cr1 + 32768) >> 16))) AS g,
+      |      greatest(0, least(255, y + ((116130 * cb1 + 32768) >> 16))) AS b
+      |    FROM (
+      |      SELECT doc_id, cy, cx, v AS y,
+      |        ((v * 2 + cx * 5) % 256) - 128 AS cb1,
+      |        ((v + cy * 11) % 256) - 128 AS cr1
+      |      FROM (
+      |        SELECT doc_id, cy, cx,
+      |          CASE WHEN doc_id % 4 = 3 AND cx = 4 AND cy = 3
+      |            THEN (((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
+      |                  + cx * cx * 7 + cy * cy * 13
+      |                  + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256 + 7) % 256
+      |            ELSE ((doc_id // 4) * 97 + cx * 53 + cy * 31 + cx * cy * 17
+      |                  + cx * cx * 7 + cy * cy * 13
+      |                  + (((doc_id // 4) * (cx + 3 + cy * 9)) % 241) * 5) % 256
+      |          END AS v
+      |        FROM documents,
+      |          (SELECT unnest(generate_series(0, 7)) AS cy),
+      |          (SELECT unnest(generate_series(0, 8)) AS cx))))),
       |bits AS (
       |  SELECT a.doc_id, a.cy // 2 AS band,
       |    CAST((a.cy % 2) * 8 + a.cx AS BIGINT) AS idx

@@ -201,6 +201,71 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** Encode RGB pixels as an INDEXED-color GIF89a: the palette is built
+    * from the image's distinct RGB triples in first-appearance order
+    * (require ≤ 256 — the format's hard cap), padded to the next
+    * power-of-two table size. This is the path real color GIFs take
+    * (color-mapped, not truecolor), and it drives the decoder's
+    * arbitrary-palette branch — palette lookup expands back to exact
+    * RGB, so the container is lossless for ≤256-color content and the
+    * closed-form pixel oracles carry over unchanged.
+    */
+  def encodeGifColor(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3,
+      s"rgb=${rgb.length} != $width*$height*3")
+    val colorIdx = new java.util.HashMap[Int, Integer](512)
+    val palette = new java.io.ByteArrayOutputStream(768)
+    val indices = new Array[Byte](width * height)
+    var i = 0
+    while (i < width * height) {
+      val key = (u8(rgb(3 * i)) << 16) | (u8(rgb(3 * i + 1)) << 8) | u8(rgb(3 * i + 2))
+      var idx = colorIdx.get(key)
+      if (idx == null) {
+        require(colorIdx.size < 256, "more than 256 distinct colors")
+        idx = colorIdx.size
+        colorIdx.put(key, idx)
+        palette.write(rgb(3 * i)); palette.write(rgb(3 * i + 1))
+        palette.write(rgb(3 * i + 2))
+      }
+      indices(i) = idx.byteValue()
+      i += 1
+    }
+    // palette size = next power of two >= max(2, nColors); min code size
+    // must still make CLEAR/EOI representable, so LZW runs at 8 like the
+    // grey path (legal: indices just never reach the padded tail)
+    var bpp = 1
+    while ((1 << bpp) < colorIdx.size) bpp += 1
+    val tableSize = 1 << bpp
+
+    val out = new java.io.ByteArrayOutputStream(1024 + indices.length)
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf0 | (bpp - 1)) // global color table, 2^bpp entries
+    out.write(0); out.write(0)
+    val pal = palette.toByteArray
+    out.write(pal, 0, pal.length)
+    var pad = pal.length / 3
+    while (pad < tableSize) { out.write(0); out.write(0); out.write(0); pad += 1 }
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0)
+    out.write(8) // LZW min code size (indices are 8-bit regardless of bpp)
+    val lzw = lzwEncode(indices)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Full GIF decode: header + logical screen, global color table,
     * extension blocks skipped by sub-block framing, first image
     * descriptor's LZW stream inflated, palette applied (greyscale

@@ -3,11 +3,17 @@ package graft.multimodal
 /** REAL baseline JPEG codec, pure JVM — the third fully-decoded image
   * container after PNG (`PixelCodec`) and GIF (`GifCodec`), and the one
   * that actually dominates web corpora. Decode is a general baseline
-  * (SOF0) greyscale decoder: marker walk, DQT / DHT (canonical Huffman
-  * table reconstruction), SOF0, SOS, entropy-coded segment with byte
-  * stuffing (0xFF 0x00) and restart markers, Huffman DC-difference +
-  * AC run-length/EOB decoding, dequantization, exact separable 2D IDCT
-  * in double precision, level shift + clamp.
+  * (SOF0) decoder, greyscale AND 3-component YCbCr color: marker walk,
+  * DQT / DHT (canonical Huffman table reconstruction), SOF0, SOS,
+  * entropy-coded segment with byte stuffing (0xFF 0x00) and restart
+  * markers, interleaved MCU decode (per-component sampling factors —
+  * 4:4:4 and the web-dominant 4:2:0 — with per-component DC predictors
+  * and quant/Huffman table selection), Huffman DC-difference + AC
+  * run-length/EOB decoding, dequantization, exact separable 2D IDCT in
+  * double precision, level shift + clamp, chroma upsampling by sample
+  * replication, and a FIXED-POINT integer YCbCr→RGB conversion
+  * ([[yccToRgb]]) so the whole color chain stays closed-form
+  * reproducible in integer SQL.
   *
   * JPEG is lossy, so bit-exact oracles need planted content the
   * transform preserves: an 8×8-aligned CELL-CONSTANT image has DC-only
@@ -220,6 +226,153 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Pinned integer YCbCr→RGB (JFIF/Rec.601 coefficients in 16-bit fixed
+    * point, round-half-up via +32768 then arithmetic shift): the SAME
+    * expression an integer-SQL oracle can replicate exactly —
+    * `>>` is arithmetic (= floor division by 2^16) in Scala, Spark AND
+    * DuckDB, unlike `//`/`%`, which truncate toward zero on negatives.
+    * Coefficients: 1.402→91881, 0.344136→22554, 0.714136→46802,
+    * 1.772→116130 (each round(c·65536), the libjpeg-style constants).
+    */
+  def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    val cb1 = cb - 128; val cr1 = cr - 128
+    def cl(v: Int): Int = math.max(0, math.min(255, v))
+    (cl(y + ((91881 * cr1 + 32768) >> 16)),
+     cl(y + ((-22554 * cb1 - 46802 * cr1 + 32768) >> 16)),
+     cl(y + ((116130 * cb1 + 32768) >> 16)))
+  }
+
+  /** Encode a 3-component baseline YCbCr JPEG from block-constant planes
+    * (the caller guarantees 8×8-constancy per plane; require() enforces
+    * it — DC-only blocks + flat quantization keep the lossy format
+    * bit-exact for the fixture, exactly like the greyscale twin). The
+    * luma plane is full-resolution; the chroma planes are either
+    * full-resolution (`subsample420 = false`, 4:4:4, sampling 0x11 for
+    * every component) or quarter-resolution (`subsample420 = true`, the
+    * web-dominant 4:2:0: luma sampling 0x22, chroma 0x11, MCU = 4 Y
+    * blocks + Cb + Cr). All components share the flat quant table and
+    * the Annex K Huffman tables (legal — SOS table selectors).
+    */
+  def encodeJpegColor(width: Int, height: Int,
+                      yPlane: Array[Byte], cbPlane: Array[Byte],
+                      crPlane: Array[Byte],
+                      subsample420: Boolean = true): Array[Byte] = {
+    val align = if (subsample420) 16 else 8
+    require(width % align == 0 && height % align == 0,
+      s"${width}x$height not $align-aligned")
+    val cw = if (subsample420) width / 2 else width
+    val ch = if (subsample420) height / 2 else height
+    require(yPlane.length == width * height, "luma plane size")
+    require(cbPlane.length == cw * ch && crPlane.length == cw * ch,
+      "chroma plane size")
+
+    // per-plane block-constant check + per-block values (row-major blocks)
+    def blockVals(p: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val bw = w / 8; val bh = h / 8
+      val out = new Array[Int](bw * bh)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val v = u8(p((by * 8) * w + bx * 8))
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              require(u8(p((by * 8 + y) * w + bx * 8 + x)) == v,
+                s"block ($bx,$by) not constant")
+              x += 1
+            }
+            y += 1
+          }
+          out(by * bw + bx) = v
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+    val yv = blockVals(yPlane, width, height)
+    val cbv = blockVals(cbPlane, cw, ch)
+    val crv = blockVals(crPlane, cw, ch)
+
+    val out = new java.io.ByteArrayOutputStream(1024 + yv.length * 4)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // flat table 0
+    val ySamp = if (subsample420) 0x22 else 0x11
+    seg(0xc0, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, 3,
+      1, ySamp, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ StdDcCounts ++ StdDcSymbols)
+    seg(0xc4, Array(0x10) ++ StdAcCounts ++ StdAcSymbols)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+
+    val dc = new Huff(StdDcCounts, StdDcSymbols)
+    val ac = new Huff(StdAcCounts, StdAcSymbols)
+    val w = new BitWriterMsb(out)
+    def putBlock(v: Int, pred: Int): Int = {
+      val coeff = 8 * (v - 128)
+      val diff = coeff - pred
+      val cat = category(diff)
+      w.put(dc.codeOf.get(cat), dc.lenOf.get(cat))
+      if (cat > 0) {
+        val bits = if (diff >= 0) diff else diff + (1 << cat) - 1
+        w.put(bits, cat)
+      }
+      w.put(ac.codeOf.get(0x00), ac.lenOf.get(0x00)) // EOB
+      coeff
+    }
+    val ybw = width / 8
+    val cbw = cw / 8
+    var predY = 0; var predCb = 0; var predCr = 0
+    if (subsample420) {
+      val mcusX = width / 16; val mcusY = height / 16
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var by = 0
+          while (by < 2) {
+            var bx = 0
+            while (bx < 2) {
+              predY = putBlock(yv((my * 2 + by) * ybw + mx * 2 + bx), predY)
+              bx += 1
+            }
+            by += 1
+          }
+          predCb = putBlock(cbv(my * cbw + mx), predCb)
+          predCr = putBlock(crv(my * cbw + mx), predCr)
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      val mcusX = width / 8; val mcusY = height / 8
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          predY = putBlock(yv(my * ybw + mx), predY)
+          predCb = putBlock(cbv(my * cbw + mx), predCb)
+          predCr = putBlock(crv(my * cbw + mx), predCr)
+          mx += 1
+        }
+        my += 1
+      }
+    }
+    w.flushWithOnes()
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- decode
   private final class BitReaderMsb(data: Array[Byte]) {
     var pos = 0
@@ -343,9 +496,21 @@ object JpegCodec {
     }
   }
 
-  /** Full baseline greyscale JPEG decode. Total: None on anything
-    * malformed or unsupported (progressive, multi-component, 12-bit,
-    * arithmetic coding).
+  /** One scan component: id, sampling factors, quant table, Huffman
+    * selectors (filled from SOS), decoded plane (MCU-padded).
+    */
+  private final class Comp(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcId = 0; var acId = 0
+    var planeW = 0; var planeH = 0
+    var plane: Array[Byte] = null
+    var pred = 0
+  }
+
+  /** Full baseline JPEG decode: greyscale (1 component) or YCbCr color
+    * (3 components, 4:4:4 or 4:2:0, chroma upsampled by replication,
+    * [[yccToRgb]] fixed-point conversion). Total: None on anything
+    * malformed or unsupported (progressive, 12-bit, arithmetic coding,
+    * other sampling layouts).
     */
   def decodeJpeg(bytes: Array[Byte]): Option[Decoded] = {
     if (bytes.length < 4 || u8(bytes(0)) != 0xff || u8(bytes(1)) != 0xd8)
@@ -355,7 +520,7 @@ object JpegCodec {
     val qt = new Array[Array[Int]](4)
     val dcTables = new Array[Huff](4)
     val acTables = new Array[Huff](4)
-    var qIdx = -1; var dcIdx = -1; var acIdx = -1
+    var comps: Array[Comp] = null
     var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
@@ -401,87 +566,161 @@ object JpegCodec {
           height = (u8(bytes(p + 1)) << 8) | u8(bytes(p + 2))
           width = (u8(bytes(p + 3)) << 8) | u8(bytes(p + 4))
           val nc = u8(bytes(p + 5))
-          if (nc != 1) return None // greyscale only
-          if (u8(bytes(p + 7)) != 0x11) return None // no subsampling
-          qIdx = u8(bytes(p + 8))
+          if (nc != 1 && nc != 3) return None
+          if (p + 6 + 3 * nc > i + 2 + len) return None
+          comps = (0 until nc).map { c =>
+            val samp = u8(bytes(p + 6 + 3 * c + 1))
+            new Comp(u8(bytes(p + 6 + 3 * c)), samp >> 4, samp & 0x0f,
+              u8(bytes(p + 6 + 3 * c + 2)))
+          }.toArray
+          if (nc == 1) {
+            if (comps(0).h != 1 || comps(0).v != 1) return None
+          } else {
+            // luma 1x1 (4:4:4) or 2x2 (4:2:0); chroma always 1x1
+            val (h0, v0) = (comps(0).h, comps(0).v)
+            if (!((h0 == 1 && v0 == 1) || (h0 == 2 && v0 == 2))) return None
+            if (comps(1).h != 1 || comps(1).v != 1 ||
+                comps(2).h != 1 || comps(2).v != 1) return None
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
           return None // non-baseline SOF
         case 0xdd => // DRI
           restartInterval = (u8(bytes(p)) << 8) | u8(bytes(p + 1))
         case 0xda => // SOS
+          if (comps == null) return None
           val ns = u8(bytes(p))
-          if (ns != 1) return None
-          dcIdx = u8(bytes(p + 2)) >> 4
-          acIdx = u8(bytes(p + 2)) & 0x0f
+          if (ns != comps.length) return None
+          if (p + 1 + 2 * ns > i + 2 + len) return None
+          var c = 0
+          while (c < ns) {
+            val cid = u8(bytes(p + 1 + 2 * c))
+            val sel = u8(bytes(p + 1 + 2 * c + 1))
+            val comp = comps.find(_.id == cid).getOrElse(return None)
+            comp.dcId = sel >> 4; comp.acId = sel & 0x0f
+            c += 1
+          }
           sosAt = i + 2 + len
         case _ => () // APPn / COM / others: skip
       }
       i += 2 + len
     }
-    if (width <= 0 || height <= 0 || qIdx < 0 || qt(qIdx) == null ||
-        dcTables(dcIdx) == null || acTables(acIdx) == null) return None
-    val q = qt(qIdx)
-    val dcH = dcTables(dcIdx); val acH = acTables(acIdx)
+    if (width <= 0 || height <= 0) return None
+    for (c <- comps) {
+      if (c.tq > 3 || qt(c.tq) == null) return None
+      if (dcTables(c.dcId) == null || acTables(c.acId) == null) return None
+    }
 
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
-    val px = new Array[Byte](width * height)
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    for (c <- comps) {
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+    }
     val br = new BitReaderMsb(java.util.Arrays.copyOfRange(bytes, sosAt, bytes.length))
     val coef = new Array[Int](64)
     val block = new Array[Int](64)
-    var pred = 0
     var mcu = 0
-    val totalMcus = bw * bh
+    val totalMcus = mcusX * mcusY
     while (mcu < totalMcus) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         if (!br.resetAtRst()) return None
-        pred = 0
+        comps.foreach(_.pred = 0)
       }
-      java.util.Arrays.fill(coef, 0)
-      val cat = decodeHuffSymbol(br, dcH)
-      if (cat < 0 || cat > 11) return None
-      val dv = if (cat == 0) 0 else {
-        val r = br.receive(cat)
-        if (r == Int.MinValue) return None
-        extend(r, cat)
-      }
-      pred += dv
-      coef(0) = pred * q(0)
-      var k = 1
-      var eob = false
-      while (k < 64 && !eob) {
-        val rs = decodeHuffSymbol(br, acH)
-        if (rs < 0) return None
-        val run = rs >> 4; val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) k += 16 // ZRL
-          else eob = true
-        } else {
-          k += run
-          if (k > 63) return None
-          val r = br.receive(size)
-          if (r == Int.MinValue) return None
-          coef(Zigzag(k)) = extend(r, size) * q(Zigzag(k))
-          k += 1
-        }
-      }
-      idct8x8(coef, block)
-      val by = mcu / bw; val bx = mcu % bw
-      var y = 0
-      while (y < 8) {
-        val py = by * 8 + y
-        if (py < height) {
-          var x = 0
-          while (x < 8) {
-            val pxx = bx * 8 + x
-            if (pxx < width) px(py * width + pxx) = block(y * 8 + x).toByte
-            x += 1
+      val my = mcu / mcusX; val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val comp = comps(ci)
+        val q = qt(comp.tq)
+        val dcH = dcTables(comp.dcId); val acH = acTables(comp.acId)
+        var bv = 0
+        while (bv < comp.v) {
+          var bhx = 0
+          while (bhx < comp.h) {
+            java.util.Arrays.fill(coef, 0)
+            val cat = decodeHuffSymbol(br, dcH)
+            if (cat < 0 || cat > 11) return None
+            val dv = if (cat == 0) 0 else {
+              val r = br.receive(cat)
+              if (r == Int.MinValue) return None
+              extend(r, cat)
+            }
+            comp.pred += dv
+            coef(0) = comp.pred * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = decodeHuffSymbol(br, acH)
+              if (rs < 0) return None
+              val run = rs >> 4; val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += run
+                if (k > 63) return None
+                val r = br.receive(size)
+                if (r == Int.MinValue) return None
+                coef(Zigzag(k)) = extend(r, size) * q(Zigzag(k))
+                k += 1
+              }
+            }
+            idct8x8(coef, block)
+            val py0 = (my * comp.v + bv) * 8
+            val px0 = (mx * comp.h + bhx) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                comp.plane((py0 + y) * comp.planeW + px0 + x) =
+                  block(y * 8 + x).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bhx += 1
           }
+          bv += 1
         }
-        y += 1
+        ci += 1
       }
       mcu += 1
     }
-    Some(Decoded(width, height, 1, px))
+
+    if (comps.length == 1) {
+      val c = comps(0)
+      val px = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, px, y * width, width)
+        y += 1
+      }
+      Some(Decoded(width, height, 1, px))
+    } else {
+      // chroma upsampling by sample replication (shift by the sampling
+      // ratio — 0 for 4:4:4, 1 for 4:2:0), then fixed-point YCbCr→RGB
+      val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+      val sx = if (hmax / ccb.h == 2) 1 else 0
+      val sy = if (vmax / ccb.v == 2) 1 else 0
+      val px = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = u8(cy.plane(y * cy.planeW + x))
+          val cb = u8(ccb.plane((y >> sy) * ccb.planeW + (x >> sx)))
+          val cr = u8(ccr.plane((y >> sy) * ccr.planeW + (x >> sx)))
+          val (r, g, b) = yccToRgb(yy, cb, cr)
+          val o = (y * width + x) * 3
+          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(width, height, 3, px))
+    }
   }
 }

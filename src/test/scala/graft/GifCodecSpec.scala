@@ -114,6 +114,39 @@ class GifCodecSpec extends AnyFunSuite {
     assert(PixelCodec.dhashBands(gp).sameElements(PixelCodec.dhashBands(gg)))
   }
 
+  test("indexed-color encode→decode is lossless RGB through the palette branch") {
+    val (w, h) = (32, 24)
+    // 12 distinct colors tiled in 8x8 cells — a genuine color map, with
+    // non-grey triples so the decoder's RGB expansion branch runs
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (y / 8) * 4 + (x / 8)
+      val o = (y * w + x) * 3
+      rgb(o) = (c * 19 % 256).toByte
+      rgb(o + 1) = ((c * 43 + 7) % 256).toByte
+      rgb(o + 2) = ((c * 71 + 13) % 256).toByte
+    }
+    val gif = GifCodec.encodeGifColor(w, h, rgb)
+    val d = GifCodec.decodeGif(gif).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    assert(d.pixels.sameElements(rgb))
+    // palette is genuinely small: 12 colors pad to a 16-entry table
+    assert((gif(10) & 0x87) == 0x83, "global table flag / size bits")
+  }
+
+  test("indexed-color encoder rejects >256 distinct colors") {
+    val (w, h) = (32, 32) // 1024 pixels, all distinct colors
+    val rgb = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h) {
+      rgb(3 * i) = (i % 256).toByte
+      rgb(3 * i + 1) = (i / 256).toByte
+      rgb(3 * i + 2) = 1
+    }
+    intercept[IllegalArgumentException] {
+      GifCodec.encodeGifColor(w, h, rgb)
+    }
+  }
+
   test("sub-block framing: LZW payloads longer than 255 bytes split and reassemble") {
     val px = pattern(100, 100) // ~10 KB of pixels → many sub-blocks
     val gif = GifCodec.encodeGif(100, 100, px)

@@ -142,4 +142,82 @@ class JpegCodecSpec extends AnyFunSuite {
     val dj = JpegCodec.decodeJpeg(jpg).get
     assert(dp.pixels.sameElements(dj.pixels))
   }
+
+  /** 8×8-block-constant planes for the color round trips: per-block
+    * values derived from the block coordinates with different mixes per
+    * plane so chroma genuinely varies (clamping fires on some blocks).
+    */
+  private def planes420(w: Int, h: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val y = new Array[Byte](w * h)
+    val cb = new Array[Byte](w / 2 * (h / 2))
+    val cr = new Array[Byte](w / 2 * (h / 2))
+    for (py <- 0 until h; px <- 0 until w)
+      y(py * w + px) = (((py / 8) * 37 + (px / 8) * 59) % 256).toByte
+    for (py <- 0 until h / 2; px <- 0 until w / 2) {
+      // chroma blocks are 8x8 in the SUBSAMPLED plane (16x16 in luma px)
+      cb(py * (w / 2) + px) = (((py / 8) * 71 + (px / 8) * 23 + 5) % 256).toByte
+      cr(py * (w / 2) + px) = (((py / 8) * 13 + (px / 8) * 97 + 11) % 256).toByte
+    }
+    (y, cb, cr)
+  }
+
+  test("color 4:2:0 encode→decode is EXACT through upsample + fixed-point YCbCr→RGB") {
+    val (w, h) = (48, 32)
+    val (yP, cbP, crP) = planes420(w, h)
+    val jpg = JpegCodec.encodeJpegColor(w, h, yP, cbP, crP, subsample420 = true)
+    val d = JpegCodec.decodeJpeg(jpg).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    for (py <- 0 until h; px <- 0 until w) {
+      val yy = yP(py * w + px) & 0xff
+      val cb = cbP((py / 2) * (w / 2) + px / 2) & 0xff
+      val cr = crP((py / 2) * (w / 2) + px / 2) & 0xff
+      val (r, g, b) = JpegCodec.yccToRgb(yy, cb, cr)
+      val o = (py * w + px) * 3
+      assert((d.pixels(o) & 0xff) == r && (d.pixels(o + 1) & 0xff) == g &&
+        (d.pixels(o + 2) & 0xff) == b, s"pixel ($px,$py)")
+    }
+  }
+
+  test("color 4:4:4 encode→decode is EXACT (no subsampling, per-MCU 3 blocks)") {
+    val (w, h) = (24, 16)
+    val y = new Array[Byte](w * h)
+    val cb = new Array[Byte](w * h)
+    val cr = new Array[Byte](w * h)
+    for (py <- 0 until h; px <- 0 until w) {
+      y(py * w + px) = (((py / 8) * 41 + (px / 8) * 67) % 256).toByte
+      cb(py * w + px) = (((py / 8) * 29 + (px / 8) * 83 + 7) % 256).toByte
+      cr(py * w + px) = (((py / 8) * 89 + (px / 8) * 19 + 3) % 256).toByte
+    }
+    val jpg = JpegCodec.encodeJpegColor(w, h, y, cb, cr, subsample420 = false)
+    val d = JpegCodec.decodeJpeg(jpg).get
+    assert(d.width == w && d.height == h && d.channels == 3)
+    for (py <- 0 until h; px <- 0 until w) {
+      val (r, g, b) = JpegCodec.yccToRgb(
+        y(py * w + px) & 0xff, cb(py * w + px) & 0xff, cr(py * w + px) & 0xff)
+      val o = (py * w + px) * 3
+      assert((d.pixels(o) & 0xff) == r && (d.pixels(o + 1) & 0xff) == g &&
+        (d.pixels(o + 2) & 0xff) == b, s"pixel ($px,$py)")
+    }
+  }
+
+  test("planted fixtures: PNG, color GIF and 4:2:0 color JPEG decode to identical RGB") {
+    for (docId <- Seq(0L, 3L, 41L)) {
+      val dp = PixelCodec.decodePng(ImageQueries.plantedPng(docId)).get
+      val dg = graft.multimodal.GifCodec.decodeGif(ImageQueries.plantedGif(docId)).get
+      val dj = JpegCodec.decodeJpeg(ImageQueries.plantedJpeg(docId)).get
+      assert(dp.channels == 3 && dg.channels == 3 && dj.channels == 3)
+      assert(dp.pixels.sameElements(dg.pixels), s"PNG vs GIF, doc $docId")
+      assert(dp.pixels.sameElements(dj.pixels), s"PNG vs JPEG, doc $docId")
+    }
+  }
+
+  test("yccToRgb pins the fixed-point constants: neutral chroma is identity, clamps saturate") {
+    for (v <- Seq(0, 1, 127, 128, 254, 255))
+      assert(JpegCodec.yccToRgb(v, 128, 128) == ((v, v, v)))
+    assert(JpegCodec.yccToRgb(255, 128, 255) == ((255, 164, 255))) // R clamped high
+    assert(JpegCodec.yccToRgb(0, 128, 255) == ((178, 0, 0)))       // G clamped low
+    // spot value against the real-arithmetic form round(1.402*(cr-128))
+    assert(JpegCodec.yccToRgb(100, 128, 200)._1 ==
+      100 + math.round(1.402 * 72).toInt)
+  }
 }
