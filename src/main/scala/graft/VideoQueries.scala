@@ -163,6 +163,28 @@ object VideoQueries {
       FrameDelta, 320, 180, KeyEvery, AudioTimescale, samples)
   }
 
+  /** The same samples re-muxed into a DIFFERENT container: rescaled
+    * track dims and a doubled movie duration change the box bytes while
+    * every keyframe payload stays put — the fixture the streaming
+    * content-keyed dedup test uses to prove suppression reads sample
+    * CONTENT through the stsz/stsc/stco walk, not container bytes.
+    */
+  private[graft] def remuxedContentMp4(docId: Long, width: Int,
+                                       height: Int): Array[Byte] = {
+    val nf = contentFrames(docId)
+    val g = docId / 4
+    val samples: IndexedSeq[Array[Byte]] = (1 to nf).map { sn =>
+      if ((sn - 1) % KeyEvery == 0) {
+        val k = (sn - 1) / KeyEvery
+        val base = kfBase(docId, k)
+        Array.tabulate[Byte](KfPayload)(i => (base + i).toByte)
+      } else
+        Array.tabulate[Byte](4)(i => ((g + sn + i) % 251).toByte)
+    }
+    Mp4Codec.encodeMp4Samples(MovTimescale, nf * 80L, VideoTimescale,
+      FrameDelta, width, height, KeyEvery, AudioTimescale, samples)
+  }
+
   /** doc_id → (n_keyframes, b0..b3) via the REAL extraction chain:
     * box walk → stss sync numbers → stsc/stco/stsz byte ranges → mdat
     * slices → byte-sum signatures → sign-of-delta 64-bit fingerprint in

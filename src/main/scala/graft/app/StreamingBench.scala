@@ -88,24 +88,19 @@ object StreamingBench {
       progress.count(_.numInputRows > 0))
   }
 
-  /** The multimodal leg: a mixed-container image stream (each replica
-    * of a document's planted content rotates PNG → GIF → JPEG) through
-    * [[Streaming.imageNearDupStream]] — so the measured rate is REAL
-    * decode (inflate/unfilter, LZW, Huffman+IDCT) + fingerprint +
-    * watermark-bounded suppression, images/sec. Content collides across
-    * containers AND across the planted doc_id/4 groups (3 of 4 members
-    * pixel-identical), so suppression is exercised on both axes.
+  /** Shared harness for the binary-payload dedup legs: replayed
+    * micro-batch files of (id, payload, ts) with event time advancing
+    * 5 min per batch (≥3× the 10-min watermark horizon, so eviction
+    * shows), the given streaming suppression applied, state/throughput
+    * collected from query progress.
     */
-  def runImageDedup(spark: SparkSession, sfDir: String, copies: Int,
-                    files: Int): NearDupResult = {
-    val work = Files.createTempDirectory("imgbench").toString
-    val mk = udf { (id: Long, c: Int) =>
-      (c % 3) match {
-        case 0 => graft.ImageQueries.plantedPng(id)
-        case 1 => graft.ImageQueries.plantedGif(id)
-        case _ => graft.ImageQueries.plantedJpeg(id)
-      }
-    }
+  private def runBinaryDedup(spark: SparkSession, sfDir: String,
+      copies: Int, files: Int, tag: String,
+      mk: (Long, Int) => Array[Byte],
+      streamFn: (org.apache.spark.sql.DataFrame, String, String, String) =>
+        org.apache.spark.sql.DataFrame): NearDupResult = {
+    val work = Files.createTempDirectory(tag).toString
+    val mkU = udf(mk)
     val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
     val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
     for (f <- 0 until files) {
@@ -114,20 +109,20 @@ object StreamingBench {
           explode(sequence(lit(0), lit(copies - 1))).as("c"))
         .select(
           (col("doc_id") * copies + col("c")).as("id"),
-          mk(col("doc_id"), col("c")).as("img"),
+          mkU(col("doc_id"), col("c")).as("payload"),
           lit(new java.sql.Timestamp(base + f * 5L * 60 * 1000)).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(s"$work/in/f$f")
       Thread.sleep(5)
     }
     val schema = StructType(Seq(
-      StructField("id", LongType), StructField("img", BinaryType),
+      StructField("id", LongType), StructField("payload", BinaryType),
       StructField("ts", TimestampType)))
     val in = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$work/in/*")
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       (files + 16).toString)
     val t0 = System.nanoTime()
-    val q = Streaming.imageNearDupStream(in, "img", "ts", "10 minutes")
+    val q = streamFn(in, "payload", "ts", "10 minutes")
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$work/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -147,6 +142,51 @@ object StreamingBench {
       if (stateBytes.isEmpty) 0 else stateBytes.max,
       progress.count(_.numInputRows > 0))
   }
+
+  /** The multimodal image leg: a mixed-container stream (each replica
+    * of a document's planted content rotates PNG → GIF → JPEG) through
+    * [[Streaming.imageNearDupStream]] — so the measured rate is REAL
+    * decode (inflate/unfilter, LZW, Huffman+IDCT, now including the
+    * color 4:2:0 JPEG path and GIF color maps) + fingerprint +
+    * watermark-bounded suppression, images/sec. Content collides across
+    * containers AND across the planted doc_id/4 groups (3 of 4 members
+    * pixel-identical), so suppression is exercised on both axes.
+    */
+  def runImageDedup(spark: SparkSession, sfDir: String, copies: Int,
+                    files: Int): NearDupResult =
+    runBinaryDedup(spark, sfDir, copies, files, "imgbench",
+      (id, c) => (c % 3) match {
+        case 0 => graft.ImageQueries.plantedPng(id)
+        case 1 => graft.ImageQueries.plantedGif(id)
+        case _ => graft.ImageQueries.plantedJpeg(id)
+      },
+      Streaming.imageNearDupStream(_, _, _, _))
+
+  /** The audio leg: each replica rotates through its doc_id/4 group's
+    * members (j = 0,1,2 fingerprint-identical → suppressed; j = 3
+    * perturbs one frame → kept), so the measured rate is real RIFF/PCM
+    * decode + frame energies + chromaprint fingerprint + suppression,
+    * clips/sec, with watermark-bounded state.
+    */
+  def runAudioDedup(spark: SparkSession, sfDir: String, copies: Int,
+                    files: Int): NearDupResult =
+    runBinaryDedup(spark, sfDir, copies, files, "audbench",
+      (id, c) => graft.AudioQueries.plantedWav(id - id % 4 + c % 4),
+      Streaming.audioNearDupStream(_, _, _, _))
+
+  /** The video leg: odd replicas are RE-MUXED containers (same keyframe
+    * payloads, different box bytes), so suppression must read sample
+    * CONTENT through the stsz/stsc/stco walk — the measured rate is
+    * real ISO-BMFF parsing + 65 sample extractions + fingerprint per
+    * container, with watermark-bounded state.
+    */
+  def runVideoDedup(spark: SparkSession, sfDir: String, copies: Int,
+                    files: Int): NearDupResult =
+    runBinaryDedup(spark, sfDir, copies, files, "vidbench",
+      (id, c) =>
+        if (c % 2 == 0) graft.VideoQueries.plantedContentMp4(id)
+        else graft.VideoQueries.remuxedContentMp4(id, 640, 360),
+      Streaming.videoNearDupStream(_, _, _, _))
 
   final case class BfrStreamResult(
       rowsIn: Long, seconds: Double, rowsPerSec: Long, rounds: Int,
@@ -198,6 +238,12 @@ object StreamingBench {
     // volume is capped independently of the text leg's replication dial
     val img = runImageDedup(spark, sfDir, math.min(copies, 8),
       math.min(files, 12))
+    // audio decodes ~16k samples and video extracts 65 samples per
+    // payload — same volume cap as the image leg
+    val aud = runAudioDedup(spark, sfDir, math.min(copies, 8),
+      math.min(files, 12))
+    val vid = runVideoDedup(spark, sfDir, math.min(copies, 8),
+      math.min(files, 12))
     val bf = runBfrStream(spark, sfDir, chunks = 8,
       replicate = args.lift(3).map(_.toInt).getOrElse(50))
     println(s"""{"mode":"streaming","near_dup":{"rows_in":${nd.rowsIn},""" +
@@ -209,6 +255,14 @@ object StreamingBench {
       s""""seconds":${img.seconds},"images_per_sec":${img.rowsPerSec},""" +
       s""""max_state_rows":${img.maxStateRows},""" +
       s""""max_state_bytes":${img.maxStateBytes},"batches":${img.batches}},""" +
+      s""""audio_dedup":{"rows_in":${aud.rowsIn},"rows_out":${aud.rowsOut},""" +
+      s""""seconds":${aud.seconds},"clips_per_sec":${aud.rowsPerSec},""" +
+      s""""max_state_rows":${aud.maxStateRows},""" +
+      s""""max_state_bytes":${aud.maxStateBytes},"batches":${aud.batches}},""" +
+      s""""video_dedup":{"rows_in":${vid.rowsIn},"rows_out":${vid.rowsOut},""" +
+      s""""seconds":${vid.seconds},"videos_per_sec":${vid.rowsPerSec},""" +
+      s""""max_state_rows":${vid.maxStateRows},""" +
+      s""""max_state_bytes":${vid.maxStateBytes},"batches":${vid.batches}},""" +
       s""""bfr":{"rows_in":${bf.rowsIn},"seconds":${bf.seconds},""" +
       s""""rows_per_sec":${bf.rowsPerSec},"rounds":${bf.rounds},""" +
       s""""ds_clusters":${bf.dsClusters},"assigned":${bf.assigned}}}""")

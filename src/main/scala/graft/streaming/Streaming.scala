@@ -216,6 +216,56 @@ object Streaming {
       .drop("__imgfp")
   }
 
+  /** Streaming audio-duplicate suppression — the WAV twin of
+    * [[imageNearDupStream]]: each incoming document's audio bytes decode
+    * MAP-SIDE through the real RIFF/PCM codec, the chromaprint-style
+    * energy-delta fingerprint ([[graft.multimodal.MediaDecode
+    * .audioFingerprint]]) keys `dropDuplicatesWithinWatermark`, and only
+    * the first document per fingerprint inside the watermark horizon
+    * survives — the live-ingest shape of the batch `q_audio_near_dup`
+    * tier, with state bounded by the watermark. Undecodable or
+    * too-short payloads cannot be fingerprinted and are quarantined out
+    * of the stream rather than spuriously deduplicated against each
+    * other.
+    */
+  def audioNearDupStream(docs: DataFrame, audioCol: String, tsCol: String,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val fp = udf { (bytes: Array[Byte]) =>
+      graft.multimodal.MediaDecode.audioFingerprint(bytes)
+        .map(_.mkString(":")).orNull
+    }
+    docs
+      .withColumn("__audfp", fp(col(audioCol)))
+      .filter(col("__audfp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__audfp")
+      .drop("__audfp")
+  }
+
+  /** Streaming video-duplicate suppression — the ISO-BMFF twin: the
+    * incoming container's sync-sample payloads extract MAP-SIDE through
+    * the real stsz/stsc/stco walk, their byte-sum signatures fold into
+    * the sign-of-delta fingerprint ([[graft.multimodal.MediaDecode
+    * .videoFingerprint]]), and the watermark-bounded dedup keeps the
+    * first post per fingerprint — a re-encode that preserves keyframe
+    * content (same payloads in a differently-laid-out box tree) is
+    * suppressed, because the fingerprint reads CONTENT through the
+    * sample tables, not container bytes.
+    */
+  def videoNearDupStream(docs: DataFrame, videoCol: String, tsCol: String,
+                         watermark: String = "10 minutes"): DataFrame = {
+    val fp = udf { (bytes: Array[Byte]) =>
+      graft.multimodal.MediaDecode.videoFingerprint(bytes)
+        .map(_.mkString(":")).orNull
+    }
+    docs
+      .withColumn("__vidfp", fp(col(videoCol)))
+      .filter(col("__vidfp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__vidfp")
+      .drop("__vidfp")
+  }
+
   /** Streaming benchmark decontamination: the Bloom set-bit list built
     * once from the bounded benchmark table ([[graft.functions.TextOps
     * .bloomBitSet]]) rides into the continuous query as a plan literal,

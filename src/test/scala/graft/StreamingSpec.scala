@@ -209,6 +209,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
   }
 
+  test("streaming audio dedup suppresses re-posts, quarantines junk and short clips") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "wav", "ts")
+    val q = Streaming.audioNearDupStream(df, "wav", "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("auddedup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // group members j=0..2 carry identical planted frames → identical
+    // energy fingerprints; 16 is an unrelated group; junk and a clip
+    // shorter than the 65-frame fingerprint span are quarantined
+    val shortWav = graft.multimodal.WavCodec.encodeWav(8000, 1, new Array[Short](512))
+    mem.addData(
+      (1L, AudioQueries.plantedWav(0L), ts(1)),
+      (2L, AudioQueries.plantedWav(16L), ts(1)),
+      (3L, AudioQueries.plantedWav(1L), ts(1)), // same-group re-post
+      (4L, Array[Byte](9, 9, 9, 9), ts(1)),     // junk
+      (5L, shortWav, ts(1)))                    // too short to fingerprint
+    q.processAllAvailable()
+    mem.addData((6L, AudioQueries.plantedWav(2L), ts(2))) // cross-batch re-post
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM auddedup").collect()
+      .map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+  }
+
+  test("streaming video dedup is content-keyed: a re-muxed container is suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte], java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "mp4", "ts")
+    val q = Streaming.videoNearDupStream(df, "mp4", "ts")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("viddedup").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    // a re-mux of doc 0's container: identical sample payloads behind a
+    // different tkhd (rescaled dims) and movie duration — different
+    // BYTES, same keyframe content, so the fingerprint must match
+    val remuxed = VideoQueries.remuxedContentMp4(0L, width = 640, height = 360)
+    assert(!remuxed.sameElements(VideoQueries.plantedContentMp4(0L)))
+    mem.addData(
+      (1L, VideoQueries.plantedContentMp4(0L), ts(1)),
+      (2L, VideoQueries.plantedContentMp4(16L), ts(1)),
+      (3L, remuxed, ts(1)),                 // content re-post, new container
+      (4L, Array[Byte](0, 0, 0, 1), ts(1))) // junk
+    q.processAllAvailable()
+    mem.addData((5L, VideoQueries.plantedContentMp4(1L), ts(2))) // same-group re-post
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM viddedup").collect()
+      .map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+  }
+
   test("streaming bloom decontamination flags benchmark re-posts map-side") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -392,5 +448,24 @@ class StreamingSpec extends AnyFunSuite {
       spark, "/root/testdata/sf0.001", chunks = 3)
     assert(bf.assigned == bf.rowsIn, s"${bf.assigned} of ${bf.rowsIn} assigned")
     assert(bf.rounds == 3 && bf.dsClusters > 0)
+  }
+
+  test("StreamingBench media legs smoke: audio/video suppression + bounded state") {
+    // audio: replica c rotates group members — j=0,1,2 fingerprint-equal
+    // (2 of 3 suppressed per doc), j=3 a kept near-variant
+    val aud = graft.app.StreamingBench.runAudioDedup(
+      spark, "/root/testdata/sf0.001", copies = 3, files = 3)
+    assert(aud.rowsIn == 500 * 3, s"got ${aud.rowsIn}")
+    assert(aud.rowsOut > 0 && aud.rowsOut < aud.rowsIn,
+      s"audio dedup must suppress: ${aud.rowsOut} of ${aud.rowsIn}")
+    assert(aud.maxStateRows < aud.rowsIn, s"state grew to ${aud.maxStateRows}")
+    // video: replica 1 is a re-muxed container of replica 0's content —
+    // every odd replica must be suppressed (content-keyed, not byte-keyed)
+    val vid = graft.app.StreamingBench.runVideoDedup(
+      spark, "/root/testdata/sf0.001", copies = 2, files = 3)
+    assert(vid.rowsIn == 500 * 2, s"got ${vid.rowsIn}")
+    assert(vid.rowsOut > 0 && vid.rowsOut < vid.rowsIn,
+      s"video dedup must suppress: ${vid.rowsOut} of ${vid.rowsIn}")
+    assert(vid.maxStateRows < vid.rowsIn, s"state grew to ${vid.maxStateRows}")
   }
 }
