@@ -1059,43 +1059,13 @@ object MlQueries {
     * of emitting rows, so a too-long chain at a future SF reads as
     * "oracle under-unrolled", not as a generic engine-CC hash mismatch.
     */
-  private def pointerJumpCcSql(rounds: Int): String = {
-    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs PER
-    // REFERENCE, and each round references its predecessor three times —
-    // an un-materialized unroll re-expands the whole upstream chain
-    // 3^rounds times (observed as "Too many open files" from the same
-    // parquet scan planned 3^16 times).
-    val l0 =
-      "l0 AS MATERIALIZED (SELECT ea AS v, least(ea, min(eb)) AS lbl FROM edges GROUP BY ea)"
-    val steps = (1 to rounds).map { t =>
-      s"""l$t AS MATERIALIZED (
-         |  SELECT e.ea AS v, least(min(lp.lbl), min(lu.lbl)) AS lbl
-         |  FROM edges e
-         |  JOIN l${t - 1} lu ON lu.v = e.eb
-         |  JOIN l${t - 1} lv ON lv.v = e.ea
-         |  JOIN l${t - 1} lp ON lp.v = lv.lbl
-         |  GROUP BY e.ea)""".stripMargin
-    }
-    (l0 +: steps).mkString(",\n")
-  }
+  private def pointerJumpCcSql(rounds: Int): String =
+    OracleCc.rounds(rounds, "ea", "eb")
 
   /** Final SELECT for the unrolled pointer-jump chain with a loud
-    * non-convergence guard: counts labels that still changed between
-    * round `rounds-1` and `rounds`; if any did, every output row raises
-    * a DuckDB `error()` naming the real cause (oracle round budget too
-    * small) instead of hash-mismatching. `error()` is only evaluated on
-    * the non-converged branch (verified: CASE short-circuits it).
-    */
+    * non-convergence guard — see [[OracleCc.guardedSelect]]. */
   private def pointerJumpCcGuardedSelect(rounds: Int, idCol: String): String =
-    s"""cc_guard AS MATERIALIZED (
-       |  SELECT count(*) AS changed
-       |  FROM l$rounds a JOIN l${rounds - 1} b ON a.v = b.v
-       |  WHERE a.lbl <> b.lbl)
-       |SELECT v AS $idCol,
-       |  CASE WHEN (SELECT changed FROM cc_guard) = 0 THEN lbl
-       |       ELSE CAST(error('pointer-jump CC oracle under-unrolled: labels still changing at round $rounds — raise the round budget') AS BIGINT)
-       |  END AS canonical_id
-       |FROM l$rounds""".stripMargin
+    OracleCc.guardedSelect(rounds, idCol)
 
   /** Embedding dedup GROUPS: connected components over the banded
     * verified pairs — the vector twin of q_dedup_groups (text tier),

@@ -1048,16 +1048,8 @@ object TextQueries {
         .select(col("doc_id"), col("grp").as("group_id"),
           (col("rk") === 1).cast("long").as("kept"))
     },
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-            |canon AS (
-            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |  FROM reach GROUP BY s)
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
             |SELECT d.doc_id,
             |  coalesce(c.canonical_id, d.doc_id) AS group_id,
             |  CAST(CASE WHEN row_number() OVER (
@@ -1253,16 +1245,8 @@ object TextQueries {
     },
     Some {
       val stops = "['the','a','and','of','to','in','is','on']"
-      s"""WITH RECURSIVE $pairsCtes,
-         |edges AS (
-         |  SELECT doc_a AS s, doc_b AS d FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM edges
-         |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-         |canon AS (
-         |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
-         |  FROM reach GROUP BY s),
+      s"""WITH $pairsCtes,
+         |${OracleCc.canonFromPairs(OracleCc.TextRounds)},
          |kept AS (
          |  SELECT d.doc_id, d.lang, d.text FROM documents d
          |  LEFT JOIN canon c USING (doc_id)
@@ -1317,15 +1301,9 @@ object TextQueries {
       graft.operators.IncrementalDedup.mergeBatch(
         baseCanon, newBands, baseBands.union(newBands), "doc_id")
     },
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            |SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |FROM reach GROUP BY s""".stripMargin))
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** REAL image-header decode end-to-end: every document's bytes travel
     * inside a valid PNG container (signature + CRC-correct IHDR) whose
@@ -1369,15 +1347,9 @@ object TextQueries {
     */
   val dedupGroups = Q("q_dedup_groups",
     (s, dir) => canonical(s, dir),
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-            |SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |FROM reach GROUP BY s""".stripMargin))
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** The typed multimodal pipeline end-to-end (Dataset[MediaRow] →
     * mapPartitions stub decode → Dataset[ImageFeatures]); the stub codec
@@ -2357,16 +2329,8 @@ object TextQueries {
           (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
             .cast("long").as("kept"))
     },
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-            |canon AS (
-            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |  FROM reach GROUP BY s)
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
             |SELECT d.doc_id,
             |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
             |  CAST(CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
@@ -3094,16 +3058,8 @@ object TextQueries {
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
             .as("split"))
     },
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-            |canon AS (
-            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |  FROM reach GROUP BY s),
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)},
             |kept AS (
             |  SELECT d.doc_id, d.lang FROM documents d
             |  LEFT JOIN canon c USING (doc_id)
@@ -3173,16 +3129,8 @@ object TextQueries {
           floor(lit(1e6) * (col("n_in_near_groups") - col("n_near_groups")).cast("double")
             / col("n_docs")).cast("long").as("near_removal_micro"))
     },
-    Some(s"""WITH RECURSIVE $pairsCtes,
-            |edges AS (
-            |  SELECT doc_a AS s, doc_b AS d FROM pairs
-            |  UNION SELECT doc_b, doc_a FROM pairs),
-            |reach(s, d) AS (
-            |  SELECT s, d FROM edges
-            |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-            |canon AS (
-            |  SELECT s AS doc_id, least(min(d), s) AS canonical_id
-            |  FROM reach GROUP BY s),
+    Some(s"""WITH $pairsCtes,
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)},
             |t AS (SELECT count(*) AS n_docs FROM documents),
             |x AS (
             |  SELECT count(*) AS n_exact_distinct,

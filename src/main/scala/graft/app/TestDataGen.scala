@@ -36,16 +36,25 @@ object TestDataGen {
   private def withCopies(df: DataFrame, copies: Int): DataFrame =
     df.withColumn("copy", explode(sequence(lit(0L), lit(copies - 1L))))
 
+  /** `tables`: restrict generation to a subset (dimension tables always
+    * written — they are tiny and every reader expects them). Targeted
+    * scale steps (e.g. the 100× documents-only text-tier step) need not
+    * pay for a 100× lineitem.
+    */
   def generate(spark: SparkSession, srcDir: String, dstDir: String,
-               copies: Int): Unit = {
+               copies: Int, tables: Set[String] = Set.empty): Unit = {
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def wants(t: String) = tables.isEmpty || tables.contains(t)
     def write(df: DataFrame, t: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      if (wants(t)) df.repartition(parts).write.mode("overwrite")
         .parquet(s"$dstDir/$t.parquet")
 
-    // fixed-cardinality dimensions: verbatim (TPC-H semantics)
-    write(read("region"), "region", 1)
-    write(read("nation"), "nation", 1)
+    // fixed-cardinality dimensions: verbatim (TPC-H semantics); always
+    // written — tiny, and every reader expects them
+    read("region").repartition(1).write.mode("overwrite")
+      .parquet(s"$dstDir/region.parquet")
+    read("nation").repartition(1).write.mode("overwrite")
+      .parquet(s"$dstDir/nation.parquet")
 
     val nCust = read("customer").count()
     val nSupp = read("supplier").count()
@@ -138,6 +147,8 @@ object TestDataGen {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dstDir = args.lift(1).getOrElse("testdata_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (dims always written)
+    val tables = args.lift(3).map(_.split(",").toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-testdata-gen")
@@ -145,7 +156,7 @@ object TestDataGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try generate(spark, srcDir, dstDir, copies)
+    try generate(spark, srcDir, dstDir, copies, tables)
     finally spark.stop()
   }
 }

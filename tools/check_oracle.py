@@ -12,8 +12,12 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    # driver layout = single file; TestDataGen layout = directory of parts
+    # driver layout = single file; TestDataGen layout = directory of parts.
+    # Missing tables are skipped (targeted scale steps generate a subset;
+    # an oracle that needs an absent table then fails loudly per-query).
     p = f"{sf_dir}/{t}.parquet"
+    if not os.path.exists(p):
+        continue
     src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
