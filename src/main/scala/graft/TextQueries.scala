@@ -2651,16 +2651,18 @@ object TextQueries {
   /** Shared DuckDB CTE chain for the PPJoin oracles — verified pairs
     * `v(doc_a, doc_b, ni, jacc_micro)` via per-doc RANK BITMASKS (the
     * same dense-vocabulary trick the engine's [[graft.operators
-    * .SetSimJoin]] verify uses): doc → ≤2×64-bit masks of vocabulary
+    * .SetSimJoin]] verify uses): doc → ≤4×64-bit masks of vocabulary
     * ranks, pair intersection = popcount(maskA AND maskB). The previous
     * token-level join oracle (dw ⋈ dw on w, GROUP BY pair) is ~3e10
     * intermediate rows with a pair-count-sized hash aggregate at sf1's
     * dense 31-word corpus — infeasible; the mask form is one O(n²/2)
     * scan of 50k mask rows with integer ops and NO pair-level
     * aggregation, which DuckDB streams in seconds. `mg` carries the
-    * vocabulary-size guard: above 128 distinct tokens the 2-word masks
+    * vocabulary-size guard: above 256 distinct tokens the 4-word masks
     * would silently truncate, so the oracle RAISES (reads as "oracle
-    * assumption broken", never as an engine mismatch). `aPred` lets the
+    * assumption broken", never as an engine mismatch; 256 covers the
+    * scaled corpora — the 100× documents step carries 31 base words +
+    * 99 copymark tokens). `aPred` lets the
     * row-level query push its stratum bound into the pair scan's build
     * side.
     */
@@ -2670,17 +2672,25 @@ object TextQueries {
        |vr AS (
        |  SELECT w, row_number() OVER (ORDER BY w) - 1 AS r
        |  FROM (SELECT DISTINCT w FROM dw)),
-       |mg AS (SELECT CASE WHEN max(r) < 128 THEN 1
-       |  ELSE CAST(error('ppjoin mask oracle: vocabulary exceeds 128 tokens — widen the mask words') AS BIGINT)
+       |mg AS (SELECT CASE WHEN max(r) < 256 THEN 1
+       |  ELSE CAST(error('ppjoin mask oracle: vocabulary exceeds 256 tokens — widen the mask words') AS BIGINT)
        |  END AS ok FROM vr),
+       |rb AS (  -- per-rank (word, weight): bit 63's weight is a literal
+       |         -- because 1::BIGINT << 63 raises in DuckDB
+       |  SELECT r, CASE WHEN r % 64 = 63 THEN -9223372036854775807 - 1
+       |    ELSE (1::BIGINT << (r % 64)) END AS bit, r // 64 AS wd FROM vr),
        |m AS (
        |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n,
-       |    bit_or(CASE WHEN vr.r < 64 THEN (1::BIGINT << vr.r) ELSE 0 END) AS m0,
-       |    bit_or(CASE WHEN vr.r >= 64 THEN (1::BIGINT << (vr.r - 64)) ELSE 0 END) AS m1
-       |  FROM dw JOIN vr USING (w), mg WHERE mg.ok = 1 GROUP BY dw.doc_id),
+       |    bit_or(CASE WHEN rb.wd = 0 THEN rb.bit ELSE 0 END) AS m0,
+       |    bit_or(CASE WHEN rb.wd = 1 THEN rb.bit ELSE 0 END) AS m1,
+       |    bit_or(CASE WHEN rb.wd = 2 THEN rb.bit ELSE 0 END) AS m2,
+       |    bit_or(CASE WHEN rb.wd = 3 THEN rb.bit ELSE 0 END) AS m3
+       |  FROM dw JOIN vr USING (w) JOIN rb USING (r), mg
+       |  WHERE mg.ok = 1 GROUP BY dw.doc_id),
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-       |    CAST(bit_count(a.m0 & b.m0) + bit_count(a.m1 & b.m1) AS BIGINT) AS ni
+       |    CAST(bit_count(a.m0 & b.m0) + bit_count(a.m1 & b.m1)
+       |       + bit_count(a.m2 & b.m2) + bit_count(a.m3 & b.m3) AS BIGINT) AS ni
        |  FROM m a JOIN m b ON a.doc_id < b.doc_id AND ($aPred)),
        |v AS (
        |  SELECT doc_a, doc_b, ni,
@@ -2694,14 +2704,14 @@ object TextQueries {
     * surface is (count, Σni, Σjacc, XOR of an INJECTIVE packing of
     * (doc_b, ni, jacc_micro)) per doc_a stratum — any row-level
     * difference flips a stratum's count/sums or its xor signature.
-    * The packing doc_b·2²⁸ + ni·2²⁰ + jacc_micro is injective because
-    * ni ≤ 128 < 2⁸ (vocabulary guard) and jacc_micro ≤ 10⁶ < 2²⁰.
+    * The packing doc_b·2²⁹ + ni·2²⁰ + jacc_micro is injective because
+    * ni ≤ 256 = 2⁸·2 ≤ 2⁹ (vocabulary guard) and jacc_micro ≤ 10⁶ < 2²⁰.
     * Engine side: the REAL pair relation from [[graft.operators
     * .SetSimJoin]] (unchanged), one partial-aggregable groupBy on top.
     */
   val ppjoin = Q("q_ppjoin",
     (s, dir) => ppjoinPairs(s, dir)
-      .withColumn("pk", col("doc_b") * lit(1L << 28) +
+      .withColumn("pk", col("doc_b") * lit(1L << 29) +
         col("ni").cast("long") * lit(1L << 20) + col("jacc_micro"))
       .groupBy(col("doc_a"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -2712,7 +2722,7 @@ object TextQueries {
             |SELECT doc_a, CAST(count(*) AS BIGINT) AS n_pairs,
             |  CAST(sum(ni) AS BIGINT) AS sum_ni,
             |  CAST(sum(jacc_micro) AS BIGINT) AS sum_jacc_micro,
-            |  bit_xor(doc_b * ${1L << 28} + ni * ${1L << 20} + jacc_micro) AS xor_sig
+            |  bit_xor(doc_b * ${1L << 29} + ni * ${1L << 20} + jacc_micro) AS xor_sig
             |FROM v GROUP BY doc_a""".stripMargin))
 
   /** Row-level PPJoin pairs on the bounded stratum (smaller id <

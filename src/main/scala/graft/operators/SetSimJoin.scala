@@ -91,10 +91,15 @@ object SetSimJoin {
           bit_count(element_at(col("ma"), i + 1)
             .bitwiseAND(element_at(col("mb"), i + 1))).cast("long"))
           .reduce(_ + _)
+        // low (r % 64) bits of word i: ~(-1L << s), NOT (1L << s) - 1 —
+        // at s = 63 the latter is Long.MinValue - 1, an ANSI-mode
+        // ARITHMETIC_OVERFLOW. Latent until the vocabulary's rank space
+        // crosses 64 (first hit: the 100× corpus's copymark tokens
+        // pushed the dense vocab from 31 to 130).
         def bitsBelow(i: Int): Column =
           when(lit(i) < floor(col("r") / 64), lit(-1L))
             .when(lit(i) === floor(col("r") / 64),
-              expr("shiftleft(1L, r % 64) - 1L"))
+              expr("~shiftleft(-1L, r % 64)"))
             .otherwise(lit(0L))
         val sharedBelow = (0 until k).map(i =>
           bit_count(element_at(col("ma"), i + 1)

@@ -49,6 +49,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(truth.size >= 20, s"fixture too weak: ${truth.size} qualifying pairs")
   }
 
+  test("SetSimJoin: dense path over a 64+-rank vocabulary (ANSI shift regression)") {
+    // The scaled documents corpus carries 31 base words + 99 copymark
+    // tokens = 130 ranks; the dense path's leftmost-match filter then
+    // evaluates ~shiftleft(-1L, r % 64) at r % 64 == 63, where the
+    // previous (1L << 63) - 1L form raised ARITHMETIC_OVERFLOW under
+    // ANSI mode. 150 ranks → 3 mask words, both the boundary bit and
+    // the multi-word bitsBelow branches execute.
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val docs = (0 until 60).flatMap { i =>
+      // even doc: random tokens over the 150-rank base vocab + a pair-
+      // local rare token; odd doc: the same set minus one base token —
+      // a guaranteed high-Jaccard planted pair per i
+      val ts = Seq.fill(12 + rng.nextInt(6))(s"v${rng.nextInt(150)}")
+        .distinct :+ s"rare${i}"
+      Seq((2L * i) -> ts, (2L * i + 1) -> (ts.drop(1)))
+    }
+    val toks = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("id", "w")
+    val t = 0.8
+    val got = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sets = docs.map { case (id, ts) => id -> ts.toSet }.toMap
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ni = sets(a).intersect(sets(b)).size
+      if ni >= t * (sets(a).size + sets(b).size - ni)
+    } yield (a, b, ni.toLong)).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    assert(truth.size >= 40, s"fixture too weak: ${truth.size} qualifying pairs")
+  }
+
   test("connected components: chains, triangles, and isolated pairs") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}

@@ -23,7 +23,14 @@ QUERIES+=",q_minhash_lsh_pairs,q_minhash_jaccard_est,q_ngram_jaccard,q_containme
 QUERIES+=",q_simhash,q_simhash_pairs,q_dedup_groups,q_dedup_incremental"
 QUERIES+=",q_dedup_report,q_near_dedup_keep,q_near_dedup_keep_pref"
 QUERIES+=",q_line_dedup,q_substring_dedup,q_dup_span_fraction,q_cdc_chunks"
-QUERIES+=",q_winnowing,q_cross_source_dups,q_source_overlap,q_ppjoin"
+QUERIES+=",q_winnowing,q_cross_source_dups,q_source_overlap"
+# q_ppjoin is deliberately NOT in the sf10 family: on this corpus ~16% of
+# ALL doc pairs are Jaccard>=0.8 (organic density measured at sf1: 2e8
+# verified pairs over 50k docs), so the ANSWER relation at 500k docs is
+# ~2e10 rows by declared semantics — no engine or oracle can materialize
+# it; the digest bounds the COMPARED surface, not the computed relation.
+# The operator is digest-certified at sf1 and its 64+-rank-vocabulary
+# regression (the defect this step surfaced) is pinned in OperatorsSpec.
 
 if [ ! -d "$SF10_DIR/documents.parquet" ]; then
   echo "== generating sf10 documents at $SF10_DIR (100 key-offset copies of sf0.1)"
