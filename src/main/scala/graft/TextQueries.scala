@@ -897,6 +897,25 @@ object TextQueries {
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** Per-candidate-pair (ni, na, nb) via per-pair LIST INTERSECTION —
+    * the scalable oracle twin of [[graft.functions.TextOps.pairOverlap]].
+    * The previous form (pairs ⋈ shingles ⋈ shingles, GROUP BY pair) is
+    * Σ_pairs |shingles| intermediate rows plus a pair-count-sized hash
+    * aggregate: at the 100× corpus (24.7M candidate pairs × ~40
+    * shingles) DuckDB built a >90 GB hash table and had to be killed.
+    * This form is two joins of pairs against the 500k-row doc-list
+    * table and a bounded per-row `list_intersect` — no pair-level
+    * aggregation, memory ~O(docs), the same bounded-per-key lesson as
+    * the ppjoin mask oracle.
+    */
+  private def interCtes: String =
+    s"""dl AS (SELECT doc_id, list_distinct($shinglesSql) AS shl FROM documents),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, len(list_intersect(a.shl, b.shl)) AS ni,
+       |    len(a.shl) AS na, len(b.shl) AS nb
+       |  FROM pairs p JOIN dl a ON a.doc_id = p.doc_a
+       |               JOIN dl b ON b.doc_id = p.doc_b)""".stripMargin
+
   val minhashSignature = Q("q_minhash_signature",
     (s, dir) => signatureDf(s, dir)
       .select(col("doc_id") +:
@@ -930,17 +949,10 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     },
     Some(s"""WITH $pairsCtes,
-            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
-            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            |inter AS (
-            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
-            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
-            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
-            |  GROUP BY p.doc_a, p.doc_b)
+            |$interCtes
             |SELECT i.doc_a, i.doc_b,
-            |  round(CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni), 6) AS jaccard
-            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-            |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
+            |  round(CAST(i.ni AS DOUBLE) / (i.na + i.nb - i.ni), 6) AS jaccard
+            |FROM inter i""".stripMargin))
 
   /** Measured recall of the MinHash-LSH banding scheme vs exact-Jaccard
     * ground truth — the evaluation the ANN tier already gets
@@ -1596,17 +1608,10 @@ object TextQueries {
             .as("containment"))
     },
     Some(s"""WITH $pairsCtes,
-            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
-            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            |inter AS (
-            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
-            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
-            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
-            |  GROUP BY p.doc_a, p.doc_b)
+            |$interCtes
             |SELECT i.doc_a, i.doc_b,
-            |  round(CAST(i.ni AS DOUBLE) / least(ca.n, cb.n), 6) AS containment
-            |FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-            |             JOIN cnt cb ON cb.doc_id = i.doc_b""".stripMargin))
+            |  round(CAST(i.ni AS DOUBLE) / least(i.na, i.nb), 6) AS containment
+            |FROM inter i""".stripMargin))
 
   /** Benchmark decontamination — the screen a training-data pipeline runs
     * before shipping a corpus: flag documents sharing ≥ 3 distinct word
@@ -2473,19 +2478,12 @@ object TextQueries {
         .agg(count(lit(1)).as("n_pairs"), sum(col("jm")).as("jaccard_micro_sum"))
     },
     Some(s"""WITH $pairsCtes,
-            |sh AS (SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents),
-            |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            |inter AS (
-            |  SELECT p.doc_a, p.doc_b, count(*) AS ni
-            |  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
-            |               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
-            |  GROUP BY p.doc_a, p.doc_b),
+            |$interCtes,
             |ver AS (
             |  SELECT i.doc_a, i.doc_b,
-            |    CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) AS jaccard
-            |  FROM inter i JOIN cnt ca ON ca.doc_id = i.doc_a
-            |               JOIN cnt cb ON cb.doc_id = i.doc_b
-            |  WHERE CAST(i.ni AS DOUBLE) / (ca.n + cb.n - i.ni) >= 0.8e0)
+            |    CAST(i.ni AS DOUBLE) / (i.na + i.nb - i.ni) AS jaccard
+            |  FROM inter i
+            |  WHERE CAST(i.ni AS DOUBLE) / (i.na + i.nb - i.ni) >= 0.8e0)
             |SELECT least(da.source, db.source) AS source_a,
             |  greatest(da.source, db.source) AS source_b,
             |  count(*) AS n_pairs,
