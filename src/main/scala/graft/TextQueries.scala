@@ -44,8 +44,19 @@ object TextQueries {
         .localCheckpoint(true)
       val sig = TextOps.signatureFromText(docs(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
+      // hotComplete: the pair-level consumers (q_minhash_lsh_pairs and
+      // the Jaccard-verify family) DECLARE the complete candidate
+      // relation, and at the 100× corpus the copies-multiplied exact-dup
+      // groups (~24 planted dups × 100 copies) cross the 256-member
+      // hot-bucket guard for the first time — star reduction there kept
+      // components intact but dropped 4.8M of 32.7M declared pairs. The
+      // salted block-grid keeps per-shuffle-key output ~threshold²
+      // (HotBucketBench), so completeness costs bounded tasks, not a
+      // straggler. Below the threshold the two modes are identical —
+      // sf0.01..sf1 outputs are unchanged.
       val cand = TextOps.candidatePairs(
-        TextOps.lshBands(sig, "doc_id"), "doc_id").localCheckpoint(true)
+        TextOps.lshBands(sig, "doc_id"), "doc_id", hotComplete = true)
+        .localCheckpoint(true)
       ShingleArtifacts(sh, sig, cand)
     })
 
@@ -886,12 +897,18 @@ object TextQueries {
       val r = TextOps.lshRows
       s"SELECT doc_id, $b AS band, concat_ws('', ${(0 until r).map(j => s"mh${b * r + j}").mkString(", ")}) AS bucket FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""sig AS (
+    // MATERIALIZED is load-bearing at the 100× corpus: DuckDB inlines
+    // plain CTEs per reference, so an oracle touching `pairs` twice
+    // (e.g. the CC chain's symmetrizing UNION) re-runs the 32.7M-pair
+    // DISTINCT band self-join concurrently in one pipeline tree —
+    // observed as an out-of-memory at the 48 GB gate cap; materialized
+    // once, the same oracles run in bounded memory.
+    s"""sig AS MATERIALIZED (
        |  SELECT doc_id, $sigCols
        |  FROM documents),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin

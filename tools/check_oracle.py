@@ -10,6 +10,12 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# Optional memory cap (e.g. CHECK_ORACLE_MEMLIMIT=48GB): DuckDB then spills
+# oversized operators to a temp directory instead of growing resident —
+# scaled-gate insurance so one oracle can't take down concurrent work.
+if os.environ.get("CHECK_ORACLE_MEMLIMIT"):
+    con.sql(f"SET memory_limit = '{os.environ['CHECK_ORACLE_MEMLIMIT']}'")
+    con.sql("SET temp_directory = '/tmp/duckdb_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     # driver layout = single file; TestDataGen layout = directory of parts.
