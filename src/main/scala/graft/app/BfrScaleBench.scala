@@ -60,7 +60,17 @@ object BfrScaleBench {
       onRound = { r =>
         val now = System.nanoTime()
         System.gc() // stabilize the heap sample between rounds
-        probes += RoundProbe(r, math.rint((now - tPrev) / 1e8) / 10, usedHeapMb())
+        val p = RoundProbe(r, math.rint((now - tPrev) / 1e8) / 10, usedHeapMb())
+        probes += p
+        // incremental trace: a run killed mid-flight still leaves its rounds
+        sys.env.get("BFR_SCALE_OUT").foreach { path =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path + ".rounds"),
+            s"""{"round":${p.round},"sec":${p.sec},"heap_mb":${p.heapMb}}\n"""
+              .getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
         tPrev = System.nanoTime()
       })
     val nPoints = res.assignments.count()
@@ -85,9 +95,16 @@ object BfrScaleBench {
     val r = run(spark, embPath, copies, nChunks, k)
     val rounds = r.rounds.map(p =>
       s"""{"round":${p.round},"sec":${p.sec},"heap_mb":${p.heapMb}}""").mkString(",")
-    println(s"""{"mode":"bfr_scale","points":${r.points},"chunks":${r.chunks},""" +
+    val json = s"""{"mode":"bfr_scale","points":${r.points},"chunks":${r.chunks},""" +
       s""""clusters":${r.clusters},"outliers":${r.outliers},""" +
-      s""""total_s":${r.totalSec},"rounds":[$rounds]}""")
+      s""""total_s":${r.totalSec},"rounds":[$rounds]}"""
+    println(json)
+    // stdout on a long probe can die with its harness (lost pipe reader);
+    // the result must survive that, so it also lands in a file.
+    sys.env.get("BFR_SCALE_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (json + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }
