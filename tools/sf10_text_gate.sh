@@ -54,5 +54,6 @@ json.dump({k: v for k, v in o.items() if k in queries},
           open(f"{out_dir}/oracle_sql.json", "w"))
 EOF
 CHECK_ORACLE_VERBOSE="${CHECK_ORACLE_VERBOSE:-1}" \
+CHECK_ORACLE_MEMLIMIT="${CHECK_ORACLE_MEMLIMIT:-80GB}" \
 CHECK_ORACLE_JSON="CORRECTNESS_sf10text_r${ROUND}.json" \
   python3 tools/check_oracle.py "$SF10_DIR" "$OUT_DIR"

@@ -34,5 +34,6 @@ SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
 
 echo "== DuckDB oracle compare at sf1"
 CHECK_ORACLE_VERBOSE="${CHECK_ORACLE_VERBOSE:-1}" \
+CHECK_ORACLE_MEMLIMIT="${CHECK_ORACLE_MEMLIMIT:-80GB}" \
 CHECK_ORACLE_JSON="CORRECTNESS_sf1_r${ROUND}.json" \
   python3 tools/check_oracle.py "$SF1_DIR" "$OUT_DIR"
