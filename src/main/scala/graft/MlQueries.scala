@@ -53,9 +53,17 @@ object MlQueries {
     /** CTEs from the source projection `p(emb)` down to the initial
       * centers `p(c0)` — the maximin seeding by default, overridable so
       * a subclass can swap in a different deterministic init (the
-      * balanced-IVF split oracle uses the robust median-cut init).
+      * balanced-IVF split oracle uses the robust median-cut init; the
+      * census-scaled IVF regime switches between maximin and md5-ranked
+      * seeds, see [[IvfOracle]]).
       */
-    protected def seedCtes: Seq[String] = {
+    protected def seedCtes: Seq[String] = maximinSeedCtes(p("c0"))
+
+    /** The unrolled maximin chain, terminating in a CTE named `c0Name` —
+      * factored out so a regime-switching subclass can emit this chain
+      * under a non-final name and pick between seedings at runtime.
+      */
+    protected final def maximinSeedCtes(c0Name: String): Seq[String] = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
       parts += s"${p("sd0")} AS MATERIALIZED (SELECT e FROM ${p("emb")} ORDER BY vec_id LIMIT 1)"
       parts += s"${p("m0")} AS MATERIALIZED (SELECT vec_id, emb.e AS e, ${sqdist("emb.e", "s.e")} AS md " +
@@ -66,7 +74,7 @@ object MlQueries {
           parts += s"${p(s"m$j")} AS MATERIALIZED (SELECT vec_id, m.e AS e, " +
             s"least(md, ${sqdist("m.e", "s.e")}) AS md FROM ${p(s"m${j - 1}")} m, ${p(s"sd$j")} s)"
       }
-      parts += s"${p("c0")} AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM ${p(s"sd$j")}").mkString(" UNION ALL ")})"
+      parts += s"$c0Name AS MATERIALIZED (${(0 until K).map(j => s"SELECT $j AS cl, e FROM ${p(s"sd$j")}").mkString(" UNION ALL ")})"
       parts.toSeq
     }
 
@@ -131,6 +139,57 @@ object MlQueries {
   private[graft] val IvfCapFactor = 2.0
   private[graft] val IvfSplitBudget = 8
 
+  /** The quantizer's CELL COUNT is a corpus-census knob — the sf10
+    * vector-step lesson, the exact sibling of the fingerprint-width knob
+    * (round 11, text tier): every "cell-bounded" consumer (SemDeDup's
+    * within-cell pairwise, the self-kNN join, probe-time candidate
+    * volume) is only bounded if cells stay bounded, and a FIXED k makes
+    * cell size grow linearly with the corpus — at 200k vectors, k=8
+    * means 25k-member cells and a 5×10⁹-row "cell-bounded" pairwise.
+    *
+    * Regime A (count ≤ [[IvfScaleN]]): the original k=8 maximin fit —
+    * every driver SF (sf0.01/0.1/1) stays bit-identical. Regime B
+    * (count > [[IvfScaleN]]): k = ceil(n / [[IvfTargetCell]]) cells,
+    * seeded by the k corpus vectors with the smallest
+    * (md5(id-as-decimal-string), id) — a closed-form rank both engines
+    * compute identically (the maximin unroll is K−1 materialized CTEs,
+    * structurally infeasible at census k; md5-ranked seeding is one
+    * window function at ANY k, and hash-ranked ≈ uniform random seeds,
+    * the standard large-scale IVF init). Lloyd + hot-cell balancing are
+    * k-agnostic and shared by both regimes. [[IvfTargetCell]] MUST stay
+    * a power of two: n / 2^j is exact in binary floating point, so the
+    * engine's and the oracle's `ceil` agree for every count up to 2^53.
+    *
+    * The fit itself runs on a DRIVER-HELD matrix (id-ordered rows — at
+    * gate SFs the full corpus, at 100 TB the bounded training sample a
+    * coarse quantizer is always fit on), never as distributed Lloyd:
+    * the oracle certifies bit-exact centers, and distributed aggregation
+    * order would reintroduce float-accumulation drift for a model that
+    * is driver-held state anyway.
+    */
+  private[graft] val IvfScaleN = 32768L
+  private[graft] val IvfTargetCell = 1024L
+  private[graft] def ivfKFor(n: Long): Int =
+    if (n <= IvfScaleN) IvfK
+    else math.ceil(n.toDouble / IvfTargetCell.toDouble).toInt
+
+  private[graft] def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // census width constants for the hyperplane fingerprint tiers (single
+  // band + banded) — declared up here because the bucket-CTE vals read
+  // them during object initialization; documented at [[bandedPlanesFor]]'s
+  // point of use
+  private val BandedWidthRange = 8 to 20
+  private val BandedTargetOcc = 2L
+  private[graft] val BandedBandsForWidth: Map[Int, Int] =
+    Map(8 -> 4, 9 -> 5, 10 -> 6, 11 -> 6, 12 -> 7, 13 -> 8, 14 -> 9,
+      15 -> 10, 16 -> 11, 17 -> 13, 18 -> 14, 19 -> 16, 20 -> 18)
+  private[graft] def bandedPlanesFor(n: Long): Int =
+    BandedWidthRange.find(w => n <= (BandedTargetOcc << w))
+      .getOrElse(BandedWidthRange.last)
+
   /** DuckDB oracle for the IVF ANN: the k=8/iters=3 coarse quantizer is
     * the same unrolled deterministic k-means, BALANCED by the same
     * hot-cell split loop the engine serves (see [[balancedCtes]]), then
@@ -141,6 +200,37 @@ object MlQueries {
     * cell pruning, not randomness.
     */
   private object IvfOracle extends KmeansOracleGen(IvfK, IvfIters) {
+
+    /** The census scalar the whole chain branches on — `kk` is the
+      * served cell count ([[ivfKFor]]: the literal k=8 below the regime
+      * threshold, ceil(n / targetCell) above; targetCell is a power of
+      * two so the double division is exact and both engines' ceil agree).
+      */
+    // defs, not vals: the base class's strict `centersSql` forces
+    // `withClauses` (and with it the overridden seedCtes) during BASE
+    // construction, before this object's own vals initialize
+    private def kregCte: String =
+      s"kreg AS MATERIALIZED (SELECT count(*) AS n, CASE WHEN count(*) > $IvfScaleN " +
+        s"THEN CAST(ceil(count(*) / ${IvfTargetCell.toDouble}) AS BIGINT) " +
+        s"ELSE CAST($IvfK AS BIGINT) END AS kk FROM emb)"
+    private def kk = "(SELECT kk FROM kreg)"
+
+    /** Regime-switched seeding (mirrors [[ivfModel]]): the k=8 maximin
+      * unroll serves below [[IvfScaleN]]; above it, seeds are the `kk`
+      * vectors with the smallest (md5(id-as-decimal-string), id) — one
+      * window function at ANY census k, where the maximin unroll is
+      * structurally K−1 CTEs. Both chains are cheap relative to Lloyd,
+      * so both always compute; `c0` picks by the census.
+      */
+    override protected def seedCtes: Seq[String] =
+      Seq(kregCte) ++ maximinSeedCtes("c0mm") ++ Seq(
+        s"""c0h AS MATERIALIZED (SELECT r - 1 AS cl, e FROM (
+           |  SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+           |  FROM emb) WHERE r <= $kk)""".stripMargin,
+        s"""c0 AS MATERIALIZED (
+           |  SELECT CAST(cl AS BIGINT) AS cl, e FROM c0mm WHERE (SELECT n FROM kreg) <= $IvfScaleN
+           |  UNION ALL
+           |  SELECT CAST(cl AS BIGINT) AS cl, e FROM c0h WHERE (SELECT n FROM kreg) > $IvfScaleN)""".stripMargin)
 
     /** Local 2-means over the members of the cell split at step `t` —
       * the unrolled-k-means generator (K=2, Iters=5) pointed at the
@@ -188,11 +278,11 @@ object MlQueries {
     private val S = IvfSplitBudget
     private val balancedCtes: String = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
-      parts += s"bcap AS MATERIALIZED (SELECT greatest(1, CAST(ceil($IvfCapFactor * count(*) / $IvfK) AS BIGINT)) AS cap FROM emb)"
+      parts += s"bcap AS MATERIALIZED (SELECT greatest(1, CAST(ceil($IvfCapFactor * count(*) / $kk) AS BIGINT)) AS cap FROM emb)"
       parts += "ba0 AS MATERIALIZED (SELECT vec_id, cl FROM afin)"
       parts += s"bc0 AS MATERIALIZED (SELECT cl, e FROM c$Iters)"
       for (t <- 1 to S) {
-        val newId = IvfK + t - 1
+        val newId = s"($kk + ${t - 1})"
         parts += s"bocc$t AS MATERIALIZED (SELECT cl, count(*) AS n FROM ba${t - 1} GROUP BY cl)"
         parts += s"bpick$t AS MATERIALIZED (SELECT o.cl FROM bocc$t o, bcap WHERE o.n > bcap.cap ORDER BY o.n DESC, o.cl LIMIT 1)"
         parts += s"bm$t AS MATERIALIZED (SELECT a.vec_id, e.e AS e FROM ba${t - 1} a " +
@@ -216,7 +306,7 @@ object MlQueries {
            |    (SELECT e FROM s${t}_c5 WHERE cl = 1) cb(e))""".stripMargin
       }
       val guardRows = (1 to S).map { t =>
-        val newId = IvfK + t - 1
+        val newId = s"($kk + ${t - 1})"
         s"""SELECT EXISTS (SELECT 1 FROM bpick$t) AS active,
            |  (SELECT count(*) FROM ba$t a JOIN bm$t m ON m.vec_id = a.vec_id
            |   WHERE a.cl = (SELECT cl FROM bpick$t)) AS na,
@@ -347,23 +437,28 @@ object MlQueries {
       * join with identical tie-breaks. Vectors alone in their cell emit
       * no row (both engines).
       */
+    /** The pairwise CTEs compute the per-pair cosine with native
+      * `list_dot_product` over per-row precomputed norms instead of a
+      * ×D `generate_series` lateral unnest + re-aggregation — at the
+      * sf10 vector step the unnest form materializes Σn_cell² × D ≈
+      * 1.3×10¹⁰ intermediate rows and never finishes; the native fold
+      * also matches the engine's in-order dot accumulation more closely
+      * than an unordered SUM ever did.
+      */
     val knnSql: String =
       s"""WITH $withClauses,
          |$balancedCtes,
          |cells AS MATERIALIZED (
-         |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
+         |  SELECT a.vec_id AS cid, e.e AS ce,
+         |    list_dot_product(e.e, e.e) AS n2, a.cl AS cell
          |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
-         |pr AS (
-         |  SELECT l.cid AS qid, l.ce AS qe, r.cid, r.ce
+         |pd AS (
+         |  SELECT l.cid AS qid, r.cid,
+         |    list_dot_product(l.ce, r.ce) / (sqrt(l.n2) * sqrt(r.n2)) AS cos
          |  FROM cells l JOIN cells r ON l.cell = r.cell AND l.cid <> r.cid),
-         |pd AS (SELECT qid, cid,
-         |         sum(qe[t.i] * ce[t.i]) AS dot,
-         |         sum(qe[t.i] * qe[t.i]) AS nq,
-         |         sum(ce[t.i] * ce[t.i]) AS nc
-         |       FROM pr, generate_series(1, ${this.D}) t(i) GROUP BY qid, cid),
-         |pk AS (SELECT qid, cid, dot / (sqrt(nq) * sqrt(nc)) AS cos,
+         |pk AS (SELECT qid, cid, cos,
          |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY dot / (sqrt(nq) * sqrt(nc)) DESC, cid) AS rn
+         |                            ORDER BY cos DESC, cid) AS rn
          |       FROM pd)
          |SELECT qid AS vec_id, cid AS nn_id, round(cos, 6) AS cos_sim
          |FROM pk WHERE rn = 1""".stripMargin
@@ -376,18 +471,13 @@ object MlQueries {
       s"""WITH $withClauses,
          |$balancedCtes,
          |cells AS MATERIALIZED (
-         |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
+         |  SELECT a.vec_id AS cid, e.e AS ce,
+         |    list_dot_product(e.e, e.e) AS n2, a.cl AS cell
          |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
-         |pr AS (
-         |  SELECT l.cid AS vid, l.ce AS qe, r.cid AS nn, r.ce AS ce
-         |  FROM cells l JOIN cells r ON l.cell = r.cell AND r.cid < l.cid),
-         |pd AS (SELECT vid, nn,
-         |         sum(qe[t.i] * ce[t.i]) AS dot,
-         |         sum(qe[t.i] * qe[t.i]) AS nq,
-         |         sum(ce[t.i] * ce[t.i]) AS nc
-         |       FROM pr, generate_series(1, ${this.D}) t(i) GROUP BY vid, nn),
-         |dup AS (SELECT DISTINCT vid FROM pd
-         |        WHERE dot / (sqrt(nq) * sqrt(nc)) >= $tau)
+         |dup AS (
+         |  SELECT DISTINCT l.cid AS vid
+         |  FROM cells l JOIN cells r ON l.cell = r.cell AND r.cid < l.cid
+         |  WHERE list_dot_product(l.ce, r.ce) / (sqrt(l.n2) * sqrt(r.n2)) >= $tau)
          |SELECT c.cid AS vec_id,
          |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM cells c LEFT JOIN dup d ON d.vid = c.cid""".stripMargin
@@ -606,7 +696,7 @@ object MlQueries {
   private val ivfModelCache =
     new scala.collection.concurrent.TrieMap[(String, String), KMeans.Model]()
   private def ivfModel(s: SparkSession, dir: String): KMeans.Model =
-    ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+    ivfModelCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       // load-if-persisted, train-and-persist otherwise: a second cold
       // session serves the identical quantizer without refitting. The
       // SERVED codebook is the skew-BALANCED one: base k-means, then
@@ -617,20 +707,35 @@ object MlQueries {
       // same map-side argmin kernel). Balancing runs on the quantizer's
       // fit sample: the full corpus at test SFs (id-ordered, matching
       // the unrolled oracle); at real scale the same driver-held
-      // training sample the base fit would use.
-      graft.kmeans.ModelStore.getOrFit(s,
-        // "mc" = median-cut split init — part of the artifact identity so a
-        // split-rule change can never serve a stale persisted codebook
-        modelPath(s, dir, s"ivf-k$IvfK-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc"), {
-        val e = emb(s, dir)
-        val base = KMeans.fit(e, k = IvfK, iters = IvfIters)
-        val rows = e.select(col("id").cast("long").as("__id"), col("features"))
+      // training sample the base fit would use. The base fit is
+      // regime-switched on the corpus census (see [[IvfScaleN]]):
+      // k=8 maximin below the threshold, census-k md5-ranked seeds above.
+      val e = emb(s, dir)
+      val n = e.count()
+      val k = ivfKFor(n)
+      // "mc" = median-cut split init, "h" = md5-ranked seeding — part of
+      // the artifact identity so neither a split-rule nor a regime change
+      // can ever serve a stale persisted codebook
+      val name =
+        if (n <= IvfScaleN) s"ivf-k$IvfK-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc"
+        else s"ivf-census-k$k-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc-h"
+      graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, name), {
+        val pairs = e.select(col("id").cast("long").as("__id"), col("features"))
           .orderBy(col("__id")).collect()
-          .map(_.getSeq[Double](1).toArray)
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val rows = pairs.map(_._2)
+        val base =
+          if (n <= IvfScaleN) KMeans.fit(e, k = IvfK, iters = IvfIters)
+          else {
+            val seeds = pairs.sortBy { case (id, _) => (md5Hex(id.toString), id) }
+              .take(k).map(_._2.clone())
+            KMeans.fitLocal(rows, k, IvfIters, 0, initCenters = seeds)
+          }
         val bal = graft.kmeans.BalancedIvf.splitHotCells(rows, base.centers,
-          capFactor = IvfCapFactor, maxCenters = IvfK + IvfSplitBudget)
+          capFactor = IvfCapFactor, maxCenters = k + IvfSplitBudget)
         Array(KMeans.Model(bal.centers))
-      }).head)
+      }).head
+    })
 
   /** IVF top-3 per query with the running cosine: nearest-`nprobe`-cells
     * pruning, self excluded (shared by q_ann_ivf and the recall
@@ -820,34 +925,59 @@ object MlQueries {
     * arithmetic (Knuth multiplicative hash mod a prime) so both engines
     * compute identical planes and the bucketing itself is oracle-checked.
     */
-  private val LshPlanes = 8
   private def hyperplane(j: Int): Array[Double] =
     Array.tabulate(D)(i => ((((j * D + i).toLong * 2654435761L) % 1997L) - 998L) / 998.0)
 
-  /** Sign-pattern bit columns for the random-hyperplane bucket key. */
-  private def lshBits: Seq[Column] = (0 until LshPlanes).map(j =>
+  /** Sign-pattern bit columns for the random-hyperplane bucket key. The
+    * plane count is the SAME corpus-census pick as the banded tier
+    * ([[bandedPlanesFor]]) — the sf10 vector step caught the original
+    * fixed 8-plane key saturating combinatorially at 200k vectors
+    * (expected occupancy 781, a ~1.5×10⁸-row candidate relation BY
+    * CONSTRUCTION, where the census width keeps candidates ~linear in
+    * n). At ≤ 512 vectors the pick is 8, the original design point.
+    */
+  private def lshBits(w: Int): Seq[Column] = (0 until w).map(j =>
     when(dotNative(col("features"), lit(hyperplane(j))) > 0.0, lit("1")).otherwise(lit("0")))
 
-  /** The plane → bit → bucket CTE chain, shared by the bucketing oracle
-    * and the composed near-dup oracle.
+  /** The census-width plane → bit → bucket CTE chain, shared by the
+    * bucketing oracle and the composed near-dup oracle — width picked by
+    * the same exact-integer rule as the engine's [[bandedPlanesFor]].
     */
-  private val lshBucketCtes: String =
+  /** Plane vectors as per-row LISTS (one `list_dot_product` per
+    * (vector, plane)) instead of the old ×D lateral `generate_series`
+    * fan-out + re-aggregation: at the sf10 step the lateral form
+    * materializes corpus × planes × D ≈ 2.8×10⁹ rows through one giant
+    * hash agg and OOMs DuckDB outright; this form is corpus × planes
+    * rows with a native fold each, and the fold order matches the
+    * engine's in-order dot kernel besides.
+    */
+  private def planeCtes(maxPlanes: Int, planeBound: String): String =
     s"""p AS (
-       |  SELECT j.j AS j, i.i AS i,
-       |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
-       |  FROM generate_series(0, ${LshPlanes - 1}) j(j), generate_series(0, ${D - 1}) i(i)),
+       |  SELECT j.j AS j,
+       |    list_transform(generate_series(0, ${D - 1}),
+       |      i -> CAST((((j.j * $D + i) * 2654435761) % 1997) - 998 AS DOUBLE) / 998.0) AS hv
+       |  FROM generate_series(0, ${maxPlanes - 1}) j(j)
+       |  WHERE j.j < $planeBound),
+       |eb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),
        |b AS (
        |  SELECT e.vec_id, p.j,
-       |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
-       |         THEN '1' ELSE '0' END AS bit
-       |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
+       |    CASE WHEN list_dot_product(e.ed, p.hv) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM eb e, p)""".stripMargin
+
+  private val lshBucketCtes: String =
+    s"""wn AS (SELECT count(*) AS n FROM embeddings),
+       |wd AS (SELECT coalesce(min(t.p), ${BandedWidthRange.last}) AS w
+       |       FROM generate_series(${BandedWidthRange.head}, ${BandedWidthRange.last}) t(p), wn
+       |       WHERE wn.n <= $BandedTargetOcc * (1 << t.p)),
+       |${planeCtes(BandedWidthRange.last, "(SELECT w FROM wd)")},
        |k AS (
        |  SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM b GROUP BY vec_id)""".stripMargin
 
   val embeddingLshPairs = Q("q_embedding_lsh_pairs",
     (s, dir) => {
       val e = emb(s, dir)
-      val bucketed = e.select(col("id"), concat(lshBits: _*).as("bucket"))
+      val bucketed = e.select(col("id"),
+          concat(lshBits(bandedPlanesFor(embCount(s, dir))): _*).as("bucket"))
         .localCheckpoint(true)
       val l = bucketed.select(col("id").as("ida"), col("bucket"))
       val r = bucketed.select(col("id").as("idb"), col("bucket"))
@@ -873,7 +1003,8 @@ object MlQueries {
     (s, dir) => {
       val e = emb(s, dir)
       val bucketed = e.select(col("id"), col("features"),
-          concat(lshBits: _*).as("bucket"), norm2(col("features")).as("nrm"))
+          concat(lshBits(bandedPlanesFor(embCount(s, dir))): _*).as("bucket"),
+          norm2(col("features")).as("nrm"))
         .localCheckpoint(true)
       val l = bucketed.select(col("id").as("ida"), col("bucket"),
         col("features").as("fa"), col("nrm").as("na"))
@@ -918,7 +1049,7 @@ object MlQueries {
     * once corpus/2^w ≫ 1 (sf1's 20k vectors averaged 78 per 8-bit bucket,
     * making candidate volume ~quadratic BY CONSTRUCTION). The width is
     * now a census-driven knob both engines pick identically:
-    * w = smallest plane count in 8..16 with n ≤ 2·2^w (expected bucket
+    * w = smallest plane count in 8..20 with n ≤ 2·2^w (expected bucket
     * occupancy ≤ 2 ⇒ expected candidate volume ~linear in n), and the
     * band count B(w) holds the OR-of-ANDs detection probability at
     * cos 0.95 near the original 4×8 design point (≈ 0.89):
@@ -926,14 +1057,9 @@ object MlQueries {
     * a constant table so the pick is exact-integer in both engines (no
     * runtime ceil on a transcendental boundary).
     */
-  private val BandedWidthRange = 8 to 16
-  private val BandedTargetOcc = 2L
-  private[graft] val BandedBandsForWidth: Map[Int, Int] =
-    Map(8 -> 4, 9 -> 5, 10 -> 6, 11 -> 6, 12 -> 7, 13 -> 8, 14 -> 9,
-      15 -> 10, 16 -> 11)
-  private[graft] def bandedPlanesFor(n: Long): Int =
-    BandedWidthRange.find(w => n <= (BandedTargetOcc << w))
-      .getOrElse(BandedWidthRange.last)
+  // (width constants declared with the IVF census constants near the top
+  // of the object — declaration order matters: the LSH bucket CTE vals
+  // read them during object initialization)
 
   /** One corpus-count census per (session, dir) — the input to the width
     * pick (a count-star on a parquet footer scan, not a data read).
@@ -974,7 +1100,16 @@ object MlQueries {
     val cand = TextOps.candidatePairs(bands, "id", hotComplete = true)
     val l = bucketed.select(col("id").as("doc_a"), col("features").as("fa"), col("nrm").as("na"))
     val r = bucketed.select(col("id").as("doc_b"), col("features").as("fb"), col("nrm").as("nb"))
-    cand.join(l, Seq("doc_a")).join(r, Seq("doc_b"))
+    // SHUFFLE_HASH on the vector-fetch joins: the build side is the
+    // corpus (one 64-d vector per row), the streamed side is the pair
+    // relation — on a copies-heavy corpus the declared answer itself is
+    // Ω(members²) per near-dup family (sf10: ~10⁷ pairs), and SMJ would
+    // SORT the pair stream twice while it carries 530-byte vectors
+    // (observed at the sf10 step: ~80 GB of transient sort spill filled
+    // the disk); the hash join streams it unsorted, so only the compact
+    // (doc_a, doc_b) shuffle and the build-side corpus ever hit disk.
+    cand.join(l.hint("shuffle_hash"), Seq("doc_a"))
+      .join(r.hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("cos", dotNative(col("fa"), col("fb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.35)
       .select(col("doc_a").as("ida"), col("doc_b").as("idb"), col("cos"))
@@ -999,31 +1134,21 @@ object MlQueries {
        |       FROM generate_series(${BandedWidthRange.head}, ${BandedWidthRange.last}) t(p), wn
        |       WHERE wn.n <= $BandedTargetOcc * (1 << t.p)),
        |wb AS (SELECT w, CASE w $bCase END AS nb FROM wd),
-       |p AS (
-       |  SELECT j.j AS j, i.i AS i,
-       |    (((((j.j * $D + i.i) * 2654435761) % 1997) - 998) / 998.0) AS h
-       |  FROM generate_series(0, ${maxPlanes - 1}) j(j),
-       |       generate_series(0, ${D - 1}) i(i), wb
-       |  WHERE j.j < wb.nb * wb.w),
-       |b AS (
-       |  SELECT e.vec_id, p.j,
-       |    CASE WHEN sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.h) > 0
-       |         THEN '1' ELSE '0' END AS bit
-       |  FROM embeddings e, p GROUP BY e.vec_id, p.j),
-       |k AS (
+       |${planeCtes(maxPlanes, "(SELECT nb * w FROM wb)")},
+       |k AS MATERIALIZED (
        |  SELECT vec_id, b.j // wb.w AS band, string_agg(bit, '' ORDER BY b.j) AS bucket
        |  FROM b, wb GROUP BY vec_id, b.j // wb.w),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT l.vec_id AS ida, r.vec_id AS idb
        |  FROM k l JOIN k r ON l.band = r.band AND l.bucket = r.bucket
        |    AND l.vec_id < r.vec_id),
        |dd AS (SELECT c.ida, c.idb,
-       |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS dot,
-       |        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) AS na,
-       |        list_dot_product(CAST(bb.embedding AS DOUBLE[]), CAST(bb.embedding AS DOUBLE[])) AS nb
-       |      FROM cand c JOIN embeddings a ON a.vec_id = c.ida
-       |                  JOIN embeddings bb ON bb.vec_id = c.idb),
-       |vp AS (SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dd
+       |        list_dot_product(a.ed, bb.ed) AS dot,
+       |        list_dot_product(a.ed, a.ed) AS na,
+       |        list_dot_product(bb.ed, bb.ed) AS nb
+       |      FROM cand c JOIN eb a ON a.vec_id = c.ida
+       |                  JOIN eb bb ON bb.vec_id = c.idb),
+       |vp AS MATERIALIZED (SELECT ida, idb, dot / (sqrt(na) * sqrt(nb)) AS cos FROM dd
        |       WHERE dot / (sqrt(na) * sqrt(nb)) > 0.35)""".stripMargin
   }
 

@@ -17,7 +17,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), not coalesce(1): coalesce folds the WHOLE final
+        // stage into one task (a multi-hundred-million-row candidate
+        // verify then runs single-threaded before the single-file write —
+        // observed live at the sf10 vector step); repartition keeps the
+        // query parallel and only the post-shuffle write is one task.
+        // The compare is order-insensitive, so the extra shuffle is free.
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -240,6 +240,86 @@ case class ArgMinSqDistExpr(child: Expression, centers: Array[Array[Double]])
   override def prettyName: String = "argmin_sqdist_native"
 }
 
+/** Min squared distance against a LITERAL center matrix in one codegen
+  * loop — the value twin of [[ArgMinSqDistExpr]] (identical scan order
+  * and strict-`<` first-min semantics, returning the winning distance
+  * instead of its index). Used by `Model.assign(withDist = true)` at
+  * census-scaled quantizer k, where an `array_min` over k separate
+  * kernels would generate k methods' worth of code.
+  */
+case class MinSqDistExpr(child: Expression, centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  private val k = centers.length
+  private val d = centers.headOption.map(_.length).getOrElse(0)
+  @transient private lazy val flat: Array[Double] = centers.flatten
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != d) return null
+    val xv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      xv(i) = x.getDouble(i)
+      i += 1
+    }
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      val off = j * d
+      var t = 0
+      while (t < d) { val z = xv(t) - flat(off + t); s += z * z; t += 1 }
+      if (s < bestD) bestD = s
+      j += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("centersFlat", flat, "double[]")
+      val xv = ctx.freshName("xv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val z = ctx.freshName("z")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($a.numElements() != $d) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $xv = new double[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $xv[$i] = $a.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $bestD = Double.MAX_VALUE;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $s = 0.0;
+         |      int $off = $j * $d;
+         |      for (int $t = 0; $t < $d; $t++) {
+         |        double $z = $xv[$t] - $flatRef[$off + $t]; $s += $z * $z;
+         |      }
+         |      if ($s < $bestD) { $bestD = $s; }
+         |    }
+         |    ${ev.value} = $bestD;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "min_sqdist_native"
+}
+
 object NativeVectorFunctions {
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -260,4 +340,11 @@ object NativeVectorFunctions {
     */
   def argMinSqDistNative(features: Column, centers: Array[Array[Double]]): Column =
     toCol(ArgMinSqDistExpr(expr(features), centers))
+
+  /** Codegen'd min squared distance against a literal center matrix —
+    * the value twin of [[argMinSqDistNative]] for `withDist` assignment
+    * at census-scaled quantizer k.
+    */
+  def minSqDistNative(features: Column, centers: Array[Array[Double]]): Column =
+    toCol(MinSqDistExpr(expr(features), centers))
 }

@@ -39,20 +39,37 @@ object KMeans {
     def distances(features: Column): Column =
       array(centers.toIndexedSeq.map(c => sqDistNative(features, lit(c))): _*)
 
+    /** Above this k, assignment switches from k separate codegen kernels
+      * (ideal at BFR/k-means scale — each stays inside whole-stage
+      * codegen) to the single-loop [[graft.functions.NativeVectorFunctions.argMinSqDistNative]]
+      * kernel whose generated code is O(1) in k — a census-scaled IVF
+      * quantizer (k ≈ n/targetCell) would otherwise generate k methods'
+      * worth of Java and fall out of codegen entirely.
+      */
+    private val ArgMinKernelMinK = 16
+
     /** Argmin label (first minimum wins — ties to the lowest cluster id). */
-    def labelFor(features: Column): Column = {
-      val dists = distances(features)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    def labelFor(features: Column): Column =
+      if (k > ArgMinKernelMinK)
+        graft.functions.NativeVectorFunctions.argMinSqDistNative(features, centers)
+      else {
+        val dists = distances(features)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
 
     /** Append `label` (and optionally `dist2`, the squared distance to the
       * chosen center) to `df`.
       */
     def assign(df: DataFrame, featCol: String, withDist: Boolean = false): DataFrame = {
+      if (!withDist) return df.withColumn("label", labelFor(col(featCol)))
+      if (k > ArgMinKernelMinK)
+        return df.withColumn("label", labelFor(col(featCol)))
+          .withColumn("dist2",
+            graft.functions.NativeVectorFunctions.minSqDistNative(col(featCol), centers))
       val dists = distances(col(featCol))
-      val out = df.withColumn("label",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-      if (withDist) out.withColumn("dist2", array_min(dists)) else out
+      df.withColumn("label",
+          (array_position(dists, array_min(dists)) - 1).cast("int"))
+        .withColumn("dist2", array_min(dists))
     }
 
     /** Inertia / SSE: Σ min-squared-distance (code/test_sklearn.py:50-56). */

@@ -76,14 +76,17 @@ class EmbeddingLshSpec extends AnyFunSuite {
   }
 
   test("census-driven band width: pick rule and B(w) table match the detection math") {
-    // width pick: smallest w in 8..16 with n <= 2*2^w (expected bucket
-    // occupancy <= 2), clamped to 16
+    // width pick: smallest w in 8..20 with n <= 2*2^w (expected bucket
+    // occupancy <= 2), clamped to 20 (the sf10 vector step pushed the
+    // old 8..16 ceiling back into saturation at 200k vectors: occupancy
+    // 3.05 at w=16 vs 1.53 at the census pick w=17)
     assert(MlQueries.bandedPlanesFor(1L) == 8)
     assert(MlQueries.bandedPlanesFor(512L) == 8)
     assert(MlQueries.bandedPlanesFor(513L) == 9)
     assert(MlQueries.bandedPlanesFor(2000L) == 10)    // sf0.01
     assert(MlQueries.bandedPlanesFor(20000L) == 14)   // sf1
-    assert(MlQueries.bandedPlanesFor(1L << 40) == 16) // clamp
+    assert(MlQueries.bandedPlanesFor(200000L) == 17)  // sf10 vector step
+    assert(MlQueries.bandedPlanesFor(1L << 40) == 20) // clamp
     // B(w) table: each entry must be the MINIMAL band count holding
     // OR-of-ANDs detection at cos 0.95 at/above the 4×8 design point's
     // 0.89 (epsilon 5e-4 absorbs the w=16 boundary, where detection at
@@ -91,7 +94,7 @@ class EmbeddingLshSpec extends AnyFunSuite {
     // case the table exists to pin)
     val p = 1.0 - math.acos(0.95) / math.Pi
     def detect(w: Int, b: Int) = 1.0 - math.pow(1.0 - math.pow(p, w), b)
-    (8 to 16).foreach { w =>
+    (8 to 20).foreach { w =>
       val b = MlQueries.BandedBandsForWidth(w)
       assert(detect(w, b) >= 0.89 - 5e-4, s"w=$w B=$b detection ${detect(w, b)} < 0.89")
       assert(detect(w, b - 1) < 0.89 - 5e-4, s"w=$w B=$b not minimal")
@@ -123,6 +126,27 @@ class EmbeddingLshSpec extends AnyFunSuite {
     // and the high half is genuinely independent (not a copy / zero)
     assert(w64.exists { case (id, s64) => (s64 >>> 32) != (s64 & 0xFFFFFFFFL) })
     assert(w64.exists { case (_, s64) => (s64 >>> 32) != 0L })
+  }
+
+  test("census-driven IVF cell count: regime boundary, exact ceil, md5-rank seeding order") {
+    // regime A (k=8 maximin) holds through every driver SF (sf1 = 20k);
+    // regime B k = ceil(n / 1024) — 1024 is a power of two so n/1024.0
+    // is exact in binary floating point and the engine's and DuckDB's
+    // ceil agree at every count
+    assert(MlQueries.ivfKFor(500L) == 8)      // sf0.01
+    assert(MlQueries.ivfKFor(20000L) == 8)    // sf1
+    assert(MlQueries.ivfKFor(32768L) == 8)    // boundary: last regime-A count
+    assert(MlQueries.ivfKFor(32769L) == 33)   // first regime-B count
+    assert(MlQueries.ivfKFor(200000L) == 196) // sf10 vector step
+    assert(MlQueries.ivfKFor(1048576L) == 1024)
+    // md5Hex must agree with DuckDB's md5(CAST(id AS VARCHAR)) — pinned
+    // vector plus the full rank order of ids 0..9, both verified against
+    // DuckDB 1.0 (SELECT i FROM generate_series(0,9) t(i)
+    //             ORDER BY md5(CAST(i AS VARCHAR)), i)
+    assert(MlQueries.md5Hex("5") == "e4da3b7fbbce2345d7772b0674a318d5")
+    val ranked = (0L to 9L).sortBy(i => (MlQueries.md5Hex(i.toString), i))
+    assert(ranked == Seq(6L, 9L, 7L, 4L, 1L, 2L, 8L, 0L, 5L, 3L),
+      s"md5 rank order drifted: $ranked")
   }
 
   test("embedding cluster profile: partition is total and arithmetic consistent") {

@@ -92,7 +92,7 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("argmin-sqdist kernel ≡ Model.labelFor at small and large k (ties to first min)") {
+  test("argmin/min-sqdist kernels ≡ the k-kernel HOF form at small and large k (ties to first min)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rng = new scala.util.Random(47)
@@ -106,12 +106,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
         if (i < 10) (i.toLong, centers(i % k).toSeq)
         else (i.toLong, Seq.fill(d)(rng.nextDouble() * 2 - 1)))
       val df = pts.toDF("id", "e")
-      val model = graft.kmeans.KMeans.Model(centers)
+      // the reference form Model.labelFor/assign USED below the kernel
+      // threshold: k separate sqdist kernels + array argmin/min —
+      // spelled out explicitly so this stays a two-implementation
+      // comparison now that Model itself delegates to the single-loop
+      // kernels at large k
+      val dists = array(centers.toIndexedSeq.map(c =>
+        graft.functions.NativeVectorFunctions.sqDistNative(col("e"), lit(c))): _*)
       val rows = df.select(col("id"),
         graft.functions.NativeVectorFunctions.argMinSqDistNative(col("e"), centers).as("a"),
-        model.labelFor(col("e")).as("b")).collect()
-      rows.foreach(r => assert(r.getInt(1) == r.getInt(2),
-        s"k=$k id=${r.getLong(0)}: kernel=${r.getInt(1)} labelFor=${r.getInt(2)}"))
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("b"),
+        graft.functions.NativeVectorFunctions.minSqDistNative(col("e"), centers).as("ma"),
+        array_min(dists).as("mb")).collect()
+      rows.foreach { r =>
+        assert(r.getInt(1) == r.getInt(2),
+          s"k=$k id=${r.getLong(0)}: kernel=${r.getInt(1)} hof=${r.getInt(2)}")
+        assert(r.getDouble(3) == r.getDouble(4),
+          s"k=$k id=${r.getLong(0)}: minkernel=${r.getDouble(3)} hof=${r.getDouble(4)}")
+      }
+      // Model.assign(withDist) must agree with the HOF form in both regimes
+      val model = graft.kmeans.KMeans.Model(centers)
+      val viaModel = model.assign(df.withColumnRenamed("e", "features"), "features",
+        withDist = true).select(col("id"), col("label"), col("dist2")).collect()
+      viaModel.zip(rows).foreach { case (m, r) =>
+        assert(m.getInt(1) == r.getInt(2) && m.getDouble(2) == r.getDouble(4),
+          s"k=$k id=${m.getLong(0)}: assign=(${m.getInt(1)},${m.getDouble(2)})")
+      }
     }
   }
 }
