@@ -921,12 +921,26 @@ object MlQueries {
 
   /** Random-hyperplane LSH bucketing — the scale path for embedding
     * near-dup (candidates share a sign-pattern bucket; verify with the
-    * exact cosine stage). Hyperplanes derive from exact integer
-    * arithmetic (Knuth multiplicative hash mod a prime) so both engines
-    * compute identical planes and the bucketing itself is oracle-checked.
+    * exact cosine stage). Hyperplanes derive from exact integer md5
+    * arithmetic so both engines compute identical planes and the
+    * bucketing itself is oracle-checked.
+    */
+  /** Hyperplane entries from md5, NOT from a multiplicative-hash stride:
+    * the original `((j·D+i)·2654435761 mod 1997)` generator is a LATTICE —
+    * within a plane the entries step by a fixed stride mod 1997, and
+    * consecutive planes are shifts of the same sequence — so planes
+    * correlate and sign patterns collapse (measured at the sf10 vector
+    * step: ~6,700 occupied 17-bit buckets for 200k vectors, max bucket
+    * ~5,100, a ~9×10⁸-pair candidate relation that no width can fix —
+    * round 10's "structured generators alias" lesson, third appearance).
+    * md5-derived entries are independent across (j, i); the oracle
+    * computes the identical integers via DuckDB's md5 (see [[planeCtes]]).
     */
   private def hyperplane(j: Int): Array[Double] =
-    Array.tabulate(D)(i => ((((j * D + i).toLong * 2654435761L) % 1997L) - 998L) / 998.0)
+    Array.tabulate(D) { i =>
+      ((java.lang.Long.parseLong(md5Hex(s"hp:$j:$i").substring(0, 8), 16)
+        % 1997L) - 998L) / 998.0
+    }
 
   /** Sign-pattern bit columns for the random-hyperplane bucket key. The
     * plane count is the SAME corpus-census pick as the banded tier
@@ -955,7 +969,7 @@ object MlQueries {
     s"""p AS (
        |  SELECT j.j AS j,
        |    list_transform(generate_series(0, ${D - 1}),
-       |      i -> CAST((((j.j * $D + i) * 2654435761) % 1997) - 998 AS DOUBLE) / 998.0) AS hv
+       |      i -> CAST((('0x' || substring(md5('hp:' || CAST(j.j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1997) - 998 AS DOUBLE) / 998.0) AS hv
        |  FROM generate_series(0, ${maxPlanes - 1}) j(j)
        |  WHERE j.j < $planeBound),
        |eb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings),

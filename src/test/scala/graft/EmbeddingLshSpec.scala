@@ -149,6 +149,38 @@ class EmbeddingLshSpec extends AnyFunSuite {
       s"md5 rank order drifted: $ranked")
   }
 
+  test("regime-B census quantizer serves the live IVF queries end-to-end (33k corpus)") {
+    val s = spark
+    import s.implicits._
+    // 33,000 > IvfScaleN = 32,768 → the census regime: k = ceil(33000/1024) = 33
+    val n = 33000
+    val rng = new scala.util.Random(11)
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, (i % 7).toLong)
+    }
+    val dir = Files.createTempDirectory("graft_regimeb").toFile.getAbsolutePath
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // the served IVF search must run through the census codebook and
+    // still produce the contract shape: 5 queries × top-3
+    val ivf = SparkEntry.queries("q_ann_ivf")(s, dir)
+    assert(ivf.count() == 15, "q_ann_ivf must yield 5 queries x top-3")
+    // the persisted artifact carries the census identity — a regime
+    // change can never serve a stale codebook
+    val stores = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_models")
+      .listFiles().flatMap(_.listFiles()).map(_.getName)
+    assert(stores.exists(_.startsWith("ivf-census-k33-")),
+      s"expected an ivf-census-k33-* artifact, saw: ${stores.mkString(",")}")
+    // census single-band LSH width at 33k is 15 (2*2^15 >= 33000): near-
+    // uniform gaussian sign patterns → candidates ~linear, query returns
+    val lsh = SparkEntry.queries("q_embedding_lsh_pairs")(s, dir)
+    assert(lsh.columns.toSeq == Seq("ida", "idb", "bucket"))
+    assert(lsh.limit(1).collect().forall(_.getString(2).length == 15),
+      "census width at 33k must be 15 planes")
+  }
+
   test("embedding cluster profile: partition is total and arithmetic consistent") {
     val dir = "/root/testdata/sf0.001"
     val total = spark.read.parquet(s"$dir/embeddings.parquet").count()

@@ -16,6 +16,13 @@ con = duckdb.connect()
 if os.environ.get("CHECK_ORACLE_MEMLIMIT"):
     con.sql(f"SET memory_limit = '{os.environ['CHECK_ORACLE_MEMLIMIT']}'")
     con.sql("SET temp_directory = '/tmp/duckdb_spill'")
+# Optional worker-thread cap (e.g. CHECK_ORACLE_THREADS=16): at the sf10
+# gates DuckDB's default (one thread per CPU) plus deep materialized-CTE
+# chains can fail pthread_create with EAGAIN mid-run (thread stacks
+# compete with the buffer pool for address space); capping threads keeps
+# long multi-query compares stable at a small wall-clock cost.
+if os.environ.get("CHECK_ORACLE_THREADS"):
+    con.sql(f"SET threads = {int(os.environ['CHECK_ORACLE_THREADS'])}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     # driver layout = single file; TestDataGen layout = directory of parts.

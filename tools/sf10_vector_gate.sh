@@ -56,6 +56,12 @@ SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
   | grep "\[verify\]" && { echo "Verify reported per-query failures"; exit 1; } || true
 
 echo "== DuckDB oracle compare at sf10"
+# DuckDB's buffer manager + deep materialized-CTE chains exhaust the
+# kernel's default mmap budget (vm.max_map_count=65530) on the 6×10⁷-row
+# candidate relations here — malloc then fails on tiny blocks and
+# pthread_create returns EAGAIN, both fatal. Raise it when permitted.
+sysctl -w vm.max_map_count=1048576 2>/dev/null || \
+  echo "   (could not raise vm.max_map_count — compare may abort on the largest relations)"
 python3 - "$OUT_DIR" "$QUERIES" <<'EOF'
 import json, sys
 out_dir, queries = sys.argv[1], set(sys.argv[2].split(","))
@@ -64,6 +70,7 @@ json.dump({k: v for k, v in o.items() if k in queries},
           open(f"{out_dir}/oracle_sql.json", "w"))
 EOF
 CHECK_ORACLE_VERBOSE="${CHECK_ORACLE_VERBOSE:-1}" \
-CHECK_ORACLE_MEMLIMIT="${CHECK_ORACLE_MEMLIMIT:-80GB}" \
+CHECK_ORACLE_MEMLIMIT="${CHECK_ORACLE_MEMLIMIT:-60GB}" \
+CHECK_ORACLE_THREADS="${CHECK_ORACLE_THREADS:-16}" \
 CHECK_ORACLE_JSON="CORRECTNESS_sf10vec_r${ROUND}.json" \
   python3 tools/check_oracle.py "$SF10_DIR" "$OUT_DIR"
