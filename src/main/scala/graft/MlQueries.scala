@@ -160,18 +160,22 @@ object MlQueries {
     * a power of two: n / 2^j is exact in binary floating point, so the
     * engine's and the oracle's `ceil` agree for every count up to 2^53.
     *
-    * The fit itself runs on a DRIVER-HELD matrix (id-ordered rows — at
-    * gate SFs the full corpus, at 100 TB the bounded training sample a
-    * coarse quantizer is always fit on), never as distributed Lloyd:
-    * the oracle certifies bit-exact centers, and distributed aggregation
-    * order would reintroduce float-accumulation drift for a model that
-    * is driver-held state anyway.
+    * The fit itself runs on a DRIVER-HELD matrix (id-ordered rows — the
+    * full corpus up to [[IvfSampleN]], beyond that the md5-ranked
+    * bounded training sample a coarse quantizer is always fit on, with
+    * the sample selected distributed via TakeOrdered), never as
+    * distributed Lloyd: the oracle certifies bit-exact centers, and
+    * distributed aggregation order would reintroduce float-accumulation
+    * drift for a model that is driver-held state anyway.
     */
-  private[graft] val IvfScaleN = 32768L
-  private[graft] val IvfTargetCell = 1024L
-  private[graft] def ivfKFor(n: Long): Int =
-    if (n <= IvfScaleN) IvfK
-    else math.ceil(n.toDouble / IvfTargetCell.toDouble).toInt
+  private[graft] val IvfScaleN = Census.IvfScaleN
+  private[graft] val IvfTargetCell = Census.IvfTargetCell
+
+  private[graft] val IvfKMax = Census.IvfKMax
+
+  private[graft] val IvfSampleN = Census.IvfSampleN
+
+  private[graft] def ivfKFor(n: Long): Int = Census.ivfKFor(n)
 
   private[graft] def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -181,14 +185,10 @@ object MlQueries {
   // band + banded) — declared up here because the bucket-CTE vals read
   // them during object initialization; documented at [[bandedPlanesFor]]'s
   // point of use
-  private val BandedWidthRange = 8 to 20
-  private val BandedTargetOcc = 2L
-  private[graft] val BandedBandsForWidth: Map[Int, Int] =
-    Map(8 -> 4, 9 -> 5, 10 -> 6, 11 -> 6, 12 -> 7, 13 -> 8, 14 -> 9,
-      15 -> 10, 16 -> 11, 17 -> 13, 18 -> 14, 19 -> 16, 20 -> 18)
-  private[graft] def bandedPlanesFor(n: Long): Int =
-    BandedWidthRange.find(w => n <= (BandedTargetOcc << w))
-      .getOrElse(BandedWidthRange.last)
+  private val BandedWidthRange = Census.BandedWidthRange
+  private val BandedTargetOcc = Census.BandedTargetOcc
+  private[graft] val BandedBandsForWidth: Map[Int, Int] = Census.BandedBandsForWidth
+  private[graft] def bandedPlanesFor(n: Long): Int = Census.bandedPlanesFor(n)
 
   /** DuckDB oracle for the IVF ANN: the k=8/iters=3 coarse quantizer is
     * the same unrolled deterministic k-means, BALANCED by the same
@@ -199,7 +199,16 @@ object MlQueries {
     * scale path exactly checkable — the "approximation" is deterministic
     * cell pruning, not randomness.
     */
-  private object IvfOracle extends KmeansOracleGen(IvfK, IvfIters) {
+  private object IvfOracle extends KmeansOracleGen(IvfK, IvfIters,
+    // the FIT reads the bounded training sample (mirrors [[ivfModel]]):
+    // the IvfSampleN rows with the smallest (md5(id), id) — below the
+    // knob that is every row, so all certified SFs are unchanged. The
+    // SERVED relations (final assignment `bafin`, `cells`, the query
+    // side, brute-force recall truth) read the full corpus via `femb`.
+    srcTable = s"""(SELECT vec_id, embedding FROM (
+      SELECT vec_id, embedding,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS __r
+      FROM embeddings) WHERE __r <= $IvfSampleN)""") {
 
     /** The census scalar the whole chain branches on — `kk` is the
       * served cell count ([[ivfKFor]]: the literal k=8 below the regime
@@ -211,8 +220,8 @@ object MlQueries {
     // construction, before this object's own vals initialize
     private def kregCte: String =
       s"kreg AS MATERIALIZED (SELECT count(*) AS n, CASE WHEN count(*) > $IvfScaleN " +
-        s"THEN CAST(ceil(count(*) / ${IvfTargetCell.toDouble}) AS BIGINT) " +
-        s"ELSE CAST($IvfK AS BIGINT) END AS kk FROM emb)"
+        s"THEN least(CAST(ceil(count(*) / ${IvfTargetCell.toDouble}) AS BIGINT), $IvfKMax) " +
+        s"ELSE CAST($IvfK AS BIGINT) END AS kk FROM embeddings)"
     private def kk = "(SELECT kk FROM kreg)"
 
     /** Regime-switched seeding (mirrors [[ivfModel]]): the k=8 maximin
@@ -278,6 +287,11 @@ object MlQueries {
     private val S = IvfSplitBudget
     private val balancedCtes: String = {
       val parts = scala.collection.mutable.ArrayBuffer[String]()
+      // the full SERVED corpus — everything downstream of the fit
+      // (final assignment, cells, queries, recall truth) reads this,
+      // while the fit chain reads `emb` (the bounded training sample)
+      parts += "femb AS MATERIALIZED (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)"
       parts += s"bcap AS MATERIALIZED (SELECT greatest(1, CAST(ceil($IvfCapFactor * count(*) / $kk) AS BIGINT)) AS cap FROM emb)"
       parts += "ba0 AS MATERIALIZED (SELECT vec_id, cl FROM afin)"
       parts += s"bc0 AS MATERIALIZED (SELECT cl, e FROM c$Iters)"
@@ -322,7 +336,7 @@ object MlQueries {
          |  END AS cl
          |  FROM (SELECT p.vec_id, c.cl, row_number() OVER (PARTITION BY p.vec_id
          |          ORDER BY ${sqdist("p.e", "c.e")}, c.cl) AS rn
-         |        FROM emb p, bc$S c) WHERE rn = 1)""".stripMargin
+         |        FROM femb p, bc$S c) WHERE rn = 1)""".stripMargin
       parts.mkString(",\n")
     }
     /** Shared base: quantizer k-means → cells, query side, query↔center
@@ -333,8 +347,8 @@ object MlQueries {
          |$balancedCtes,
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce, a.cl AS cell
-         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
-         |q AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id < 5),
+         |  FROM bafin a JOIN femb e ON e.vec_id = a.vec_id),
+         |q AS (SELECT vec_id AS qid, e AS qe FROM femb WHERE vec_id < 5),
          |cd AS (SELECT q.qid, q.qe, c.cl AS cell, ${sqdist("q.qe", "c.e")} AS dd
          |       FROM q, bc$S c)""".stripMargin
 
@@ -367,7 +381,7 @@ object MlQueries {
          |          sum(q.qe[t.i] * e.e[t.i]) AS dot,
          |          sum(q.qe[t.i] * q.qe[t.i]) AS nq,
          |          sum(e.e[t.i] * e.e[t.i]) AS nc
-         |        FROM q, emb e, generate_series(1, ${this.D}) t(i)
+         |        FROM q, femb e, generate_series(1, ${this.D}) t(i)
          |        WHERE e.vec_id <> q.qid GROUP BY q.qid, e.vec_id),
          |bf AS (SELECT qid, cid,
          |         row_number() OVER (PARTITION BY qid
@@ -423,7 +437,7 @@ object MlQueries {
          |$balancedCtes,
          |mem AS (
          |  SELECT a.vec_id, a.cl, ${sqdist("e.e", "c.e")} AS d2
-         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id
+         |  FROM bafin a JOIN femb e ON e.vec_id = a.vec_id
          |              JOIN bc$S c ON c.cl = a.cl)
          |SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n,
          |  CAST(sum(CAST(floor(1e6 * d2) AS BIGINT)) AS BIGINT) AS sse_micro,
@@ -451,7 +465,7 @@ object MlQueries {
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce,
          |    list_dot_product(e.e, e.e) AS n2, a.cl AS cell
-         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
+         |  FROM bafin a JOIN femb e ON e.vec_id = a.vec_id),
          |pd AS (
          |  SELECT l.cid AS qid, r.cid,
          |    list_dot_product(l.ce, r.ce) / (sqrt(l.n2) * sqrt(r.n2)) AS cos
@@ -473,7 +487,7 @@ object MlQueries {
          |cells AS MATERIALIZED (
          |  SELECT a.vec_id AS cid, e.e AS ce,
          |    list_dot_product(e.e, e.e) AS n2, a.cl AS cell
-         |  FROM bafin a JOIN emb e ON e.vec_id = a.vec_id),
+         |  FROM bafin a JOIN femb e ON e.vec_id = a.vec_id),
          |dup AS (
          |  SELECT DISTINCT l.cid AS vid
          |  FROM cells l JOIN cells r ON l.cell = r.cell AND r.cid < l.cid
@@ -713,16 +727,47 @@ object MlQueries {
       val e = emb(s, dir)
       val n = e.count()
       val k = ivfKFor(n)
-      // "mc" = median-cut split init, "h" = md5-ranked seeding — part of
-      // the artifact identity so neither a split-rule nor a regime change
-      // can ever serve a stale persisted codebook
+      // "mc" = median-cut split init, "h" = md5-ranked seeding, "-sN" =
+      // truncating training sample — all part of the artifact identity
+      // so neither a split-rule, regime, nor sample-knob change can
+      // ever serve a stale persisted codebook
       val name =
         if (n <= IvfScaleN) s"ivf-k$IvfK-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc"
-        else s"ivf-census-k$k-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc-h"
+        else s"ivf-census-k$k-i$IvfIters-bal${IvfSplitBudget}c${IvfCapFactor}mc-h" +
+          (if (n > IvfSampleN) s"-s$IvfSampleN" else "")
       graft.kmeans.ModelStore.getOrFit(s, modelPath(s, dir, name), {
-        val pairs = e.select(col("id").cast("long").as("__id"), col("features"))
-          .orderBy(col("__id")).collect()
+        // bounded training sample ([[IvfSampleN]]): below the knob, the
+        // full corpus; above it, the IvfSampleN rows with the smallest
+        // (md5(id), id), selected DISTRIBUTED in two phases so no stage
+        // ever moves corpus-scale OR sample×partitions feature bytes:
+        //  1. rank on SKINNY (hash, id) rows — TakeOrdered task results
+        //     are ~56 B/row, so even 1000 partitions ship MBs;
+        //  2. fetch features for exactly the S selected ids via a
+        //     broadcast semi-join (S longs ≈ 512 KB broadcast) — the
+        //     collect is S rows, period.
+        // (A single orderBy+limit over (id, features) would carry the
+        // 530 B vector payload through every per-partition top-S task
+        // result — O(S × partitions) driver bytes, the same class of
+        // hazard this sample exists to remove.) The fit matrix is then
+        // id-ordered either way, so the fit's float accumulation order
+        // is the same one every certified SF already runs.
+        val sampled =
+          if (n <= IvfSampleN)
+            e.select(col("id").cast("long").as("__id"), col("features")).collect()
+          else {
+            val pickedIds = e
+              .select(col("id").cast("long").as("__id"))
+              .withColumn("__h", md5(col("__id").cast("string")))
+              .orderBy(col("__h"), col("__id"))
+              .limit(IvfSampleN.toInt)
+              .select(col("__id"))
+            e.select(col("id").cast("long").as("__id"), col("features"))
+              .join(broadcast(pickedIds), Seq("__id"), "left_semi")
+              .collect()
+          }
+        val pairs = sampled
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
         val rows = pairs.map(_._2)
         val base =
           if (n <= IvfScaleN) KMeans.fit(e, k = IvfK, iters = IvfIters)
@@ -1242,9 +1287,8 @@ object MlQueries {
     * so below the threshold the output is bit-identical to the fixed
     * design. Both engines pick from the same integer census.
     */
-  private[graft] val SimhashWidthThreshold = 2L << 16
-  private[graft] def simhashBitsFor(n: Long): Int =
-    if (n <= SimhashWidthThreshold) 32 else 64
+  private[graft] val SimhashWidthThreshold = Census.SimhashWidthThreshold
+  private[graft] def simhashBitsFor(n: Long): Int = Census.simhashBitsFor(n)
 
   private val docCountCache =
     new scala.collection.concurrent.TrieMap[(String, String), Long]()

@@ -12,10 +12,12 @@ object Verify {
     * compare was not part of the green bar).
     */
   def run(spark: SparkSession, sfDir: String, outDir: String,
-          only: Option[Set[String]] = None): Unit = {
+          only: Option[Set[String]] = None,
+          except: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.contains(name)) && !except.contains(name) }
       .foreach { case (name, fn) =>
         // repartition(1), not coalesce(1): coalesce folds the WHOLE final
         // stage into one task (a multi-hundred-million-row candidate
@@ -55,8 +57,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names (fast local
-    // iteration on one query; the driver always runs the full set)
-    val only = args.lift(2).map(_.split(",").toSet)
+    // iteration on one query; the driver always runs the full set), or
+    // `all-but:q_a,q_b` to run the full registry MINUS a named
+    // exclusion list (the scale gates' declared-semantics exclusions)
+    val spec = args.lift(2)
+    val except = spec.filter(_.startsWith("all-but:"))
+      .map(_.stripPrefix("all-but:").split(",").toSet).getOrElse(Set.empty)
+    val only = spec.filterNot(_.startsWith("all-but:")).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,7 +72,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, sfDir, outDir, only)
+    run(spark, sfDir, outDir, only, except)
     spark.stop()
   }
 }

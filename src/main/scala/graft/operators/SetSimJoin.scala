@@ -30,19 +30,35 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Widest vocabulary-frequency table still shipped as a broadcast:
+    * ~2²² (w, f) rows ≈ tens of MB serialized. Above it — the 100 TB
+    * crawl regime, where |vocab| is billions — the frequency join runs
+    * as a plain shuffle equi-join instead: `dw` and `freq` are both
+    * keyed on `w`, so the join is already co-partitioned after one
+    * hash exchange, and a billion-row broadcast would OOM the driver
+    * long before the prefix filter gets to prune anything.
+    */
+  val BroadcastVocabMax: Long = graft.Census.BroadcastVocabMax
+
   /** @param tokens (id, token) distinct pairs
     * @return (doc_a, doc_b, ni, jacc_micro) for all pairs with
     *         exact Jaccard ≥ t
     */
   def selfJoin(tokens: DataFrame, idCol: String, tokCol: String,
-               t: Double, maskWords: Int = 64): DataFrame = {
+               t: Double, maskWords: Int = 64,
+               broadcastVocabMax: Long = BroadcastVocabMax): DataFrame = {
     val dw = tokens.select(col(idCol).as("doc_id"), col(tokCol).as("w"))
     val freq = dw.groupBy(col("w")).agg(count(lit(1)).as("f"))
     val vocabN = freq.count() // bounded driver-side scalar, like kth-select
+    // census-gated shipping strategy for the frequency table (results
+    // identical either way — only the physical join changes)
+    def withFreq(d: DataFrame): DataFrame =
+      if (vocabN <= broadcastVocabMax) d.join(broadcast(freq), Seq("w"))
+      else d.join(freq.hint("shuffle_hash"), Seq("w"))
 
     // rarest-first order key packed into a sortable string, so the
     // per-doc ordering is a document-local array sort — no window
-    val ordered = dw.join(broadcast(freq), Seq("w"))
+    val ordered = withFreq(dw)
       .select(col("doc_id"),
         concat(lpad(col("f").cast("string"), 9, "0"), lit(":"), col("w")).as("k"))
       .groupBy(col("doc_id"))

@@ -139,6 +139,12 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(MlQueries.ivfKFor(32769L) == 33)   // first regime-B count
     assert(MlQueries.ivfKFor(200000L) == 196) // sf10 vector step
     assert(MlQueries.ivfKFor(1048576L) == 1024)
+    // census-k CEILING: the center matrix stays a shippable literal at
+    // ANY corpus size, and the old n/1024 ceil can no longer saturate
+    // toInt past n ≈ 2^41
+    assert(MlQueries.ivfKFor(4194304L) == 4096)      // exactly at the cap
+    assert(MlQueries.ivfKFor(10000000000L) == 4096)  // 10^10 vectors
+    assert(MlQueries.ivfKFor(Long.MaxValue) == 4096) // no overflow
     // md5Hex must agree with DuckDB's md5(CAST(id AS VARCHAR)) — pinned
     // vector plus the full rank order of ids 0..9, both verified against
     // DuckDB 1.0 (SELECT i FROM generate_series(0,9) t(i)
@@ -163,14 +169,32 @@ class EmbeddingLshSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
       .repartition(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // wipe any ivf-census-k33-* artifact left by a previous run so the
+    // FIT path is actually exercised (not a getOrFit load), and the
+    // artifact assertion below can only be satisfied by THIS run
+    def censusArtifacts(): Seq[java.io.File] = {
+      val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_models")
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(_.isDirectory)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+        .filter(_.getName.startsWith("ivf-census-k33-"))
+    }
+    censusArtifacts().foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        x.delete(); ()
+      }
+      rm(f)
+    }
+    assert(censusArtifacts().isEmpty, "stale census artifacts survived cleanup")
+
     // the served IVF search must run through the census codebook and
     // still produce the contract shape: 5 queries × top-3
     val ivf = SparkEntry.queries("q_ann_ivf")(s, dir)
     assert(ivf.count() == 15, "q_ann_ivf must yield 5 queries x top-3")
     // the persisted artifact carries the census identity — a regime
     // change can never serve a stale codebook
-    val stores = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_models")
-      .listFiles().flatMap(_.listFiles()).map(_.getName)
+    val stores = censusArtifacts().map(_.getName)
     assert(stores.exists(_.startsWith("ivf-census-k33-")),
       s"expected an ivf-census-k33-* artifact, saw: ${stores.mkString(",")}")
     // census single-band LSH width at 33k is 15 (2*2^15 >= 33000): near-
@@ -179,6 +203,39 @@ class EmbeddingLshSpec extends AnyFunSuite {
     assert(lsh.columns.toSeq == Seq("ida", "idb", "bucket"))
     assert(lsh.limit(1).collect().forall(_.getString(2).length == 15),
       "census width at 33k must be 15 planes")
+  }
+
+  test("bounded-sample quantizer fit: 70k corpus fits on the 65536-row md5 sample") {
+    val s = spark
+    import s.implicits._
+    // 70,000 > IvfSampleN = 65,536 → the fit must run on the md5-ranked
+    // bounded sample (selected distributed via TakeOrdered), never a
+    // full-corpus collect; k = ceil(70000/1024) = 69
+    val n = 70000
+    val rng = new scala.util.Random(17)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat).toSeq, (i % 5).toLong)
+    }
+    val dir = Files.createTempDirectory("graft_sample").toFile.getAbsolutePath
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val ivf = SparkEntry.queries("q_ann_ivf")(s, dir)
+    assert(ivf.count() == 15, "q_ann_ivf must yield 5 queries x top-3")
+    // the artifact name carries the sample knob: the truncating-sample
+    // path was ACTUALLY taken (and can never serve a pre-knob codebook)
+    val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_models")
+    val stores = Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .map(_.getName)
+    assert(stores.exists(a => a.startsWith("ivf-census-k69-") && a.contains("-s65536")),
+      s"expected an ivf-census-k69-*-s65536 artifact, saw: ${stores.mkString(",")}")
+    // every vector of the FULL corpus is still served (assignment is
+    // corpus-wide even though the fit saw only the sample)
+    val clusters = MlQueries.embeddingClusters.fn(s, dir).collect()
+    assert(clusters.map(_.getLong(1)).sum == n.toLong,
+      "served assignment must cover the full corpus, not just the sample")
   }
 
   test("embedding cluster profile: partition is total and arithmetic consistent") {

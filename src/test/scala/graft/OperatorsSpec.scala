@@ -49,6 +49,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(truth.size >= 20, s"fixture too weak: ${truth.size} qualifying pairs")
   }
 
+  test("SetSimJoin: wide-vocabulary regime ships freq by shuffle, same results") {
+    // the 100 TB crawl regime: vocabN above the broadcast ceiling must
+    // plan the frequency join as a shuffle equi-join (a billion-row
+    // broadcast is a driver OOM), with results identical to the
+    // broadcast regime
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val docs = (0 until 120).flatMap { i =>
+      val ts = Seq.fill(10 + rng.nextInt(6))(s"w${rng.nextInt(5000)}").distinct
+      Seq((2L * i) -> ts, (2L * i + 1) -> ts.drop(1))
+    }
+    val toks = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("id", "w")
+    val t = 0.8
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // maskWords = 0 pins BOTH runs to the sparse verify (the regime a
+    // wide vocabulary implies) so the only difference is freq shipping
+    val viaBroadcast = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t,
+      maskWords = 0)
+    val viaShuffle = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t,
+      maskWords = 0, broadcastVocabMax = 0L)
+    val p = viaShuffle.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[w".r.findFirstIn(p).isEmpty,
+      s"wide-vocab regime must not broadcast the frequency table:\n$p")
+    assert(rows(viaBroadcast) == rows(viaShuffle),
+      "shuffle-shipped frequency join changed the result")
+  }
+
   test("SetSimJoin: dense path over a 64+-rank vocabulary (ANSI shift regression)") {
     // The scaled documents corpus carries 31 base words + 99 copymark
     // tokens = 130 ranks; the dense path's leftmost-match filter then

@@ -51,9 +51,16 @@ fi
 
 echo "== Verify vector family at sf10 (200k vectors x 64d)"
 rm -rf "$OUT_DIR"
+VERIFY_LOG="$(mktemp /tmp/graft_verify_log.XXXXXX)"
+# capture the full sbt output and check its exit status EXPLICITLY:
+# the old `sbt | grep [verify] || true` swallowed wholesale sbt
+# failures (compile error, JVM OOM) that print no [verify] line
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
-  sbt -batch "runMain graft.Verify $SF10_DIR $OUT_DIR $QUERIES" 2>&1 \
-  | grep "\[verify\]" && { echo "Verify reported per-query failures"; exit 1; } || true
+  sbt -batch "runMain graft.Verify $SF10_DIR $OUT_DIR $QUERIES" >"$VERIFY_LOG" 2>&1 \
+  || { tail -n 60 "$VERIFY_LOG"; echo "sbt/Verify exited non-zero"; exit 1; }
+if grep "\[verify\]" "$VERIFY_LOG"; then
+  echo "Verify reported per-query failures"; exit 1
+fi
 
 echo "== DuckDB oracle compare at sf10"
 # DuckDB's buffer manager + deep materialized-CTE chains exhaust the
