@@ -38,7 +38,7 @@ object BfrScaleBench {
   }
 
   def run(spark: SparkSession, embPath: String, copies: Int, nChunks: Int,
-          k: Int): Result = {
+          k: Int, sinkDir: Option[String] = None): Result = {
     val e = spark.read.parquet(embPath)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("f"))
     // copy c of point i: id = i*copies + c; features jittered by a small
@@ -55,6 +55,14 @@ object BfrScaleBench {
     val probes = scala.collection.mutable.ArrayBuffer[RoundProbe]()
     val t0 = System.nanoTime()
     var tPrev = t0
+    // sink mode (heap-attribution probe): stream every assignment block
+    // to the scalable JSONL sink the moment it exists — the driver then
+    // holds NO assignment state, so a flat heap series here PROVES the
+    // default run's ramp is block-manager assignment blocks (which live
+    // on executors in cluster mode), not hidden driver accumulation
+    val sink: Option[org.apache.spark.sql.DataFrame => Unit] =
+      sinkDir.map(dir => (delta: org.apache.spark.sql.DataFrame) =>
+        delta.write.mode("append").json(dir))
     val res = BFR.run(spark, chunks,
       BFR.Config(k = k, rsClusterThreshold = 500),
       onRound = { r =>
@@ -72,9 +80,14 @@ object BfrScaleBench {
             java.nio.file.StandardOpenOption.APPEND)
         }
         tPrev = System.nanoTime()
-      })
-    val nPoints = res.assignments.count()
-    val outliers = res.assignments.filter(col("cluster") === -1).count()
+      },
+      assignSink = sink)
+    val assignedOut = sinkDir match {
+      case Some(dir) => spark.read.json(dir)
+      case None      => res.assignments
+    }
+    val nPoints = assignedOut.count()
+    val outliers = assignedOut.filter(col("cluster") === -1).count()
     val totalSec = math.rint((System.nanoTime() - t0) / 1e8) / 10
     Result(nPoints, nChunks, probes.toSeq, res.ds.size, outliers, totalSec)
   }
@@ -92,7 +105,8 @@ object BfrScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, embPath, copies, nChunks, k)
+    val r = run(spark, embPath, copies, nChunks, k,
+      sinkDir = sys.env.get("BFR_SCALE_SINK"))
     val rounds = r.rounds.map(p =>
       s"""{"round":${p.round},"sec":${p.sec},"heap_mb":${p.heapMb}}""").mkString(",")
     val json = s"""{"mode":"bfr_scale","points":${r.points},"chunks":${r.chunks},""" +

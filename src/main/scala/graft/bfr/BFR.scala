@@ -145,8 +145,20 @@ object BFR {
     * `Runner.run` (code/bfr.py:431-468).
     */
   def run(spark: SparkSession, chunks: Seq[DataFrame], cfg: Config,
-          onRound: Int => Unit = _ => ()): Result = {
+          onRound: Int => Unit = _ => (),
+          assignSink: Option[DataFrame => Unit] = None): Result = {
     require(chunks.nonEmpty, "BFR needs at least one chunk")
+    // streaming-sink mode: every finalized assignment block is handed to
+    // the sink the moment it exists and the driver accumulates NOTHING —
+    // in local mode the default union+localCheckpoint path stores the
+    // accumulated blocks in the block manager (the driver JVM's heap!),
+    // which is exactly the state a 100M-point probe must NOT hold.
+    // Result.assignments is the empty frame in sink mode.
+    def appendAssign(a: DataFrame, delta: DataFrame): DataFrame =
+      assignSink match {
+        case Some(sink) => sink(delta); a
+        case None       => unionAssign(a, delta)
+      }
 
     var ds = IndexedSeq.empty[ClusterSummary]            // discard sets
     var cs = IndexedSeq.empty[ClusterSummary]            // compression sets
@@ -203,7 +215,7 @@ object BFR {
         val relabel = present.zipWithIndex.toMap
         ds = present.map(byLabel).toIndexedSeq
         val relabelExpr = map(relabel.toSeq.flatMap { case (o, n2) => Seq(lit(o), lit(n2)) }: _*)
-        assigned = unionAssign(assigned,
+        assigned = appendAssign(assigned,
           fineAssigned.select(col("id"),
             element_at(relabelExpr, col("label")).cast("int").as("cluster")))
         discardedSoFar += byLabel.values.map(_.n).sum // sample inliers
@@ -213,7 +225,7 @@ object BFR {
         // filter — not an anti-join, which would shuffle the whole chunk
         val rest = chunk.filter(col("id") > kth)
         val (a2, r2) = assignToDsWithFeatures(rest, ds, cfg.alphaAssign)
-        assigned = unionAssign(assigned, a2.select("id", "cluster"))
+        assigned = appendAssign(assigned, a2.select("id", "cluster"))
         // A4: assigned points fold into their DS summaries (the reference
         // updates per point at code/bfr.py:389; we fold the chunk's delta);
         // the same aggregation yields the discarded-count delta
@@ -226,7 +238,7 @@ object BFR {
       } else {
         // --- per-chunk step (M5, code/bfr.py:382-391) ---
         val (a, r) = assignToDsWithFeatures(chunk, ds, cfg.alphaAssign)
-        assigned = unionAssign(assigned, a.select("id", "cluster"))
+        assigned = appendAssign(assigned, a.select("id", "cluster"))
         val (dsN, nA) = absorbCounted(ds,
           a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
@@ -283,7 +295,7 @@ object BFR {
         val (dsN, nA) = absorbCounted(ds,
           a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
-        assigned = unionAssign(assigned, a.select("id", "cluster"))
+        assigned = appendAssign(assigned, a.select("id", "cluster"))
         rs = rs.join(overflow.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
         rsCount = rs.count()
       }
@@ -295,7 +307,7 @@ object BFR {
         val (dsN, nA) = absorbCounted(ds,
           a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
-        assigned = unionAssign(assigned, a.select("id", "cluster"))
+        assigned = appendAssign(assigned, a.select("id", "cluster"))
         rs = r.localCheckpoint(true)
         rsCount = rsCount - nA
       }
@@ -308,10 +320,10 @@ object BFR {
           val (dsN, aCount) = absorbCounted(ds,
             a.select(col("cluster").as("label"), col("features")))
           ds = dsN
-          assigned = unionAssign(assigned, a.select("id", "cluster"))
+          assigned = appendAssign(assigned, a.select("id", "cluster"))
           discardedSoFar += aCount
           retained = rsCount - aCount
-          assigned = unionAssign(assigned,
+          assigned = appendAssign(assigned,
             r.select(col("id"), lit(-1).cast("int").as("cluster")))
           rs = r
         }
@@ -326,7 +338,7 @@ object BFR {
             csToDs.filter(_._2 == di).keys.foldLeft(s)((acc, ci) => acc.merge(cs(ci)))
           }
           val csMap = map(csToDs.toSeq.flatMap { case (c, d0) => Seq(lit(c), lit(d0)) }: _*)
-          assigned = unionAssign(assigned,
+          assigned = appendAssign(assigned,
             csMembers.select(col("id"), element_at(csMap, col("cs_id")).cast("int").as("cluster")))
           discardedSoFar += csMembers.count()
           cs = IndexedSeq.empty
@@ -336,7 +348,7 @@ object BFR {
 
       // incremental accounting: each round counts only its delta batches,
       // never the accumulated assignments (an O(rounds^2) rescan at scale)
-      assigned = assigned.localCheckpoint(true)
+      if (assignSink.isEmpty) assigned = assigned.localCheckpoint(true)
       // checkpoint+count the CS membership only when CS state exists —
       // on clean data this skips two jobs per round
       val csPoints = if (cs.isEmpty && stats.forall(_.nof_point_compression == 0)) 0L

@@ -92,6 +92,28 @@ class BfrSpec extends AnyFunSuite {
     assert(res.assignments.select("id").distinct().count() == 500)
   }
 
+  test("assignment sink mode: streamed JSONL blocks ≡ accumulated assignments") {
+    val nChunks = 4
+    val chunks = (0 until nChunks).map(i =>
+      blobs.filter(pmod(col("id"), lit(nChunks)) === i).select("id", "features"))
+    val cfg = BFR.Config(k = 5, rsClusterThreshold = 100)
+    val acc = BFR.run(spark, chunks, cfg)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bfr_sink")
+      .toFile.getAbsolutePath
+    val streamed = BFR.run(spark, chunks, cfg,
+      assignSink = Some(d => d.write.mode("append").json(sinkDir)))
+    // sink mode accumulates NOTHING on the driver...
+    assert(streamed.assignments.count() == 0L,
+      "sink mode must not also accumulate assignment state")
+    // ...and the streamed blocks reassemble the exact same assignment map
+    val a = acc.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.json(sinkDir).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster").toInt).toMap
+    assert(a == b, s"sink/accumulate divergence: ${(a.toSet diff b.toSet).take(5)}")
+    assert(streamed.stats == acc.stats, "round stats must be sink-agnostic")
+  }
+
   test("scale-probe smoke: round times and driver heap stay flat") {
     // miniature of app.BfrScaleBench's 10M-point run: 500 embeddings
     // replicated 100x = 50k points through 4 chunks; a compounding plan
