@@ -470,7 +470,56 @@ object ImageQueries {
             |SELECT doc_id, b0, b1, b2, b3, mean_luma_milli
             |FROM bands JOIN means USING (doc_id)""".stripMargin))
 
+  /** Planted PROGRESSIVE fixture: the baseline planted stream with its
+    * SOF0 marker rewritten to SOF2 via the segment walk (never a blind
+    * byte search — table payloads can contain 0xFF 0xC0). Structurally
+    * a valid progressive JPEG header; the scan data is NOT progressive-
+    * coded, which is exactly the point: the baseline decoder must
+    * REFUSE it (quarantine), not half-decode it.
+    */
+  private[graft] def plantedProgressiveStub(docId: Long): Array[Byte] = {
+    val b = plantedJpeg(docId)
+    val at = JpegCodec.sof0Offset(b)
+    require(at >= 0, s"planted JPEG for doc $docId has no SOF0")
+    val out = b.clone()
+    out(at + 1) = 0xc2.toByte
+    out
+  }
+
+  /** Per-kind census of a mixed crawl with the progressive share
+    * QUARANTINED, never dropped: every 7th document is planted as a
+    * progressive (SOF2) stream, the rest baseline; the decode path
+    * classifies each by frame marker ([[JpegCodec.jpegKind]]) and
+    * counts how many the baseline decoder refused. Closed-form oracle
+    * from the planting rule. The count surface is the streaming legs'
+    * quarantine pattern applied to the batch tier: decodable rows flow
+    * on, undecodable rows land in a counted bucket with a reason.
+    */
+  val jpegQuarantine = Q("q_jpeg_quarantine",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val raw =
+              if (id % 7 == 0) plantedProgressiveStub(id) else plantedJpeg(id)
+            val kind = JpegCodec.jpegKind(raw)
+            val decoded = JpegCodec.decodeJpeg(raw).isDefined
+            (id, kind, decoded)
+          }
+        }
+        .toDF("doc_id", "kind", "decoded")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("decoded"), 0L).otherwise(1L)).as("n_quarantined"))
+    },
+    Some("""SELECT CASE WHEN doc_id % 7 = 0 THEN 'progressive' ELSE 'baseline' END AS kind,
+           |  count(*) AS n_docs,
+           |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_quarantined
+           |FROM documents GROUP BY 1""".stripMargin))
+
   def all: Seq[Q] =
     Seq(imageDhash, imageNearDup, imageDedupGroups, gifDhash, jpegDhash,
-      crossCodecDups)
+      crossCodecDups, jpegQuarantine)
 }

@@ -506,6 +506,64 @@ object JpegCodec {
     var pred = 0
   }
 
+  /** Classify a JPEG stream by its frame (SOF) marker WITHOUT decoding —
+    * the quarantine census for crawled corpora, where progressive
+    * (SOF2) is a large share of web images and this decoder is baseline
+    * (SOF0) only. A marker walk over length-prefixed segments up to the
+    * first SOF; standalone markers (TEM, RSTn) are skipped. Returns one
+    * of: `baseline`, `extended_sequential` (SOF1), `progressive`
+    * (SOF2), `lossless` (SOF3), `arithmetic` (SOF9/10), `other_sof`,
+    * `no_frame`, `malformed`, `not_jpeg` — so an undecodable image is
+    * COUNTED by why, never silently dropped.
+    */
+  def jpegKind(bytes: Array[Byte]): String = {
+    if (bytes.length < 4 || u8(bytes(0)) != 0xff || u8(bytes(1)) != 0xd8)
+      return "not_jpeg"
+    var i = 2
+    while (i + 2 <= bytes.length) {
+      if (u8(bytes(i)) != 0xff) return "malformed"
+      val m = u8(bytes(i + 1))
+      m match {
+        case 0xc0               => return "baseline"
+        case 0xc1               => return "extended_sequential"
+        case 0xc2               => return "progressive"
+        case 0xc3               => return "lossless"
+        case 0xc9 | 0xca        => return "arithmetic"
+        case 0xc5 | 0xc6 | 0xc7 | 0xcb | 0xcd | 0xce | 0xcf =>
+          return "other_sof"
+        case 0xd9               => return "no_frame" // EOI before any SOF
+        case 0x01               => i += 2            // TEM, standalone
+        case r if r >= 0xd0 && r <= 0xd7 => i += 2   // RSTn, standalone
+        case _ =>
+          if (i + 4 > bytes.length) return "malformed"
+          val len = (u8(bytes(i + 2)) << 8) | u8(bytes(i + 3))
+          if (len < 2 || i + 2 + len > bytes.length) return "malformed"
+          i += 2 + len
+      }
+    }
+    "no_frame"
+  }
+
+  /** Byte offset of the first SOF0 marker (the 0xFF of the pair) via
+    * the same segment walk — never fooled by 0xFFC0 inside a table
+    * payload. -1 if absent.
+    */
+  private[graft] def sof0Offset(bytes: Array[Byte]): Int = {
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      if (u8(bytes(i)) != 0xff) return -1
+      val m = u8(bytes(i + 1))
+      if (m == 0xc0) return i
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else {
+        val len = (u8(bytes(i + 2)) << 8) | u8(bytes(i + 3))
+        if (len < 2 || i + 2 + len > bytes.length) return -1
+        i += 2 + len
+      }
+    }
+    -1
+  }
+
   /** Full baseline JPEG decode: greyscale (1 component) or YCbCr color
     * (3 components, 4:4:4 or 4:2:0, chroma upsampled by replication,
     * [[yccToRgb]] fixed-point conversion). Total: None on anything

@@ -220,4 +220,29 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.yccToRgb(100, 128, 200)._1 ==
       100 + math.round(1.402 * 72).toInt)
   }
+
+  test("jpegKind: SOF census classifies baseline/progressive/garbage; SOF2 is quarantined") {
+    val base = ImageQueries.plantedJpeg(42L)
+    assert(JpegCodec.jpegKind(base) == "baseline")
+    assert(JpegCodec.decodeJpeg(base).isDefined)
+
+    val prog = ImageQueries.plantedProgressiveStub(42L)
+    assert(JpegCodec.jpegKind(prog) == "progressive")
+    // the baseline decoder must REFUSE a progressive frame, not
+    // half-decode it — the quarantine census counts exactly this
+    assert(JpegCodec.decodeJpeg(prog).isEmpty)
+    // the rewrite touched only the frame marker
+    assert(prog.length == base.length)
+    assert(prog.zip(base).count { case (a, b) => a != b } == 1)
+
+    assert(JpegCodec.jpegKind(Array[Byte](1, 2, 3, 4)) == "not_jpeg")
+    assert(JpegCodec.jpegKind(Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) == "no_frame")
+    // truncated mid-segment: malformed, not a crash
+    assert(JpegCodec.jpegKind(base.take(6)) == "malformed" ||
+      JpegCodec.jpegKind(base.take(6)) == "no_frame")
+    // arithmetic-coded frame marker (SOF9)
+    val arith = base.clone()
+    arith(JpegCodec.sof0Offset(base) + 1) = 0xc9.toByte
+    assert(JpegCodec.jpegKind(arith) == "arithmetic")
+  }
 }
