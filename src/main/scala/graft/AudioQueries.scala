@@ -62,10 +62,10 @@ object AudioQueries {
     (amp, p)
   }
 
-  /** One real WAV per document: per-frame ±amp square wave with
-    * half-period p samples, PCM-16 mono at 16 kHz.
+  /** The planted per-document sample stream (per-frame ±amp square wave
+    * with half-period p samples) — shared by every container layout.
     */
-  private[graft] def plantedWav(docId: Long): Array[Byte] = {
+  private[graft] def plantedSamples(docId: Long): Array[Short] = {
     val samples = new Array[Short](NumSamples)
     var f = 0
     while (f < Frames) {
@@ -78,7 +78,36 @@ object AudioQueries {
       }
       f += 1
     }
-    WavCodec.encodeWav(SampleRate, 1, samples)
+    samples
+  }
+
+  /** One real WAV per document: PCM-16 mono at 16 kHz. */
+  private[graft] def plantedWav(docId: Long): Array[Byte] =
+    WavCodec.encodeWav(SampleRate, 1, plantedSamples(docId))
+
+  /** The SAME planted content in a layout chosen by doc_id % 3:
+    * 0 → stereo 16-bit (L = R), 1 → mono 24-bit (low byte zero),
+    * 2 → mono 16-bit — the crawled-audio format spread with a
+    * closed-form decode.
+    */
+  private[graft] def plantedWavMixedFormat(docId: Long): Array[Byte] = {
+    val mono = plantedSamples(docId)
+    (docId % 3) match {
+      case 0 =>
+        val st = new Array[Int](mono.length * 2)
+        var i = 0
+        while (i < mono.length) {
+          st(2 * i) = mono(i).toInt; st(2 * i + 1) = mono(i).toInt; i += 1
+        }
+        WavCodec.encodeWavPcm(SampleRate, 2, 16, st)
+      case 1 =>
+        val s24 = new Array[Int](mono.length)
+        var i = 0
+        while (i < mono.length) { s24(i) = mono(i).toInt << 8; i += 1 }
+        WavCodec.encodeWavPcm(SampleRate, 1, 24, s24)
+      case _ =>
+        WavCodec.encodeWav(SampleRate, 1, mono)
+    }
   }
 
   /** doc_id → decoded metadata + features + fingerprint bands via the
@@ -356,6 +385,47 @@ object AudioQueries {
             |LEFT JOIN ipairs i ON i.id_b = d.doc_id
             |LEFT JOIN apairs a ON a.id_b = d.doc_id""".stripMargin))
 
+  /** Cross-format PCM normalization: the same content through three
+    * container layouts (stereo-16 with L = R, mono-24 with zero low
+    * bytes, mono-16) must normalize to IDENTICAL frame features after
+    * decode + downmix + depth reduction — the audio sibling of
+    * q_cross_codec_dups. channels/bits report the container census
+    * (what a crawl pipeline routes on); the feature columns are the
+    * mono-16 closed forms, proving the normalization is lossless on
+    * content the layouts can all carry.
+    */
+  val audioFormats = Q("q_audio_formats",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val wav = plantedWavMixedFormat(id)
+            val d = WavCodec.decodeWav(wav).getOrElse(
+              throw new IllegalStateException(s"undecodable planted WAV for doc $id"))
+            val mono = WavCodec.downmixMono(d)
+            val ff = WavCodec.frameFeatures(mono, FrameLen)
+            val rmsMilli =
+              math.floor(math.sqrt(ff.sumSq.toDouble / mono.length) * 1000.0).toLong
+            (id, d.channels.toLong, d.bits.toLong, mono.length.toLong,
+              rmsMilli, ff.peak.toLong, ff.zcr)
+          }
+        }
+        .toDF("doc_id", "channels", "bits", "n_frames_mono",
+          "rms_milli", "peak", "zcr")
+    },
+    Some(s"""WITH $framesSql
+            |SELECT doc_id,
+            |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+            |  CAST(CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 16 END AS BIGINT) AS bits,
+            |  CAST(16640 AS BIGINT) AS n_frames_mono,
+            |  CAST(floor(sqrt(CAST(sum(e) AS DOUBLE) / 16640.0) * 1000.0) AS BIGINT)
+            |    AS rms_milli,
+            |  CAST(max(amp) AS BIGINT) AS peak,
+            |  CAST(sum((256 - 1) // p) AS BIGINT) AS zcr
+            |FROM energies GROUP BY doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(audioMeta, audioFeaturesQ, audioFingerprint,
-    audioNearDup, audioDedupGroups, multimodalCuration)
+    audioNearDup, audioDedupGroups, multimodalCuration, audioFormats)
 }

@@ -32,10 +32,14 @@ object MediaDecode {
   def audioFingerprint(bytes: Array[Byte]): Option[Array[Long]] = {
     if (bytes == null) return None
     WavCodec.decodeWav(bytes).flatMap { d =>
-      if (d.samples.length < FingerprintSpan * AudioFrameLen) None
+      // stereo/multi-channel first normalizes to mono (identity for the
+      // mono corpus) so a stereo re-encode of the same content
+      // fingerprints identically to its mono original
+      val mono = WavCodec.downmixMono(d)
+      if (mono.length < FingerprintSpan * AudioFrameLen) None
       else {
         val ff = WavCodec.frameFeatures(
-          java.util.Arrays.copyOf(d.samples, FingerprintSpan * AudioFrameLen),
+          java.util.Arrays.copyOf(mono, FingerprintSpan * AudioFrameLen),
           AudioFrameLen)
         Some(WavCodec.energyFingerprint(ff.energies))
       }

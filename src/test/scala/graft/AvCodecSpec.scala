@@ -33,6 +33,42 @@ class AvCodecSpec extends AnyFunSuite {
     assert(WavCodec.decodeWav(wav.take(30)).isEmpty) // truncated
   }
 
+  test("WAV 24/32-bit PCM normalizes to the exact top-16 bits; stereo downmixes losslessly") {
+    val mono = Array.tabulate[Short](512)(i => ((i * 91 - 7000) % 30000).toShort)
+    // 24-bit with zero low byte: round-trips EXACTLY to the 16-bit values
+    val s24 = mono.map(_.toInt << 8)
+    val d24 = WavCodec.decodeWav(WavCodec.encodeWavPcm(16000, 1, 24, s24)).get
+    assert(d24.bits == 24 && d24.channels == 1)
+    assert(d24.samples.toSeq == mono.toSeq)
+    // 24-bit with a NONZERO low byte: floor toward the top 16 (arithmetic shift)
+    val noisy = WavCodec.decodeWav(WavCodec.encodeWavPcm(16000, 1, 24,
+      Array((-5 << 8) | 0x7f, (5 << 8) | 0x7f))).get
+    assert(noisy.samples.toSeq == Seq[Short](-5, 5))
+    // 32-bit: top 16 bits survive
+    val s32 = mono.map(_.toInt << 16)
+    val d32 = WavCodec.decodeWav(WavCodec.encodeWavPcm(16000, 1, 32, s32)).get
+    assert(d32.bits == 32 && d32.samples.toSeq == mono.toSeq)
+    // stereo L = R: downmix is the identity content
+    val st = new Array[Int](mono.length * 2)
+    mono.indices.foreach { i => st(2 * i) = mono(i); st(2 * i + 1) = mono(i) }
+    val dst = WavCodec.decodeWav(WavCodec.encodeWavPcm(16000, 2, 16, st)).get
+    assert(dst.channels == 2 && dst.samples.length == mono.length * 2)
+    assert(WavCodec.downmixMono(dst).toSeq == mono.toSeq)
+    // quad with distinct channels: per-frame truncating mean
+    val quad = WavCodec.decodeWav(WavCodec.encodeWavPcm(8000, 4, 16,
+      Array(1, 2, 3, 5, -1, -2, -3, -5))).get
+    assert(WavCodec.downmixMono(quad).toSeq == Seq[Short](2, -2))
+    // a data chunk that is not a whole number of frames is malformed:
+    // shrink the declared data length (offset 64: RIFF 12 + fmt 24 +
+    // LIST 24 + "data" tag 4) from 12 to 11 bytes — a partial frame
+    val odd = WavCodec.encodeWavPcm(8000, 2, 24, Array(1, 2, 3, 4))
+    assert(WavCodec.decodeWav(odd).isDefined)
+    assert(new String(odd, 60, 4, java.nio.charset.StandardCharsets.US_ASCII) == "data")
+    val torn = odd.clone()
+    torn(64) = 11
+    assert(WavCodec.decodeWav(torn).isEmpty)
+  }
+
   test("frame features match the closed form on a planted square wave") {
     // 2 frames x 8 samples: amp 100 period p=2, then amp 300 p=4
     val s = Array[Short](100, 100, -100, -100, 100, 100, -100, -100,
