@@ -103,7 +103,7 @@ object ImageQueries {
     * the real Huffman + IDCT + upsample + fixed-point YCbCr→RGB path,
     * landing on the same RGB the PNG/GIF containers store directly.
     */
-  private[graft] def plantedJpeg(docId: Long): Array[Byte] = {
+  private def plantedYccPlanes(docId: Long): (Array[Byte], Array[Byte], Array[Byte]) = {
     val yP = new Array[Byte](ImgW * ImgH)
     val cbP = new Array[Byte](ImgW / 2 * (ImgH / 2))
     val crP = new Array[Byte](ImgW / 2 * (ImgH / 2))
@@ -135,7 +135,23 @@ object ImageQueries {
       }
       cy += 1
     }
+    (yP, cbP, crP)
+  }
+
+  private[graft] def plantedJpeg(docId: Long): Array[Byte] = {
+    val (yP, cbP, crP) = plantedYccPlanes(docId)
     JpegCodec.encodeJpegColor(ImgW, ImgH, yP, cbP, crP, subsample420 = true)
+  }
+
+  /** The SAME planted content as a real five-scan PROGRESSIVE stream
+    * (interleaved DC first at Al=1, DC refinement, three per-component
+    * spectral-selection AC scans) — decodes bit-exactly to the baseline
+    * twin through [[JpegCodec.decodeJpegProgressive]].
+    */
+  private[graft] def plantedJpegProgressive(docId: Long): Array[Byte] = {
+    val (yP, cbP, crP) = plantedYccPlanes(docId)
+    JpegCodec.encodeJpegProgressiveColor(ImgW, ImgH, yP, cbP, crP,
+      subsample420 = true)
   }
 
   private def buildRgb(docId: Long): Array[Byte] = {
@@ -486,14 +502,17 @@ object ImageQueries {
     out
   }
 
-  /** Per-kind census of a mixed crawl with the progressive share
+  /** Per-kind census of a mixed crawl with the undecodable share
     * QUARANTINED, never dropped: every 7th document is planted as a
-    * progressive (SOF2) stream, the rest baseline; the decode path
-    * classifies each by frame marker ([[JpegCodec.jpegKind]]) and
-    * counts how many the baseline decoder refused. Closed-form oracle
-    * from the planting rule. The count surface is the streaming legs'
-    * quarantine pattern applied to the batch tier: decodable rows flow
-    * on, undecodable rows land in a counted bucket with a reason.
+    * MALFORMED progressive stream (SOF2 frame over a baseline-coded
+    * scan — the stub below), every remaining 5th as a REAL five-scan
+    * progressive, the rest baseline. The decode path classifies by
+    * frame marker ([[JpegCodec.jpegKind]]) and tries the full decoder
+    * chain (baseline, then progressive); only the malformed stubs land
+    * in the counted quarantine bucket. Closed-form oracle from the
+    * planting rule. This is the streaming legs' quarantine pattern
+    * applied to the batch tier: decodable rows flow on, undecodable
+    * rows are counted with a reason.
     */
   val jpegQuarantine = Q("q_jpeg_quarantine",
     (s, dir) => {
@@ -503,9 +522,12 @@ object ImageQueries {
         .mapPartitions { ids =>
           ids.map { id =>
             val raw =
-              if (id % 7 == 0) plantedProgressiveStub(id) else plantedJpeg(id)
+              if (id % 7 == 0) plantedProgressiveStub(id)
+              else if (id % 5 == 0) plantedJpegProgressive(id)
+              else plantedJpeg(id)
             val kind = JpegCodec.jpegKind(raw)
-            val decoded = JpegCodec.decodeJpeg(raw).isDefined
+            val decoded = JpegCodec.decodeJpeg(raw)
+              .orElse(JpegCodec.decodeJpegProgressive(raw)).isDefined
             (id, kind, decoded)
           }
         }
@@ -514,12 +536,49 @@ object ImageQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("decoded"), 0L).otherwise(1L)).as("n_quarantined"))
     },
-    Some("""SELECT CASE WHEN doc_id % 7 = 0 THEN 'progressive' ELSE 'baseline' END AS kind,
+    Some("""SELECT CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0
+           |         THEN 'progressive' ELSE 'baseline' END AS kind,
            |  count(*) AS n_docs,
            |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_quarantined
            |FROM documents GROUP BY 1""".stripMargin))
 
+  /** dHash fingerprints through the PROGRESSIVE decode chain — five
+    * real scans (DC successive approximation + per-component spectral
+    * selection) reassembled in coefficient memory, then the same
+    * dequantize/IDCT/resize/dHash tail as the baseline twin. The oracle
+    * is IDENTICAL to q_jpeg_dhash's closed form: same planted content,
+    * different wire format — the decoder chain is what's under test.
+    */
+  val jpegProgressiveDhash = Q("q_jpeg_progressive_dhash",
+    (s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            val jpg = plantedJpegProgressive(id)
+            val d = JpegCodec.decodeJpegProgressive(jpg).getOrElse(
+              throw new IllegalStateException(
+                s"undecodable planted progressive JPEG for doc $id"))
+            val luma = PixelCodec.luminance(d.pixels, d.channels)
+            val grid = PixelCodec.resizeArea(luma, d.width, d.height, GridW, GridH)
+            val bands = PixelCodec.dhashBands(grid)
+            val meanMilli = math.floor(grid.sum * 1000.0 / 18360.0).toLong
+            (id, bands(0), bands(1), bands(2), bands(3), meanMilli)
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3", "mean_luma_milli")
+    },
+    Some(s"""WITH $lumaCellsSql,
+            |means AS (
+            |  SELECT doc_id,
+            |    CAST(floor(CAST(sum(lum) AS DOUBLE) * 1000.0 / 18360.0) AS BIGINT)
+            |      AS mean_luma_milli
+            |  FROM cells GROUP BY doc_id)
+            |SELECT doc_id, b0, b1, b2, b3, mean_luma_milli
+            |FROM bands JOIN means USING (doc_id)""".stripMargin))
+
   def all: Seq[Q] =
     Seq(imageDhash, imageNearDup, imageDedupGroups, gifDhash, jpegDhash,
-      crossCodecDups, jpegQuarantine)
+      crossCodecDups, jpegQuarantine, jpegProgressiveDhash)
 }

@@ -373,6 +373,164 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode a 3-component PROGRESSIVE (SOF2) YCbCr JPEG from
+    * block-constant planes — the same planted-content contract as
+    * [[encodeJpegColor]], emitted as five REAL progressive scans that
+    * exercise both progressive mechanisms:
+    *   1. interleaved DC first pass at Al=1 (successive approximation:
+    *      the stream carries coef >> 1 diffs; planted coefficients
+    *      8·(v−128) are even, so the split is exact),
+    *   2. DC refinement (Ah=1 → Al=0): one raw bit (the zero low bit)
+    *      per block,
+    *   3–5. per-component AC first pass over band 1..63 (spectral
+    *      selection): all ACs are zero for block-constant content, so
+    *      each scan is a pure EOBRUN run-length — coded with a custom
+    *      15-symbol EOBn Huffman table (the Annex K baseline AC table
+    *      has no EOBn>0 codes).
+    * Decodes bit-exactly to the baseline encoding of the same planes.
+    */
+  def encodeJpegProgressiveColor(width: Int, height: Int,
+      yPlane: Array[Byte], cbPlane: Array[Byte], crPlane: Array[Byte],
+      subsample420: Boolean = true): Array[Byte] = {
+    val align = if (subsample420) 16 else 8
+    require(width % align == 0 && height % align == 0,
+      s"${width}x$height not $align-aligned")
+    val cw = if (subsample420) width / 2 else width
+    val ch = if (subsample420) height / 2 else height
+    require(yPlane.length == width * height, "luma plane size")
+    require(cbPlane.length == cw * ch && crPlane.length == cw * ch,
+      "chroma plane size")
+
+    def blockVals(p: Array[Byte], w: Int, h: Int): Array[Int] = {
+      val bwd = w / 8; val bh = h / 8
+      val out = new Array[Int](bwd * bh)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bwd) {
+          val v = u8(p((by * 8) * w + bx * 8))
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              require(u8(p((by * 8 + y) * w + bx * 8 + x)) == v,
+                s"block ($bx,$by) not constant")
+              x += 1
+            }
+            y += 1
+          }
+          out(by * bwd + bx) = v
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+    val yv = blockVals(yPlane, width, height)
+    val cbv = blockVals(cbPlane, cw, ch)
+    val crv = blockVals(crPlane, cw, ch)
+
+    val out = new java.io.ByteArrayOutputStream(1024 + yv.length * 4)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(out.write)
+    }
+    marker(0xd8)
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1)) // flat table 0
+    val ySamp = if (subsample420) 0x22 else 0x11
+    seg(0xc2, Array(8, (height >> 8) & 0xff, height & 0xff,
+      (width >> 8) & 0xff, width & 0xff, 3,
+      1, ySamp, 0, 2, 0x11, 0, 3, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ StdDcCounts ++ StdDcSymbols)
+    // AC table 1: the 15 EOBn symbols 0x00..0xE0 at 4 bits each (code
+    // 1111 unused, per the canonical-table convention)
+    val eobCounts = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val eobSymbols = (0 to 14).map(_ << 4).toArray
+    seg(0xc4, Array(0x11) ++ eobCounts ++ eobSymbols)
+    val dc = new Huff(StdDcCounts, StdDcSymbols)
+    val eob = new Huff(eobCounts, eobSymbols)
+
+    // ---- scan 1: interleaved DC first, Ah=0, Al=1
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01))
+    locally {
+      val w = new BitWriterMsb(out)
+      val preds = new Array[Int](3)
+      def putDc(ci: Int, v: Int): Unit = {
+        val c1 = (8 * (v - 128)) >> 1 // Al=1 split; even coefs → exact
+        val diff = c1 - preds(ci)
+        preds(ci) = c1
+        val cat = category(diff)
+        w.put(dc.codeOf.get(cat), dc.lenOf.get(cat))
+        if (cat > 0)
+          w.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      }
+      val ybw = width / 8; val cbw = cw / 8
+      if (subsample420) {
+        val mcusX = width / 16; val mcusY = height / 16
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            var by = 0
+            while (by < 2) {
+              var bx = 0
+              while (bx < 2) {
+                putDc(0, yv((my * 2 + by) * ybw + mx * 2 + bx)); bx += 1
+              }
+              by += 1
+            }
+            putDc(1, cbv(my * cbw + mx)); putDc(2, crv(my * cbw + mx))
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        val mcusX = width / 8; val mcusY = height / 8
+        var m = 0
+        while (m < mcusX * mcusY) {
+          putDc(0, yv(m)); putDc(1, cbv(m)); putDc(2, crv(m)); m += 1
+        }
+      }
+      w.flushWithOnes()
+    }
+
+    // ---- scan 2: interleaved DC refinement, Ah=1, Al=0 — one raw zero
+    // bit per block (the planted coefficients are even)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))
+    locally {
+      val w = new BitWriterMsb(out)
+      val nBlocks = yv.length + cbv.length + crv.length
+      var b = 0
+      while (b < nBlocks) { w.put(0, 1); b += 1 }
+      w.flushWithOnes()
+    }
+
+    // ---- scans 3–5: per-component AC first pass, band 1..63 — pure
+    // EOBRUN (all ACs zero on block-constant content)
+    def acScan(compId: Int, nBlocks: Int): Unit = {
+      seg(0xda, Array(1, compId, 0x01, 1, 63, 0x00))
+      val w = new BitWriterMsb(out)
+      var n = nBlocks
+      while (n > 0) {
+        val run = math.min(n, 32767)
+        var r = 0
+        while ((1 << (r + 1)) <= run) r += 1 // r = floor(log2 run), ≤ 14
+        w.put(eob.codeOf.get(r << 4), eob.lenOf.get(r << 4))
+        if (r > 0) w.put(run - (1 << r), r)
+        n -= run
+      }
+      w.flushWithOnes()
+    }
+    acScan(1, yv.length); acScan(2, cbv.length); acScan(3, crv.length)
+
+    marker(0xd9)
+    out.toByteArray
+  }
+
   // -------------------------------------------------------------- decode
   private final class BitReaderMsb(data: Array[Byte]) {
     var pos = 0
@@ -504,6 +662,445 @@ object JpegCodec {
     var planeW = 0; var planeH = 0
     var plane: Array[Byte] = null
     var pred = 0
+  }
+
+  /** Full PROGRESSIVE (SOF2) JPEG decode — spectral selection AND
+    * successive approximation, per ITU-T T.81 §G: a coefficient memory
+    * per component accumulates across scans (DC first/refine, per-band
+    * AC first/refine with EOBRUN run-length coding), tables may be
+    * redefined between scans, then one dequantize + IDCT + assembly
+    * pass identical to the baseline path. Same frame constraints as the
+    * baseline decoder (8-bit, 1 or 3 components, 4:4:4 or 4:2:0).
+    * Total: None on anything malformed (wrong band limits, interleaved
+    * AC scans, s>1 in refinement, coefficient overruns).
+    */
+  def decodeJpegProgressive(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 4 || u8(bytes(0)) != 0xff || u8(bytes(1)) != 0xd8)
+      return None
+    var i = 2
+    var width = 0; var height = 0
+    val qt = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    // per-component coefficient memory, MCU-padded, natural order within
+    // each 64-coef block
+    var coefs: Array[Array[Int]] = null
+    var bw: Array[Int] = null   // block columns (MCU-padded)
+    var tbw: Array[Int] = null  // true block columns (ceil(compW/8))
+    var tbh: Array[Int] = null  // true block rows
+    var mcusX = 0; var mcusY = 0; var hmax = 0; var vmax = 0
+    var restartInterval = 0
+    var sawEoi = false
+
+    while (!sawEoi) {
+      if (i + 2 > bytes.length) return None
+      if (u8(bytes(i)) != 0xff) return None
+      val m = u8(bytes(i + 1))
+      if (m == 0xd9) { sawEoi = true }
+      else {
+        if (i + 4 > bytes.length) return None
+        val len = (u8(bytes(i + 2)) << 8) | u8(bytes(i + 3))
+        if (len < 2 || i + 2 + len > bytes.length) return None
+        val p = i + 4
+        m match {
+          case 0xdb =>
+            var j = p
+            while (j < i + 2 + len) {
+              val pq = u8(bytes(j)) >> 4; val tq = u8(bytes(j)) & 0x0f
+              if (pq != 0 || tq > 3) return None
+              if (j + 65 > i + 2 + len) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = u8(bytes(j + 1 + k)); k += 1 }
+              qt(tq) = t
+              j += 65
+            }
+            i += 2 + len
+          case 0xc4 =>
+            var j = p
+            while (j < i + 2 + len) {
+              val tc = u8(bytes(j)) >> 4; val th = u8(bytes(j)) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = new Array[Int](16)
+              var n = 0; var k = 0
+              while (k < 16) { counts(k) = u8(bytes(j + 1 + k)); n += counts(k); k += 1 }
+              if (j + 17 + n > i + 2 + len) return None
+              val syms = new Array[Int](n)
+              k = 0
+              while (k < n) { syms(k) = u8(bytes(j + 17 + k)); k += 1 }
+              val h = new Huff(counts, syms)
+              if (tc == 0) dcTables(th) = h else acTables(th) = h
+              j += 17 + n
+            }
+            i += 2 + len
+          case 0xc2 =>
+            if (u8(bytes(p)) != 8) return None
+            height = (u8(bytes(p + 1)) << 8) | u8(bytes(p + 2))
+            width = (u8(bytes(p + 3)) << 8) | u8(bytes(p + 4))
+            val nc = u8(bytes(p + 5))
+            if (nc != 1 && nc != 3) return None
+            if (p + 6 + 3 * nc > i + 2 + len) return None
+            comps = (0 until nc).map { c =>
+              val samp = u8(bytes(p + 6 + 3 * c + 1))
+              new Comp(u8(bytes(p + 6 + 3 * c)), samp >> 4, samp & 0x0f,
+                u8(bytes(p + 6 + 3 * c + 2)))
+            }.toArray
+            if (nc == 1) {
+              if (comps(0).h != 1 || comps(0).v != 1) return None
+            } else {
+              val (h0, v0) = (comps(0).h, comps(0).v)
+              if (!((h0 == 1 && v0 == 1) || (h0 == 2 && v0 == 2))) return None
+              if (comps(1).h != 1 || comps(1).v != 1 ||
+                  comps(2).h != 1 || comps(2).v != 1) return None
+            }
+            if (width <= 0 || height <= 0) return None
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+            bw = comps.map(c => mcusX * c.h)
+            val bh = comps.map(c => mcusY * c.v)
+            tbw = comps.map(c => ((width * c.h + hmax - 1) / hmax + 7) / 8)
+            tbh = comps.map(c => ((height * c.v + vmax - 1) / vmax + 7) / 8)
+            coefs = comps.indices.map(ci =>
+              new Array[Int](bw(ci) * bh(ci) * 64)).toArray
+            i += 2 + len
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            return None // not a progressive frame
+          case 0xdd =>
+            restartInterval = (u8(bytes(p)) << 8) | u8(bytes(p + 1))
+            i += 2 + len
+          case 0xda =>
+            if (comps == null) return None
+            val ns = u8(bytes(p))
+            if (ns < 1 || ns > comps.length) return None
+            if (p + 1 + 2 * ns + 3 > i + 2 + len) return None
+            val scanComps = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cid = u8(bytes(p + 1 + 2 * c))
+              val sel = u8(bytes(p + 1 + 2 * c + 1))
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              scanComps(c) = ci
+              comps(ci).dcId = sel >> 4; comps(ci).acId = sel & 0x0f
+              c += 1
+            }
+            val ss = u8(bytes(p + 1 + 2 * ns))
+            val se = u8(bytes(p + 1 + 2 * ns + 1))
+            val aa = u8(bytes(p + 1 + 2 * ns + 2))
+            val ah = aa >> 4; val al = aa & 0x0f
+            val dataStart = i + 2 + len
+            val consumed = decodeProgressiveScan(bytes, dataStart, comps,
+              scanComps, coefs, bw, tbw, tbh, mcusX, mcusY,
+              dcTables, acTables, ss, se, ah, al, restartInterval)
+            if (consumed < 0) return None
+            // advance to the next true marker (skip entropy bytes,
+            // stuffed FF00 and RSTn)
+            var j = dataStart + consumed
+            var next = -1
+            while (next < 0 && j + 1 < bytes.length) {
+              if (u8(bytes(j)) == 0xff) {
+                val mm = u8(bytes(j + 1))
+                if (mm == 0x00 || (mm >= 0xd0 && mm <= 0xd7)) j += 2
+                else next = j
+              } else j += 1
+            }
+            if (next < 0) return None
+            i = next
+          case _ =>
+            i += 2 + len // APPn / COM: skip
+        }
+      }
+    }
+    if (comps == null) return None
+    for (c <- comps) if (c.tq > 3 || qt(c.tq) == null) return None
+
+    // dequantize + IDCT + assemble (same shape as the baseline tail)
+    for (ci <- comps.indices) {
+      val c = comps(ci)
+      c.planeW = mcusX * c.h * 8
+      c.planeH = mcusY * c.v * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val q = qt(c.tq)
+      val cf = coefs(ci)
+      val block = new Array[Int](64)
+      val dq = new Array[Int](64)
+      val bwc = bw(ci)
+      val bhc = c.planeH / 8
+      var by = 0
+      while (by < bhc) {
+        var bx = 0
+        while (bx < bwc) {
+          val base = (by * bwc + bx) * 64
+          var k = 0
+          while (k < 64) { dq(k) = cf(base + k) * q(k); k += 1 }
+          idct8x8(dq, block)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              c.plane((by * 8 + y) * c.planeW + bx * 8 + x) =
+                block(y * 8 + x).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    assemblePlanes(width, height, comps, hmax, vmax)
+  }
+
+  /** One progressive scan's entropy-coded segment. Returns bytes
+    * consumed from `dataStart`, or -1 on any malformation.
+    */
+  private def decodeProgressiveScan(bytes: Array[Byte], dataStart: Int,
+      comps: Array[Comp], scanComps: Array[Int], coefs: Array[Array[Int]],
+      bw: Array[Int], tbw: Array[Int], tbh: Array[Int],
+      mcusX: Int, mcusY: Int,
+      dcTables: Array[Huff], acTables: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Int = {
+    if (ss < 0 || se > 63 || ss > se) return -1
+    if (ss == 0 && se != 0) return -1        // progressive DC band is exactly {0}
+    if (ss > 0 && scanComps.length != 1) return -1 // AC scans are single-component
+    val br = new BitReaderMsb(
+      java.util.Arrays.copyOfRange(bytes, dataStart, bytes.length))
+    var eobrun = 0
+    val preds = new Array[Int](comps.length)
+
+    def refineNonzeroRange(cf: Array[Int], base: Int, from: Int, to: Int,
+                           p1: Int, m1: Int): Int = {
+      // correction bits for already-nonzero coefficients in [from..to];
+      // returns -1 on bit starvation, else `to + 1`
+      var k = from
+      while (k <= to) {
+        val z = base + Zigzag(k)
+        if (cf(z) != 0) {
+          val b = br.bit()
+          if (b < 0) return -1
+          if (b == 1 && (cf(z) & p1) == 0)
+            cf(z) += (if (cf(z) >= 0) p1 else m1)
+        }
+        k += 1
+      }
+      to + 1
+    }
+
+    def decodeDcBlock(ci: Int, by: Int, bx: Int): Boolean = {
+      val cf = coefs(ci)
+      val base = (by * bw(ci) + bx) * 64
+      if (ah == 0) {
+        val h = dcTables(comps(ci).dcId)
+        if (h == null) return false
+        val cat = decodeHuffSymbol(br, h)
+        if (cat < 0 || cat > 11) return false
+        val dv = if (cat == 0) 0 else {
+          val r = br.receive(cat)
+          if (r == Int.MinValue) return false
+          extend(r, cat)
+        }
+        preds(ci) += dv
+        cf(base) = preds(ci) << al
+      } else {
+        val b = br.bit()
+        if (b < 0) return false
+        if (b == 1) cf(base) |= 1 << al
+      }
+      true
+    }
+
+    def decodeAcBlock(ci: Int, by: Int, bx: Int): Boolean = {
+      val cf = coefs(ci)
+      val base = (by * bw(ci) + bx) * 64
+      val h = acTables(comps(ci).acId)
+      if (h == null) return false
+      if (ah == 0) {
+        // first pass for this band
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuffSymbol(br, h)
+          if (rs < 0) return false
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) {
+                val b = br.receive(r)
+                if (b == Int.MinValue) return false
+                eobrun += b
+              }
+              eobrun -= 1 // this block is the first of the run
+              return true
+            }
+            k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) return false
+            val b = br.receive(s)
+            if (b == Int.MinValue) return false
+            cf(base + Zigzag(k)) = extend(b, s) << al
+            k += 1
+          }
+        }
+        true
+      } else {
+        // refinement pass (T.81 §G.1.2.3 / libjpeg decode_mcu_AC_refine)
+        val p1 = 1 << al; val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = decodeHuffSymbol(br, h)
+            if (rs < 0) return false
+            var r = rs >> 4; val s = rs & 0x0f
+            var newnz = 0
+            if (s == 0) {
+              if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val b = br.receive(r)
+                  if (b == Int.MinValue) return false
+                  eobrun += b
+                }
+                done = true // tail handled by the EOB logic below
+              }
+              // ZRL: r = 15 zero-history positions to skip
+            } else {
+              if (s != 1) return false
+              val b = br.bit()
+              if (b < 0) return false
+              newnz = if (b == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = base + Zigzag(k)
+                if (cf(z) != 0) {
+                  val b = br.bit()
+                  if (b < 0) return false
+                  if (b == 1 && (cf(z) & p1) == 0)
+                    cf(z) += (if (cf(z) >= 0) p1 else m1)
+                  k += 1
+                } else if (r == 0) {
+                  placed = true // this zero-history slot takes newnz
+                } else { r -= 1; k += 1 }
+              }
+              if (newnz != 0) {
+                if (!placed) return false
+                cf(base + Zigzag(k)) = newnz
+              }
+              if (placed) k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          if (refineNonzeroRange(cf, base, k, se, p1, m1) < 0) return false
+          eobrun -= 1
+        }
+        true
+      }
+    }
+
+    var ok = true
+    if (ss == 0) {
+      // DC scan: interleaved MCU order for ns > 1, raster over the
+      // component's true blocks for ns == 1
+      if (scanComps.length > 1) {
+        var mcu = 0
+        val total = mcusX * mcusY
+        while (mcu < total && ok) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            if (!br.resetAtRst()) return -1
+            java.util.Arrays.fill(preds, 0); eobrun = 0
+          }
+          val my = mcu / mcusX; val mx = mcu % mcusX
+          var c = 0
+          while (c < scanComps.length && ok) {
+            val ci = scanComps(c)
+            val comp = comps(ci)
+            var bv = 0
+            while (bv < comp.v && ok) {
+              var bhx = 0
+              while (bhx < comp.h && ok) {
+                ok = decodeDcBlock(ci, my * comp.v + bv, mx * comp.h + bhx)
+                bhx += 1
+              }
+              bv += 1
+            }
+            c += 1
+          }
+          mcu += 1
+        }
+      } else {
+        val ci = scanComps(0)
+        var b = 0
+        val total = tbw(ci) * tbh(ci)
+        while (b < total && ok) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            if (!br.resetAtRst()) return -1
+            java.util.Arrays.fill(preds, 0); eobrun = 0
+          }
+          ok = decodeDcBlock(ci, b / tbw(ci), b % tbw(ci))
+          b += 1
+        }
+      }
+    } else {
+      val ci = scanComps(0)
+      var b = 0
+      val total = tbw(ci) * tbh(ci)
+      while (b < total && ok) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+          if (!br.resetAtRst()) return -1
+          eobrun = 0
+        }
+        ok = decodeAcBlock(ci, b / tbw(ci), b % tbw(ci))
+        b += 1
+      }
+    }
+    if (!ok) return -1
+    br.pos // bytes consumed (the reader stops AT a marker byte)
+  }
+
+  /** Shared plane-assembly tail (greyscale copy-out or chroma upsample +
+    * fixed-point YCbCr→RGB) — identical for baseline and progressive.
+    */
+  private def assemblePlanes(width: Int, height: Int, comps: Array[Comp],
+                             hmax: Int, vmax: Int): Option[Decoded] = {
+    if (comps.length == 1) {
+      val c = comps(0)
+      val px = new Array[Byte](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(c.plane, y * c.planeW, px, y * width, width)
+        y += 1
+      }
+      Some(Decoded(width, height, 1, px))
+    } else {
+      val cy = comps(0); val ccb = comps(1); val ccr = comps(2)
+      val sx = if (hmax / ccb.h == 2) 1 else 0
+      val sy = if (vmax / ccb.v == 2) 1 else 0
+      val px = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = u8(cy.plane(y * cy.planeW + x))
+          val cb = u8(ccb.plane((y >> sy) * ccb.planeW + (x >> sx)))
+          val cr = u8(ccr.plane((y >> sy) * ccr.planeW + (x >> sx)))
+          val (r, g, b) = yccToRgb(yy, cb, cr)
+          val o = (y * width + x) * 3
+          px(o) = r.toByte; px(o + 1) = g.toByte; px(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(Decoded(width, height, 3, px))
+    }
   }
 
   /** Classify a JPEG stream by its frame (SOF) marker WITHOUT decoding —

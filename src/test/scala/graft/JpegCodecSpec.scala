@@ -221,6 +221,67 @@ class JpegCodecSpec extends AnyFunSuite {
       100 + math.round(1.402 * 72).toInt)
   }
 
+  test("progressive planted fixture decodes pixel-identical to its baseline twin") {
+    for (id <- Seq(0L, 7L, 42L, 123L)) {
+      val base = JpegCodec.decodeJpeg(ImageQueries.plantedJpeg(id)).get
+      val prog = ImageQueries.plantedJpegProgressive(id)
+      assert(JpegCodec.jpegKind(prog) == "progressive")
+      assert(JpegCodec.decodeJpeg(prog).isEmpty,
+        "the baseline decoder must not accept a SOF2 stream")
+      val d = JpegCodec.decodeJpegProgressive(prog).getOrElse(
+        fail(s"progressive decode failed for doc $id"))
+      assert(d.width == base.width && d.height == base.height &&
+        d.channels == base.channels)
+      assert(d.pixels.sameElements(base.pixels),
+        s"progressive/baseline pixel divergence for doc $id")
+    }
+    // and the progressive decoder refuses baseline frames + the
+    // malformed stub (SOF2 marker over a baseline-coded scan)
+    assert(JpegCodec.decodeJpegProgressive(ImageQueries.plantedJpeg(1L)).isEmpty)
+    val stub = ImageQueries.plantedProgressiveStub(1L)
+    assert(JpegCodec.decodeJpeg(stub).isEmpty)
+    assert(JpegCodec.decodeJpegProgressive(stub).isEmpty)
+  }
+
+  test("progressive successive approximation: hand-built stream with AC refinement on nonzero history") {
+    // 8x8 single component; target coefficients (natural order):
+    // DC = 6, c(1) = 5 (odd → needs the Al=0 correction bit on nonzero
+    // history), c(16) = 1 (invisible at Al=1 → appears as a NEW nonzero
+    // in the refinement scan after skipping one zero-history position)
+    val out = new java.io.ByteArrayOutputStream()
+    def m(mk: Int): Unit = { out.write(0xff); out.write(mk) }
+    def seg(mk: Int, p: Array[Int]): Unit = {
+      m(mk); val len = p.length + 2
+      out.write(len >> 8); out.write(len & 0xff); p.foreach(out.write)
+    }
+    m(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(1))
+    seg(0xc2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    // DC table: one 1-bit code → category 2
+    seg(0xc4, Array(0x00, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2))
+    // AC table: three 2-bit codes → 0x02 (r0 s2), 0x00 (EOB), 0x11 (r1 s1)
+    seg(0xc4, Array(0x10, 0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0x02, 0x00, 0x11))
+    // scan 1: DC first, Al=1 — diff = 6>>1 = 3: cat-2 code '0' + bits '11'
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x01)); out.write(0x7f)
+    // scan 2: DC refinement — one raw bit '0' (6 is even)
+    seg(0xda, Array(1, 1, 0x00, 0, 0, 0x10)); out.write(0x7f)
+    // scan 3: AC first, band 1..63, Al=1 — c(1)>>1 = 2: '00' + '10', EOB '01'
+    seg(0xda, Array(1, 1, 0x00, 1, 63, 0x01)); out.write(0x27)
+    // scan 4: AC refinement, Al=0 — 0x11 '10' + sign '1' (+1 at the
+    // second zero-history slot) + correction '1' for c(1) (4→5), EOB '01'
+    seg(0xda, Array(1, 1, 0x00, 1, 63, 0x10)); out.write(0xb7)
+    m(0xd9)
+    val d = JpegCodec.decodeJpegProgressive(out.toByteArray)
+      .getOrElse(fail("progressive SA stream failed to decode"))
+    val coef = new Array[Int](64)
+    coef(0) = 6; coef(1) = 5; coef(16) = 1
+    val expect = refIdct(coef)
+    assert(d.pixels.map(_ & 0xff).sameElements(expect),
+      s"got ${d.pixels.map(_ & 0xff).take(8).mkString(",")} " +
+        s"want ${expect.take(8).mkString(",")}")
+  }
+
   test("jpegKind: SOF census classifies baseline/progressive/garbage; SOF2 is quarantined") {
     val base = ImageQueries.plantedJpeg(42L)
     assert(JpegCodec.jpegKind(base) == "baseline")
