@@ -2744,12 +2744,21 @@ object TextQueries {
     * [[PpjoinSampleBound]]) — value-exact (doc_a, doc_b, ni,
     * jacc_micro) rows at every SF: the full relation at sf0.01, a
     * fixed ~500-doc_a slice above, so the gate never loses per-pair
-    * arithmetic certification to the digest. Engine side filters the
-    * SHARED cached relation; oracle side pushes the bound into the
-    * mask scan's build side (500 × n pair evaluations, not n²/2).
+    * arithmetic certification to the digest. BOTH sides push the bound
+    * into the pair scan's build side (500 × n pair evaluations, never
+    * n²/2): the engine via [[graft.operators.SetSimJoin]]'s `aBound`
+    * bounded-stratum build, the oracle via `aPred`. (Round 12's sf10
+    * gate caught the previous engine form — `filter` over the SHARED
+    * materialized full relation — spilling 52 GB toward a ~2e10-row
+    * checkpoint at 500k docs; the stratum must be carved out BEFORE
+    * pairing, exactly like the oracle always did.)
     */
   val ppjoinPairsSample = Q("q_ppjoin_pairs",
-    (s, dir) => ppjoinPairs(s, dir).filter(col("doc_a") < PpjoinSampleBound),
+    (s, dir) => graft.operators.SetSimJoin.selfJoin(
+      docs(s, dir)
+        .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+        .localCheckpoint(true),
+      "doc_id", "w", t = 0.8, aBound = Some(PpjoinSampleBound)),
     Some(s"""WITH ${ppjoinMaskCtes(s"a.doc_id < $PpjoinSampleBound")}
             |SELECT doc_a, doc_b, ni, jacc_micro FROM v""".stripMargin))
 

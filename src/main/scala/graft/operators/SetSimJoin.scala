@@ -44,9 +44,24 @@ object SetSimJoin {
     * @return (doc_a, doc_b, ni, jacc_micro) for all pairs with
     *         exact Jaccard ≥ t
     */
+  /** @param aBound when set, emit ONLY pairs whose smaller id
+    *   (`doc_a`) is below the bound — the bounded-stratum build: the
+    *   doc_a side of the pair join is restricted BEFORE pairing, so
+    *   candidate volume is O(bound × n) instead of O(n²) while the
+    *   frequency census, rarest-first ordering and verify stay
+    *   corpus-wide (results ≡ `selfJoin(...).filter(doc_a < bound)`,
+    *   unit-tested). This is how a row-level certification stratum is
+    *   carved out of a relation whose FULL materialization is
+    *   quadratic by declared semantics — filtering a materialized
+    *   full relation instead would rebuild exactly the blow-up the
+    *   stratum exists to avoid (caught live at the 500k-doc gate:
+    *   ~2e10-row checkpoint, 52 GB of block-manager spill before the
+    *   kill).
+    */
   def selfJoin(tokens: DataFrame, idCol: String, tokCol: String,
                t: Double, maskWords: Int = 64,
-               broadcastVocabMax: Long = BroadcastVocabMax): DataFrame = {
+               broadcastVocabMax: Long = BroadcastVocabMax,
+               aBound: Option[Long] = None): DataFrame = {
     val dw = tokens.select(col(idCol).as("doc_id"), col(tokCol).as("w"))
     val freq = dw.groupBy(col("w")).agg(count(lit(1)).as("f"))
     val vocabN = freq.count() // bounded driver-side scalar, like kth-select
@@ -122,7 +137,8 @@ object SetSimJoin {
             .bitwiseAND(element_at(col("mb"), i + 1))
             .bitwiseAND(bitsBelow(i))).cast("long"))
           .reduce(_ + _)
-        pm.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        val pmA = aBound.map(b => pm.filter(col("doc_id") < b)).getOrElse(pm)
+        pmA.select(col("doc_id").as("doc_a"), col("n").as("na"),
             col("mask").as("ma"), col("w"), col("r")).hint("shuffle_merge")
           .join(pm.select(col("doc_id").as("doc_b"), col("n").as("nb"),
             col("mask").as("mb"), col("w")).hint("shuffle_merge"), Seq("w"))
@@ -134,7 +150,8 @@ object SetSimJoin {
         // sparse path: the prefix filter prunes hard here, so the
         // candidate set is small — distinct it, then verify by
         // sorted-array intersection
-        val cand = prefix.select(col("doc_id").as("doc_a"), col("w"))
+        val prefA = aBound.map(b => prefix.filter(col("doc_id") < b)).getOrElse(prefix)
+        val cand = prefA.select(col("doc_id").as("doc_a"), col("w"))
           .hint("shuffle_merge")
           .join(prefix.select(col("doc_id").as("doc_b"), col("w"))
             .hint("shuffle_merge"), Seq("w"))

@@ -49,6 +49,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(truth.size >= 20, s"fixture too weak: ${truth.size} qualifying pairs")
   }
 
+  test("SetSimJoin: bounded-stratum build ≡ full build filtered, both verify paths") {
+    import spark.implicits._
+    val rng = new scala.util.Random(59)
+    val docs = (0 until 100).flatMap { i =>
+      val ts = Seq.fill(12 + rng.nextInt(6))(s"w${rng.nextInt(40)}").distinct
+      Seq((2L * i) -> ts, (2L * i + 1) -> ts.drop(1))
+    }
+    val toks = docs.flatMap { case (id, ts) => ts.map(id -> _) }.toDF("id", "w")
+    val t = 0.8
+    val bound = 60L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (mw <- Seq(64, 0)) { // dense bitmask path and sparse array path
+      val full = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t,
+        maskWords = mw)
+      val bounded = graft.operators.SetSimJoin.selfJoin(toks, "id", "w", t,
+        maskWords = mw, aBound = Some(bound))
+      assert(rows(bounded) == rows(full.filter(col("doc_a") < bound)),
+        s"bounded-stratum divergence on maskWords=$mw")
+      assert(rows(bounded).nonEmpty, "fixture too weak: empty stratum")
+    }
+  }
+
   test("SetSimJoin: wide-vocabulary regime ships freq by shuffle, same results") {
     // the 100 TB crawl regime: vocabN above the broadcast ceiling must
     // plan the frequency join as a shuffle equi-join (a billion-row
