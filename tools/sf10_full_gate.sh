@@ -34,15 +34,47 @@ else
   echo "== reusing existing sf10 tables at $SF10_DIR"
 fi
 
-echo "== Verify FULL registry at sf10 (minus declared exclusions: $EXCLUDE)"
+echo "== Verify FULL registry at sf10 in three family phases (minus declared exclusions: $EXCLUDE)"
+# One Verify session per family PHASE, all dumping into the same OUT_DIR:
+# a single session at sf10 accumulates every family's memoized
+# localCheckpoint artifacts (~50 GB for the text tier alone) and the
+# vector tier's pair relations then exhaust the disk — observed live:
+# "No space left on device" at query 113/202, SparkContext torn down.
+# Separate JVMs free each phase's block store on exit; the DuckDB
+# compare below sees the union.
+TEXTQ="q_dedup_exact,q_bow_fingerprint,q_doc_fingerprint,q_minhash_signature"
+TEXTQ+=",q_minhash_lsh_pairs,q_minhash_jaccard_est,q_ngram_jaccard,q_containment"
+TEXTQ+=",q_simhash,q_simhash_pairs,q_dedup_groups,q_dedup_incremental"
+TEXTQ+=",q_dedup_report,q_near_dedup_keep,q_near_dedup_keep_pref"
+TEXTQ+=",q_line_dedup,q_substring_dedup,q_dup_span_fraction,q_cdc_chunks"
+TEXTQ+=",q_winnowing,q_cross_source_dups,q_source_overlap,q_ppjoin_pairs"
+TEXTQ+=",q_graph_bfs,q_pagerank,q_fuzzy_join,q_minhash_recall,q_bloom_decontaminate"
+VECQ="q_l2_norm,q_vector_sum_by_label,q_centroids,q_summary_std"
+VECQ+=",q_mahalanobis,q_sse_per_label"
+VECQ+=",q_kmeans_assign,q_kmeans_centers,q_kmeans_nmi,q_kmeans_mllib_centers"
+VECQ+=",q_ann_brute_force,q_ann_ivf,q_ann_ivf_recall,q_ann_ivf_recall_curve"
+VECQ+=",q_semantic_knn,q_semantic_dedup"
+VECQ+=",q_embedding_lsh_pairs,q_embedding_near_dup_lsh"
+VECQ+=",q_embedding_near_dup_banded,q_embedding_dedup_groups"
+VECQ+=",q_ann_pq,q_ann_pq_recall,q_ann_sq8"
+VECQ+=",q_embedding_outliers,q_embedding_clusters,q_jl_projection"
+VECQ+=",q_hybrid_rrf,q_hard_negatives,q_bfr_assign,q_bfr_stats"
 rm -rf "$OUT_DIR"
-VERIFY_LOG="$(mktemp /tmp/graft_verify_log.XXXXXX)"
-SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
-  sbt -batch "runMain graft.Verify $SF10_DIR $OUT_DIR all-but:$EXCLUDE" >"$VERIFY_LOG" 2>&1 \
-  || { tail -n 60 "$VERIFY_LOG"; echo "sbt/Verify exited non-zero"; exit 1; }
-if grep "\[verify\]" "$VERIFY_LOG"; then
-  echo "Verify reported per-query failures"; exit 1
-fi
+run_phase() {
+  local SPEC="$1" LABEL="$2"
+  echo "== phase $LABEL"
+  VERIFY_LOG="$(mktemp /tmp/graft_verify_log.XXXXXX)"
+  SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}" \
+    sbt -batch "runMain graft.Verify $SF10_DIR $OUT_DIR $SPEC" >"$VERIFY_LOG" 2>&1 \
+    || { tail -n 60 "$VERIFY_LOG"; echo "sbt/Verify exited non-zero (phase $LABEL)"; exit 1; }
+  if grep "\[verify\]" "$VERIFY_LOG"; then
+    echo "Verify reported per-query failures (phase $LABEL)"; exit 1
+  fi
+  rm -rf /tmp/blockmgr-* 2>/dev/null || true
+}
+run_phase "$TEXTQ" "text"
+run_phase "$VECQ" "vector"
+run_phase "all-but:$EXCLUDE,$TEXTQ,$VECQ" "rest"
 
 echo "== DuckDB oracle compare at sf10"
 # see tools/sf10_vector_gate.sh for the vm.max_map_count rationale
