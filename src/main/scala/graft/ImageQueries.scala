@@ -539,7 +539,8 @@ object ImageQueries {
     Some("""SELECT CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0
            |         THEN 'progressive' ELSE 'baseline' END AS kind,
            |  count(*) AS n_docs,
-           |  sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS n_quarantined
+           |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_quarantined
            |FROM documents GROUP BY 1""".stripMargin))
 
   /** dHash fingerprints through the PROGRESSIVE decode chain — five
