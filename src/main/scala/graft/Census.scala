@@ -36,6 +36,13 @@ object Census {
   /** Last corpus count served by the legacy k=8 maximin fit. */
   val IvfScaleN = 32768L
 
+  /** Cell count of the legacy (n ≤ IvfScaleN) maximin fit. Single
+    * source of truth: [[ivfKFor]], the MlQueries fit, the artifact
+    * name, and the oracle's kregCte all reference this value — changing
+    * it changes all four in lockstep.
+    */
+  val IvfLegacyK = 8
+
   /** Target mean cell occupancy in the census regime: k = ceil(n/1024)
     * keeps within-cell pairwise work (SemDeDup, self-kNN, probe
     * candidates) bounded as the corpus grows.
@@ -58,7 +65,7 @@ object Census {
 
   /** Served cell count for a corpus of `n` vectors. */
   def ivfKFor(n: Long): Int =
-    if (n <= IvfScaleN) 8
+    if (n <= IvfScaleN) IvfLegacyK
     else math.min(math.ceil(n.toDouble / IvfTargetCell.toDouble).toLong,
       IvfKMax.toLong).toInt
 

@@ -507,12 +507,14 @@ object ImageQueries {
     * MALFORMED progressive stream (SOF2 frame over a baseline-coded
     * scan — the stub below), every remaining 5th as a REAL five-scan
     * progressive, the rest baseline. The decode path classifies by
-    * frame marker ([[JpegCodec.jpegKind]]) and tries the full decoder
-    * chain (baseline, then progressive); only the malformed stubs land
-    * in the counted quarantine bucket. Closed-form oracle from the
-    * planting rule. This is the streaming legs' quarantine pattern
-    * applied to the batch tier: decodable rows flow on, undecodable
-    * rows are counted with a reason.
+    * frame marker ([[JpegCodec.jpegKind]]) and ROUTES to the matching
+    * decoder (baseline→sequential, progressive→progressive — never the
+    * try-one-then-the-other chain, which parsed headers twice per
+    * non-baseline doc and made this the slowest bench query); only the
+    * malformed stubs land in the counted quarantine bucket. Closed-form
+    * oracle from the planting rule. This is the streaming legs'
+    * quarantine pattern applied to the batch tier: decodable rows flow
+    * on, undecodable rows are counted with a reason.
     */
   val jpegQuarantine = Q("q_jpeg_quarantine",
     (s, dir) => {
@@ -526,8 +528,11 @@ object ImageQueries {
               else if (id % 5 == 0) plantedJpegProgressive(id)
               else plantedJpeg(id)
             val kind = JpegCodec.jpegKind(raw)
-            val decoded = JpegCodec.decodeJpeg(raw)
-              .orElse(JpegCodec.decodeJpegProgressive(raw)).isDefined
+            val decoded = (kind match {
+              case "baseline"    => JpegCodec.decodeJpeg(raw)
+              case "progressive" => JpegCodec.decodeJpegProgressive(raw)
+              case _             => None
+            }).isDefined
             (id, kind, decoded)
           }
         }

@@ -134,7 +134,7 @@ object MlQueries {
     * original average occupancy are recursively 2-means split (largest
     * first), at most `IvfSplitBudget` splits.
     */
-  private[graft] val IvfK = 8
+  private[graft] val IvfK = Census.IvfLegacyK
   private[graft] val IvfIters = 3
   private[graft] val IvfCapFactor = 2.0
   private[graft] val IvfSplitBudget = 8

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Queries.Q
+import graft.Queries.{Q, cents, sumMoney, sqlSumMoney, sumIntUnits, sqlSumIntUnits}
 
 /** OLAP surface beyond the reference's own operators: multi-dimensional
   * aggregation (rollup / cube / grouping sets), analytic windows
@@ -38,24 +38,24 @@ object OlapQueries {
     (s, dir) => t(s, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice")), 2).as("rev"))
+        sumMoney(col("o_totalprice")).as("rev"))
       .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
         col("cnt"), col("rev")),
-    Some("""SELECT o_orderstatus, o_orderpriority,
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
            | grouping_id(o_orderstatus, o_orderpriority) AS gid,
-           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+           | count(*) AS cnt, ${sqlSumMoney("o_totalprice")} AS rev
            |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin))
 
   val cubeAgg = Q("q_cube",
     (s, dir) => t(s, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"))
+        sumIntUnits(col("l_quantity")).as("sum_qty"))
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
         col("cnt"), col("sum_qty")),
-    Some("""SELECT l_returnflag, l_linestatus,
+    Some(s"""SELECT l_returnflag, l_linestatus,
            | grouping_id(l_returnflag, l_linestatus) AS gid,
-           | count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+           | count(*) AS cnt, ${sqlSumIntUnits("l_quantity")} AS sum_qty
            |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin))
 
   val groupingSetsAgg = Q("q_grouping_sets",
@@ -64,12 +64,12 @@ object OlapQueries {
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
-        round(sum(col("o_totalprice")), 2).as("rev"))
+        sumMoney(col("o_totalprice")).as("rev"))
       .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
         col("cnt"), col("rev")),
-    Some("""SELECT o_orderstatus, o_orderpriority,
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
            | grouping_id(o_orderstatus, o_orderpriority) AS gid,
-           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+           | count(*) AS cnt, ${sqlSumMoney("o_totalprice")} AS rev
            |FROM orders
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin))
 
@@ -188,8 +188,8 @@ object OlapQueries {
         && col("l_shipdate") >= col("o_orderdate")
         && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n_fast"), round(sum(col("l_quantity")), 2).as("qty")),
-    Some("""SELECT o_orderkey, count(*) AS n_fast, round(sum(l_quantity), 2) AS qty
+      .agg(count(lit(1)).as("n_fast"), sumIntUnits(col("l_quantity")).as("qty")),
+    Some(s"""SELECT o_orderkey, count(*) AS n_fast, ${sqlSumIntUnits("l_quantity")} AS qty
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |  AND l_shipdate >= o_orderdate
            |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
@@ -209,11 +209,11 @@ object OlapQueries {
         .join(broadcast(bands),
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("p_retailprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("cnt"), sumMoney(col("p_retailprice")).as("sum_price"))
     },
-    Some("""WITH bands(band, lo, hi) AS (
+    Some(s"""WITH bands(band, lo, hi) AS (
            |  SELECT i, 900.0 + 10 * i, 910.0 + 10 * i FROM generate_series(0, 9) t(i))
-           |SELECT band, count(*) AS cnt, round(sum(p_retailprice), 2) AS sum_price
+           |SELECT band, count(*) AS cnt, ${sqlSumMoney("p_retailprice")} AS sum_price
            |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
            |GROUP BY band""".stripMargin))
 
@@ -259,9 +259,9 @@ object OlapQueries {
   val monthAgg = Q("q_month_agg",
     (s, dir) => t(s, dir, "orders")
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("rev")),
-    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-           | count(*) AS cnt, round(sum(o_totalprice), 2) AS rev
+      .agg(count(lit(1)).as("cnt"), sumMoney(col("o_totalprice")).as("rev")),
+    Some(s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+           | count(*) AS cnt, ${sqlSumMoney("o_totalprice")} AS rev
            |FROM orders GROUP BY 1""".stripMargin))
 
   /** Scalar subquery: the global average broadcasts to every row (one
@@ -285,11 +285,14 @@ object OlapQueries {
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("disc_rev"),
+        (sum(when(col("l_discount") > 0.05, cents(col("l_extendedprice"))))
+          .cast("double") / 100.0).as("disc_rev"),
         sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bulk"),
         count(lit(1)).as("cnt")),
     Some("""SELECT l_returnflag,
-           | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2) AS disc_rev,
+           | CAST(sum(CASE WHEN l_discount > 0.05
+           |     THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS DOUBLE)
+           |   / 100.0 AS disc_rev,
            | count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
            | count(*) AS cnt
            |FROM lineitem GROUP BY l_returnflag""".stripMargin))
@@ -485,12 +488,14 @@ object OlapQueries {
       t(s, dir, "orders")
         .withColumn("epoch_day", dayKey.cast("long"))
         .select(col("o_custkey"), col("o_orderkey"), col("epoch_day"),
-          round(sum(col("o_totalprice")).over(w), 2).as("rev_30d"),
+          (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0)
+            .as("rev_30d"),
           count(lit(1)).over(w).as("n_30d"))
     },
     Some("""SELECT o_custkey, o_orderkey,
            | datediff('day', DATE '1970-01-01', o_orderdate) AS epoch_day,
-           | round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+           | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+           |   / 100.0 AS rev_30d,
            | count(*) OVER w AS n_30d
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey
@@ -659,8 +664,9 @@ object OlapQueries {
     * spokes broadcast (the region filter prunes BEFORE the broadcast, so
     * the fact side drops non-ASIA rows in the probe, never shuffling for
     * a dimension). Revenue is exact at 4 decimals (2-dec price × 2-dec
-    * discount), so round(4) reproduces the exact rational — a 2-dec round
-    * could land on a .xx50 half where the engines' tie modes differ.
+    * discount), so the per-row cents×cents product is an exact integer
+    * of revenue·10⁴ and the long sum is summation-order-proof (the
+    * round(sum(double),4) form went hash-red at sf10).
     */
   val starJoin = Q("q_star_join",
     (s, dir) => {
@@ -673,12 +679,14 @@ object OlapQueries {
         .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"),
+        .agg((sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")))
+          .cast("double") / 10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
     },
     Some("""SELECT n_name,
-           | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           |         * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+           |   / 10000.0 AS revenue,
            | count(*) AS n_items
            |FROM lineitem
            |JOIN orders ON l_orderkey = o_orderkey

@@ -14,8 +14,9 @@ import graft.operators.SummaryAggregator
   * Conventions for oracle parity:
   *  - every computed/aggregate column is aliased identically on both
   *    sides (the driver sorts columns by name before hashing);
-  *  - floating-point aggregates are `round`ed on both sides so sum-order
-  *    nondeterminism cannot flip the hash;
+  *  - money (fixed 2-decimal) sums use exact integer cents ([[sumMoney]])
+  *    so the total is summation-order-free; other floating-point
+  *    aggregates are `round`ed on both sides;
   *  - float vectors are cast to double BEFORE arithmetic on both sides;
   *  - timestamps are rendered as 'yyyy-MM-dd HH:mm:ss' strings.
   */
@@ -51,6 +52,41 @@ object Queries {
     t(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"), col("label"))
 
+  // ---------------------------------------------------------------------
+  // Summation-order-proof money aggregation.
+  //
+  // `round(sum(double), 2)` is ORDER-DEPENDENT: at sf10 (6×10⁷ lineitem
+  // rows) the engine's and the oracle's partial-sum orders drift the
+  // total past a cent boundary and the round() flips (the six sf10
+  // hash-reds of round 12) — and on a real cluster two RUNS of the same
+  // query would differ the same way. TPC-H money columns are exact
+  // 2-decimal values, so the fix is exact integer units: per row,
+  // round(x·100) recovers the integer cents exactly (the true product is
+  // an integer and the double error is ≤ ~1e-9 ≪ 0.5), the long sum is
+  // associative/commutative (order-free), and the final /100.0 maps the
+  // identical long to the identical double in every engine. Headroom:
+  // sf1000 lineitem revenue ≈ 5×10^15 cents ≪ 2^63.
+  // ---------------------------------------------------------------------
+
+  /** Exact integer cents of a 2-decimal money double (per-row). */
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Order-free money sum rendered back as the 2-decimal double. */
+  private[graft] def sumMoney(c: Column): Column =
+    sum(cents(c)).cast("double") / 100.0
+
+  /** DuckDB twin of [[sumMoney]] (sum(BIGINT) is HUGEINT → cast). */
+  private[graft] def sqlSumMoney(e: String): String =
+    s"CAST(sum(CAST(round(($e) * 100) AS BIGINT)) AS DOUBLE) / 100.0"
+
+  /** Exact long sum of an integer-valued double (TPC-H quantity). */
+  private[graft] def sumIntUnits(c: Column): Column =
+    sum(round(c).cast("long")).cast("double")
+
+  /** DuckDB twin of [[sumIntUnits]]. */
+  private[graft] def sqlSumIntUnits(e: String): String =
+    s"CAST(sum(CAST(round($e) AS BIGINT)) AS DOUBLE)"
+
   private val D = 64 // embedding dimensionality (driver testdata)
 
   // ---------------------------------------------------------------------
@@ -83,14 +119,18 @@ object Queries {
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        sumIntUnits(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_price"),
+        // avg from the exact cents sum: identical longs → identical
+        // doubles → round() sees the same input in both engines
+        round(sum(cents(col("l_discount"))).cast("double")
+          / (count(lit(1)) * lit(100.0)), 6).as("avg_disc"),
         count(lit(1)).as("cnt")),
-    Some("""SELECT l_returnflag, l_linestatus,
-           | round(sum(l_quantity), 2) AS sum_qty,
-           | round(sum(l_extendedprice), 2) AS sum_price,
-           | round(avg(l_discount), 6) AS avg_disc,
+    Some(s"""SELECT l_returnflag, l_linestatus,
+           | ${sqlSumIntUnits("l_quantity")} AS sum_qty,
+           | ${sqlSumMoney("l_extendedprice")} AS sum_price,
+           | round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           |       / (count(*) * 100.0), 6) AS avg_disc,
            | count(*) AS cnt
            |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin))
 
@@ -120,8 +160,8 @@ object Queries {
     (s, dir) => t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("cnt")),
-    Some("""SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"), count(lit(1)).as("cnt")),
+    Some(s"""SELECT p_brand, ${sqlSumMoney("l_extendedprice")} AS revenue, count(*) AS cnt
            |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand""".stripMargin))
 
   val joinMulti = Q("q_join_multi",
@@ -130,8 +170,8 @@ object Queries {
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders")),
-    Some("""SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      .agg(sumMoney(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders")),
+    Some(s"""SELECT r_name, ${sqlSumMoney("o_totalprice")} AS revenue, count(*) AS n_orders
            |FROM orders
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
@@ -365,9 +405,9 @@ object Queries {
         .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
       fact.join(dim, fact("l_suppkey") === dim("s_suppkey") && fact("__salt") === dim("__salt"))
         .groupBy(col("s_name"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("cnt"))
+        .agg(sumMoney(col("l_extendedprice")).as("revenue"), count(lit(1)).as("cnt"))
     },
-    Some("""SELECT s_name, round(sum(l_extendedprice), 2) AS revenue, count(*) AS cnt
+    Some(s"""SELECT s_name, ${sqlSumMoney("l_extendedprice")} AS revenue, count(*) AS cnt
            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY s_name""".stripMargin))
 
   /** As-of join — for each event, the latest order (o_orderdate ≤ ts) of

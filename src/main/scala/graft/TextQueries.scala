@@ -1683,12 +1683,14 @@ object TextQueries {
       val setBits = bench
         .select(explode(array(bloomJ.map(j => bitOf(col("sh"), j)): _*)).as("bit"))
         .distinct().collect().map(_.getLong(0)).sorted
-      val bitsLit = lit(setBits)
+      // packed m/64 bitmask literal: O(1) membership per hash instead of
+      // a linear array_contains scan over the set-bit list
+      val maskLit = lit(TextOps.packBits(setBits))
       val corpus = sh.filter(col("doc_id") >= 20)
       // probe: map-side only — each corpus shingle hashes k times and
-      // tests the literal set; the exact side exists purely to measure FP
+      // tests the literal mask; the exact side exists purely to measure FP
       val probed = corpus.withColumn("bloom_hit",
-          bloomJ.map(j => array_contains(bitsLit, bitOf(col("sh"), j)))
+          bloomJ.map(j => TextOps.maskTest(maskLit, bitOf(col("sh"), j)))
             .reduce(_ && _))
         .join(bench.withColumn("ex", lit(1)), Seq("sh"), "left")
       probed.groupBy(col("doc_id"))

@@ -39,6 +39,14 @@ object BfrScaleBench {
 
   def run(spark: SparkSession, embPath: String, copies: Int, nChunks: Int,
           k: Int, sinkDir: Option[String] = None): Result = {
+    // sink mode appends: a stale directory from a previous probe would
+    // silently inflate nPoints/outliers and corrupt the heap artifact
+    sinkDir.foreach { dir =>
+      val p = new java.io.File(dir)
+      require(!p.exists() || Option(p.list()).forall(_.isEmpty),
+        s"BFR_SCALE_SINK $dir already exists and is non-empty — " +
+          "remove it (or point at a fresh path) before the probe")
+    }
     val e = spark.read.parquet(embPath)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("f"))
     // copy c of point i: id = i*copies + c; features jittered by a small

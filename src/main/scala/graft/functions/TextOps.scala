@@ -96,20 +96,27 @@ object TextOps {
     * bench. Output is unchanged — the mask is derived from the same
     * set-bit list the oracle derives its membership from.)
     */
-  def bloomProbe(df: DataFrame, text: Column, bits: Array[Long],
-                 flagAt: Int = 3): DataFrame = {
+  /** Set-bit list → m/64-long packed bitmask (the plan literal). */
+  def packBits(bits: Array[Long]): Array[Long] = {
     val words = new Array[Long](bloomM / 64)
     bits.foreach { b =>
       require(b >= 0 && b < bloomM, s"bloom bit $b outside [0, $bloomM)")
       words((b / 64).toInt) |= 1L << (b % 64).toInt
     }
-    val maskLit = lit(words)
+    words
+  }
+
+  /** O(1) membership test of `bit` against a packed-bitmask literal. */
+  def maskTest(maskLit: Column, bit: Column): Column =
+    element_at(maskLit, (bit / 64).cast("int") + 1)
+      .bitwiseAND(call_function("shiftleft", lit(1L), (bit % 64).cast("int"))) =!= lit(0L)
+
+  def bloomProbe(df: DataFrame, text: Column, bits: Array[Long],
+                 flagAt: Int = 3): DataFrame = {
+    val maskLit = lit(packBits(bits))
     val shs = NativeTextFunctions.distinctShinglesNative(text)
-    def isSet(bit: Column): Column =
-      element_at(maskLit, (bit / 64).cast("int") + 1)
-        .bitwiseAND(call_function("shiftleft", lit(1L), (bit % 64).cast("int"))) =!= lit(0L)
     val hits = size(filter(shs, sh =>
-      (0 until bloomK).map(j => isSet(bloomBit(sh, j)))
+      (0 until bloomK).map(j => maskTest(maskLit, bloomBit(sh, j)))
         .reduce(_ && _))).cast("long")
     df.withColumn("n_shingles", size(shs).cast("long"))
       .withColumn("n_bloom_hits", hits)

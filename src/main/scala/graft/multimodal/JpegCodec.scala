@@ -696,6 +696,9 @@ object JpegCodec {
     while (!sawEoi) {
       if (i + 2 > bytes.length) return None
       if (u8(bytes(i)) != 0xff) return None
+      // consume 0xFF fill bytes before the marker (T.81 B.1.1.2)
+      while (i + 3 <= bytes.length && u8(bytes(i + 1)) == 0xff) i += 1
+      if (i + 2 > bytes.length) return None
       val m = u8(bytes(i + 1))
       if (m == 0xd9) { sawEoi = true }
       else {
@@ -1121,6 +1124,7 @@ object JpegCodec {
       if (u8(bytes(i)) != 0xff) return "malformed"
       val m = u8(bytes(i + 1))
       m match {
+        case 0xff               => i += 1 // fill byte before marker (T.81 B.1.1.2)
         case 0xc0               => return "baseline"
         case 0xc1               => return "extended_sequential"
         case 0xc2               => return "progressive"
@@ -1151,7 +1155,8 @@ object JpegCodec {
       if (u8(bytes(i)) != 0xff) return -1
       val m = u8(bytes(i + 1))
       if (m == 0xc0) return i
-      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      if (m == 0xff) i += 1 // fill byte before marker (T.81 B.1.1.2)
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
       else {
         val len = (u8(bytes(i + 2)) << 8) | u8(bytes(i + 3))
         if (len < 2 || i + 2 + len > bytes.length) return -1
@@ -1181,6 +1186,9 @@ object JpegCodec {
     while (sosAt < 0) {
       if (i + 4 > bytes.length) return None
       if (u8(bytes(i)) != 0xff) return None
+      // consume 0xFF fill bytes before the marker (T.81 B.1.1.2)
+      while (i + 3 <= bytes.length && u8(bytes(i + 1)) == 0xff) i += 1
+      if (i + 4 > bytes.length) return None
       val m = u8(bytes(i + 1))
       if (m == 0xd9) return None // EOI before SOS
       val len = (u8(bytes(i + 2)) << 8) | u8(bytes(i + 3))

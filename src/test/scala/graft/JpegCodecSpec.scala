@@ -306,4 +306,25 @@ class JpegCodecSpec extends AnyFunSuite {
     arith(JpegCodec.sof0Offset(base) + 1) = 0xc9.toByte
     assert(JpegCodec.jpegKind(arith) == "arithmetic")
   }
+
+  test("0xFF fill bytes before a marker are legal padding (T.81 B.1.1.2), not malformed") {
+    // splice two fill bytes right after SOI: FF D8 FF FF FF <marker>...
+    def padded(b: Array[Byte]): Array[Byte] =
+      b.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ b.drop(2)
+
+    val base = ImageQueries.plantedJpeg(42L)
+    assert(JpegCodec.jpegKind(padded(base)) == "baseline")
+    val d = JpegCodec.decodeJpeg(padded(base))
+    assert(d.isDefined, "baseline decode rejected legal fill bytes")
+    assert(d.get.pixels.sameElements(JpegCodec.decodeJpeg(base).get.pixels))
+
+    val prog = ImageQueries.plantedJpegProgressive(42L)
+    assert(JpegCodec.jpegKind(padded(prog)) == "progressive")
+    val p = JpegCodec.decodeJpegProgressive(padded(prog))
+    assert(p.isDefined, "progressive decode rejected legal fill bytes")
+    assert(p.get.pixels.sameElements(JpegCodec.decodeJpegProgressive(prog).get.pixels))
+
+    // sof0Offset walks past the padding too
+    assert(JpegCodec.sof0Offset(padded(base)) == JpegCodec.sof0Offset(base) + 2)
+  }
 }
