@@ -269,14 +269,16 @@ object AudioQueries {
   /** Audio dedup GROUPS: connected components over the verified banded
     * near-dup pairs — completes the per-modality near-dup → canonical-
     * group loop (text, embeddings, images, audio all share the same
-    * HASH-to-MIN operator); oracle = recursive transitive closure over
-    * the same candidate/hamming CTE chain.
+    * HASH-to-MIN operator); oracle = the shared [[OracleCc]] pointer-
+    * jump contraction over the same candidate/hamming CTE chain (the
+    * recursive-closure form died on DuckDB resources at sf10 — the
+    * exact failure mode the text tier's grouping oracles shed in r11).
     */
   val audioDedupGroups = Q("q_audio_dedup_groups",
     (s, dir) => graft.operators.ConnectedComponents
       .canonicalize(audioNearDup.fn(s, dir)
         .select(col("id_a").as("ida"), col("id_b").as("idb"))),
-    Some(s"""WITH RECURSIVE $framesSql,
+    Some(s"""WITH $framesSql,
             |$bandsSql,
             |melted AS (
             |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
@@ -293,14 +295,9 @@ object AudioQueries {
             |            JOIN bands b ON cand.id_b = b.doc_id
             |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
-            |edges AS (
-            |  SELECT id_a AS ea, id_b AS eb FROM vp
-            |  UNION SELECT id_b, id_a FROM vp),
-            |reach(ra, rb) AS (
-            |  SELECT ea, eb FROM edges
-            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
-            |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
-            |FROM reach GROUP BY ra""".stripMargin))
+            |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** Cross-modal curation capstone: the keep mask a multimodal corpus
     * pipeline applies before packing — a document survives iff it is not

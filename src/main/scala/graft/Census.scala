@@ -108,6 +108,29 @@ object Census {
     if (n <= SimhashWidthThreshold) 32 else 64
 
   // -------------------------------------------------------------------
+  // MinHash-LSH recall evaluation (TextQueries.minhashRecall)
+  // -------------------------------------------------------------------
+
+  /** Largest corpus whose recall ground truth is the FULL exact
+    * co-shingle pair relation. Shingles are copy-invariant under the
+    * key-offset corpus scaling, so that relation grows ~copies² (hit
+    * disk-full live at the 500k-doc r12 gate); above this count the
+    * ground truth is restricted to pairs whose SMALLER member falls in
+    * the md5-ranked stratum below — an unbiased exact-on-a-stratum
+    * measurement of the same recall dial, certifiable at every SF.
+    * sf1's 50k docs stay below the switch, so the standing sf ≤ 1
+    * certifications are output-identical.
+    */
+  val RecallFullN = 1L << 16
+
+  /** Stratum selectivity above [[RecallFullN]]: a pair enters the
+    * ground truth iff its smaller doc_id's md5 bucket (first 4 hex
+    * chars mod this) is 0 — the same deterministic hash-sample idiom as
+    * q_hash_sample, never stride/modulo on raw ids.
+    */
+  val RecallStratumMod = 64
+
+  // -------------------------------------------------------------------
   // Hot-bucket and broadcast guards (TextOps / SetSimJoin)
   // -------------------------------------------------------------------
 

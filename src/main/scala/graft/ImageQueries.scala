@@ -390,14 +390,15 @@ object ImageQueries {
   /** Image dedup GROUPS: connected components over the verified banded
     * near-dup pairs — the visual twin of q_dedup_groups (text) and
     * q_embedding_dedup_groups (vectors), sharing the same iterative
-    * HASH-to-MIN operator; oracle = recursive transitive closure over
-    * the same candidate/hamming CTE chain.
+    * HASH-to-MIN operator; oracle = the shared [[OracleCc]] pointer-
+    * jump contraction over the same candidate/hamming CTE chain (the
+    * recursive-closure form died on DuckDB resources at sf10).
     */
   val imageDedupGroups = Q("q_image_dedup_groups",
     (s, dir) => graft.operators.ConnectedComponents
       .canonicalize(imageNearDup.fn(s, dir)
         .select(col("id_a").as("ida"), col("id_b").as("idb"))),
-    Some(s"""WITH RECURSIVE $lumaCellsSql,
+    Some(s"""WITH $lumaCellsSql,
             |melted AS (
             |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
             |  UNION ALL SELECT doc_id, 1, b1 FROM bands
@@ -413,14 +414,9 @@ object ImageQueries {
             |            JOIN bands b ON cand.id_b = b.doc_id
             |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
-            |edges AS (
-            |  SELECT id_a AS ea, id_b AS eb FROM vp
-            |  UNION SELECT id_b, id_a FROM vp),
-            |reach(ra, rb) AS (
-            |  SELECT ea, eb FROM edges
-            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
-            |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
-            |FROM reach GROUP BY ra""".stripMargin))
+            |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** dHash fingerprints through the full real GIF-LZW decode chain. The
     * oracle is the same closed-form luma arithmetic as `q_image_dhash` —

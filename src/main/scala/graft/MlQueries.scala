@@ -1292,7 +1292,7 @@ object MlQueries {
 
   private val docCountCache =
     new scala.collection.concurrent.TrieMap[(String, String), Long]()
-  private def docCount(s: SparkSession, dir: String): Long =
+  private[graft] def docCount(s: SparkSession, dir: String): Long =
     docCountCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       s.read.parquet(s"$dir/documents.parquet").count())
 

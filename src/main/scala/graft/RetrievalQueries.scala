@@ -221,19 +221,27 @@ object RetrievalQueries {
           coalesce(col("top4_micro"), lit(0L)).as("top4_micro"))
     },
     Some {
+      // bounded per-doc list form (the sf10 lesson): build each doc's
+      // gram LIST first — the unnest then carries only (doc_id, nt, g),
+      // never the whole word list per exploded row — and count via a
+      // partially-aggregable two-level GROUP BY instead of a corpus-wide
+      // window sort (count(*) OVER duplicated the count per ROW and
+      // pinned the full sorted relation: the 51 GiB OOM at 500k docs)
       def cte(n: Int) =
         s"""t$n AS (
            |  SELECT doc_id, CAST(floor(1e6 * max(c) * $n / any_value(nt)) AS BIGINT)
            |    AS top${n}_micro
            |  FROM (
-           |    SELECT doc_id, nt,
-           |      array_to_string(list_slice(ws, i, i + ${n - 1}), ' ') AS g,
-           |      count(*) OVER (PARTITION BY doc_id,
-           |        array_to_string(list_slice(ws, i, i + ${n - 1}), ' ')) AS c
-           |    FROM (SELECT doc_id, ws, len(ws) AS nt,
-           |            unnest(generate_series(1, len(ws) - ${n - 1})) AS i
-           |          FROM (SELECT doc_id, $wordsSql AS ws FROM documents)
-           |          WHERE len(ws) >= $n))
+           |    SELECT doc_id, any_value(nt) AS nt, count(*) AS c
+           |    FROM (
+           |      SELECT doc_id, nt, unnest(gs) AS g
+           |      FROM (SELECT doc_id, len(ws) AS nt,
+           |              list_transform(generate_series(1, len(ws) - ${n - 1}),
+           |                i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' '))
+           |                AS gs
+           |            FROM (SELECT doc_id, $wordsSql AS ws FROM documents)
+           |            WHERE len(ws) >= $n))
+           |    GROUP BY doc_id, g)
            |  GROUP BY doc_id)""".stripMargin
       s"""WITH ${cte(2)}, ${cte(3)}, ${cte(4)},
          |d AS (SELECT doc_id, len($wordsSql) AS n_tokens FROM documents)

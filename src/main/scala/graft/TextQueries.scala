@@ -975,13 +975,22 @@ object TextQueries {
     * ground truth — the evaluation the ANN tier already gets
     * (`q_ann_ivf_recall`) applied to the dedup tier: for each Jaccard
     * threshold t ∈ {0.50, 0.70, 0.80, 0.90}, how many truly-similar
-    * pairs exist, and how many of them the band buckets surfaced. Ground
-    * truth is the exact Jaccard over the full co-shingle universe (pairs
-    * sharing ≥ 1 shingle) — O(pairs) like the ANN brute-force baseline,
-    * kept ONLY as the evaluation reference, never the scale path. The
-    * threshold doubles are derived as pct/100.0 on BOTH engines so the
-    * boundary comparisons are bit-identical; outputs are integer counts
-    * and a floor-micro recall.
+    * pairs exist, and how many of them the band buckets surfaced.
+    * Ground truth is the exact Jaccard over the co-shingle universe
+    * (pairs sharing ≥ 1 shingle) — full below
+    * [[Census.RecallFullN]] docs, and above it restricted to the
+    * md5-ranked stratum (pairs whose SMALLER member hashes into bucket
+    * 0 mod [[Census.RecallStratumMod]]): shingles are copy-invariant
+    * under key-offset corpus scaling, so the FULL relation grows
+    * ~copies² (~1e11 rows at 500k docs — the r12 gate exclusion); the
+    * stratum is an unbiased exact measurement of the same dial whose
+    * intersection stream is corpus-linear, so the evaluation stays
+    * oracle-certified at every SF. The stratum filter lands on the
+    * doc_a side BEFORE the self-join (the SetSimJoin aBound lesson:
+    * filtering the materialized relation would rebuild the blow-up).
+    * The threshold doubles are derived as pct/100.0 on BOTH engines so
+    * the boundary comparisons are bit-identical; outputs are integer
+    * counts and a floor-micro recall.
     */
   val minhashRecall = Q("q_minhash_recall",
     (s, dir) => {
@@ -991,7 +1000,13 @@ object TextQueries {
       // rationale as pairOverlap / q_source_overlap (PlanShapeSpec)
       val sh = artifacts(s, dir).shingles
       val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val full = MlQueries.docCount(s, dir) <= Census.RecallFullN
+      val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+      val shAStratum =
+        if (full) shA
+        else shA.filter(conv(substring(md5(col("doc_a").cast("string")), 1, 4),
+          16, 10).cast("long") % Census.RecallStratumMod === 0)
+      val inter = shAStratum
         .hint("shuffle_merge")
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")).hint("shuffle_merge"),
           Seq("sh"))
@@ -1021,6 +1036,9 @@ object TextQueries {
             |inter AS (
             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            |  WHERE (SELECT count(*) FROM documents) <= ${Census.RecallFullN}
+            |     OR ('0x' || substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            |        % ${Census.RecallStratumMod} = 0
             |  GROUP BY 1, 2),
             |truth AS (
             |  SELECT i.doc_a, i.doc_b,

@@ -322,14 +322,16 @@ object VideoQueries {
 
   /** Video dedup GROUPS: connected components over the verified banded
     * near-dup pairs — the fourth modality through the shared HASH-to-MIN
-    * operator (text, embeddings, images, audio, video); oracle =
-    * recursive transitive closure over the same candidate/hamming chain.
+    * operator (text, embeddings, images, audio, video); oracle = the
+    * shared [[OracleCc]] pointer-jump contraction over the same
+    * candidate/hamming chain (the recursive-closure form died on DuckDB
+    * resources at sf10).
     */
   val videoDedupGroups = Q("q_video_dedup_groups",
     (s, dir) => graft.operators.ConnectedComponents
       .canonicalize(videoNearDup.fn(s, dir)
         .select(col("id_a").as("ida"), col("id_b").as("idb"))),
-    Some(s"""WITH RECURSIVE $sigsSql,
+    Some(s"""WITH $sigsSql,
             |$bandsSql,
             |melted AS (
             |  SELECT doc_id, 0 AS band, b0 AS bv FROM bands
@@ -346,14 +348,9 @@ object VideoQueries {
             |            JOIN bands b ON cand.id_b = b.doc_id
             |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
-            |edges AS (
-            |  SELECT id_a AS ea, id_b AS eb FROM vp
-            |  UNION SELECT id_b, id_a FROM vp),
-            |reach(ra, rb) AS (
-            |  SELECT ea, eb FROM edges
-            |  UNION SELECT r.ra, e.eb FROM reach r JOIN edges e ON r.rb = e.ea)
-            |SELECT ra AS doc_id, least(min(rb), ra) AS canonical_id
-            |FROM reach GROUP BY ra""".stripMargin))
+            |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
+            |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   // ---- cross-tier composition: keyframes ARE real PNGs — MP4 box walk
   // → stsz/stsc/stco sample extraction → PNG decode → luma grid → dHash

@@ -9,30 +9,71 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-con = duckdb.connect()
-# Optional memory cap (e.g. CHECK_ORACLE_MEMLIMIT=48GB): DuckDB then spills
-# oversized operators to a temp directory instead of growing resident —
-# scaled-gate insurance so one oracle can't take down concurrent work.
-if os.environ.get("CHECK_ORACLE_MEMLIMIT"):
-    con.sql(f"SET memory_limit = '{os.environ['CHECK_ORACLE_MEMLIMIT']}'")
-    con.sql("SET temp_directory = '/tmp/duckdb_spill'")
-# Optional worker-thread cap (e.g. CHECK_ORACLE_THREADS=16): at the sf10
-# gates DuckDB's default (one thread per CPU) plus deep materialized-CTE
-# chains can fail pthread_create with EAGAIN mid-run (thread stacks
-# compete with the buffer pool for address space); capping threads keeps
-# long multi-query compares stable at a small wall-clock cost.
-if os.environ.get("CHECK_ORACLE_THREADS"):
-    con.sql(f"SET threads = {int(os.environ['CHECK_ORACLE_THREADS'])}")
-for t in ["region","nation","customer","supplier","part","orders","lineitem",
-          "events","documents","embeddings"]:
-    # driver layout = single file; TestDataGen layout = directory of parts.
-    # Missing tables are skipped (targeted scale steps generate a subset;
-    # an oracle that needs an absent table then fails loudly per-query).
-    p = f"{sf_dir}/{t}.parquet"
-    if not os.path.exists(p):
-        continue
-    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+SPILL_DIR = os.environ.get("CHECK_ORACLE_SPILL_DIR", "/tmp/duckdb_spill")
+
+
+def fresh_con():
+    """One configured DuckDB session. In per-query mode (below) each
+    oracle gets its own — a closed session provably releases every
+    pipeline buffer and temp file, so one oracle's spill can never
+    starve the next (the sf10 r12 failure mode: 7 oracles died on the
+    SHARED session's accumulated memory/temp)."""
+    c = duckdb.connect()
+    # Optional memory cap (e.g. CHECK_ORACLE_MEMLIMIT=48GB): DuckDB then
+    # spills oversized operators to a temp directory instead of growing
+    # resident — scaled-gate insurance so one oracle can't take down
+    # concurrent work.
+    if os.environ.get("CHECK_ORACLE_MEMLIMIT"):
+        c.sql(f"SET memory_limit = '{os.environ['CHECK_ORACLE_MEMLIMIT']}'")
+        os.makedirs(SPILL_DIR, exist_ok=True)
+        c.sql(f"SET temp_directory = '{SPILL_DIR}'")
+        # Spill-disk budget as a CONTRACT (e.g. CHECK_ORACLE_SPILL_MAX=
+        # 60GB): without it DuckDB fills the device and every CONCURRENT
+        # writer on the box fails too (observed live at the r12 gate).
+        if os.environ.get("CHECK_ORACLE_SPILL_MAX"):
+            c.sql("SET max_temp_directory_size = "
+                  f"'{os.environ['CHECK_ORACLE_SPILL_MAX']}'")
+    # Optional worker-thread cap (e.g. CHECK_ORACLE_THREADS=16): at the
+    # sf10 gates DuckDB's default (one thread per CPU) plus deep
+    # materialized-CTE chains can fail pthread_create with EAGAIN mid-run
+    # (thread stacks compete with the buffer pool for address space);
+    # capping threads keeps long multi-query compares stable at a small
+    # wall-clock cost.
+    if os.environ.get("CHECK_ORACLE_THREADS"):
+        c.sql(f"SET threads = {int(os.environ['CHECK_ORACLE_THREADS'])}")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # driver layout = single file; TestDataGen layout = directory of
+        # parts. Missing tables are skipped (targeted scale steps generate
+        # a subset; an oracle that needs an absent table then fails loudly
+        # per-query).
+        p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    return c
+
+
+# CHECK_ORACLE_PER_QUERY=1: fresh session (and clean spill dir) per
+# oracle — the scaled-gate mode. Default: one shared session (fast).
+per_query = os.environ.get("CHECK_ORACLE_PER_QUERY", "") == "1"
+
+# Pre-flight disk contract (CHECK_ORACLE_MIN_FREE_GB, default 20 when a
+# memory limit/spill is configured): fail BEFORE the first query if the
+# spill device can't hold a realistic spill, instead of dying at query
+# 113 of 201 three hours in.
+min_free_gb = float(os.environ.get("CHECK_ORACLE_MIN_FREE_GB",
+                                   "20" if os.environ.get("CHECK_ORACLE_MEMLIMIT") else "0"))
+if min_free_gb > 0:
+    import shutil
+    os.makedirs(SPILL_DIR, exist_ok=True)
+    free_gb = shutil.disk_usage(SPILL_DIR).free / 1e9
+    if free_gb < min_free_gb:
+        sys.exit(f"pre-flight: only {free_gb:.1f} GB free on {SPILL_DIR} "
+                 f"(need {min_free_gb:.0f} GB) — clean the box first")
+
+con = None if per_query else fresh_con()
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
@@ -65,7 +106,18 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
         rows_only.append((name, len(got)))
         continue
     try:
-        exp = con.sql(oracles[name]).df()
+        if per_query:
+            qcon = fresh_con()
+            try:
+                exp = qcon.sql(oracles[name]).df()
+            finally:
+                qcon.close()
+                # reclaim any spill the session left behind before the
+                # next query sizes its own budget
+                import shutil as _sh
+                _sh.rmtree(SPILL_DIR, ignore_errors=True)
+        else:
+            exp = con.sql(oracles[name]).df()
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
