@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Parallelism-invariance check: the same query list run at local[32] and
+# local[4] must produce IDENTICAL results (sorted compare). This is the
+# cluster-determinism proxy the money-sum family failed implicitly at
+# sf10 before r13's exact-integer-cents fix: an order-dependent
+# round(sum(double)) changes with the partial-aggregation tree, i.e.
+# with parallelism, i.e. between any two runs of a real cluster.
+#
+# Usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root]
+# Exit 0 iff every query's two dumps are row-set identical.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:?usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root]}"
+QUERIES="${2:?query list (comma-separated)}"
+OUT_ROOT="${3:-/tmp/invariance_check}"
+
+rm -rf "$OUT_ROOT"
+for CPUS in 32 4; do
+  echo "== Verify at local[$CPUS]"
+  LOG="$(mktemp /tmp/graft_inv_log.XXXXXX)"
+  SPARK_GRAFT_CPUS=$CPUS SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
+    sbt -batch "runMain graft.Verify $SF_DIR $OUT_ROOT/cpus$CPUS $QUERIES" \
+    >"$LOG" 2>&1 \
+    || { tail -n 40 "$LOG"; echo "Verify failed at local[$CPUS]"; exit 1; }
+  if grep "\[verify\]" "$LOG"; then
+    echo "Verify reported per-query failures at local[$CPUS]"; exit 1
+  fi
+done
+
+echo "== comparing local[32] vs local[4] dumps"
+python3 - "$OUT_ROOT" <<'EOF'
+import glob, sys
+import pandas as pd
+
+root = sys.argv[1]
+names = sorted(p.split("/")[-1] for p in glob.glob(f"{root}/cpus32/q_*"))
+assert names, f"no dumps under {root}/cpus32"
+bad = []
+for name in names:
+    def load(c):
+        fs = glob.glob(f"{root}/cpus{c}/{name}/*.parquet")
+        df = pd.concat([pd.read_parquet(p) for p in fs], ignore_index=True)
+        df = df[sorted(df.columns)]
+        for col in df.columns:
+            if df[col].dtype == object:
+                df[col] = df[col].astype(str)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    a, b = load(32), load(4)
+    if len(a) != len(b):
+        bad.append((name, f"row count {len(a)} vs {len(b)}"))
+        continue
+    if not a.equals(b):
+        neq = None
+        for col in a.columns:
+            m = a[col].ne(b[col]) & ~(a[col].isna() & b[col].isna())
+            if m.any():
+                i = int(m.idxmax())
+                neq = f"col={col} row={i}: {a[col][i]!r} vs {b[col][i]!r}"
+                break
+        bad.append((name, neq or "frame mismatch"))
+    else:
+        print(f"  {name}: IDENTICAL ({len(a)} rows)")
+if bad:
+    print("PARALLELISM-VARIANT QUERIES:")
+    for n, m in bad:
+        print(f"  {n}: {m}")
+    sys.exit(1)
+print(f"all {len(names)} queries parallelism-invariant")
+EOF
