@@ -253,10 +253,13 @@ object AudioQueries {
             |  UNION ALL SELECT doc_id, 2, b2 FROM bands
             |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
             |cand AS (
-            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |  FROM melted x JOIN melted y
             |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-            |SELECT id_a, id_b,
+            |-- verify BEFORE deduplicating: the DISTINCT hash table holds only
+            |-- hamming<=3 survivors (~1e7 at 500k docs), never the ~1e9-row
+            |-- raw candidate stream, which stays pipelined (sf10 OOM lesson)
+            |SELECT DISTINCT id_a, id_b,
             |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT)
             |    AS hamming
@@ -286,11 +289,13 @@ object AudioQueries {
             |  UNION ALL SELECT doc_id, 2, b2 FROM bands
             |  UNION ALL SELECT doc_id, 3, b3 FROM bands),
             |cand AS (
-            |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |  FROM melted x JOIN melted y
             |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
             |vp AS (
-            |  SELECT id_a, id_b
+            |  -- verify BEFORE deduplicating (sf10 OOM lesson): only survivors
+            |  -- enter the DISTINCT; the raw candidate stream stays pipelined
+            |  SELECT DISTINCT id_a, id_b
             |  FROM cand JOIN bands a ON cand.id_a = a.doc_id
             |            JOIN bands b ON cand.id_b = b.doc_id
             |  WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
@@ -338,7 +343,10 @@ object AudioQueries {
             |      UNION ALL SELECT doc_id, 2, b2 FROM bands
             |      UNION ALL SELECT doc_id, 3, b3 FROM bands),
             |    cand AS (
-            |      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |      -- no pair-level DISTINCT: the final DISTINCT id_b dedups
+            |      -- after the hamming filter, so the raw candidate stream
+            |      -- stays pipelined (sf10 OOM lesson)
+            |      SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |      FROM melted x JOIN melted y
             |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
             |    SELECT DISTINCT cand.id_b
@@ -356,7 +364,10 @@ object AudioQueries {
             |      UNION ALL SELECT doc_id, 2, b2 FROM bands
             |      UNION ALL SELECT doc_id, 3, b3 FROM bands),
             |    cand AS (
-            |      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            |      -- no pair-level DISTINCT: the final DISTINCT id_b dedups
+            |      -- after the hamming filter, so the raw candidate stream
+            |      -- stays pipelined (sf10 OOM lesson)
+            |      SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |      FROM melted x JOIN melted y
             |        ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
             |    SELECT DISTINCT cand.id_b
