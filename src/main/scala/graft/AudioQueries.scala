@@ -178,7 +178,7 @@ object AudioQueries {
       |  FROM energies a JOIN energies b
       |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
       |  WHERE a.f < 64 AND a.e < b.e),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT d.doc_id,
       |    CAST(coalesce(sum(CASE WHEN band = 0 THEN 1 << idx END), 0) AS BIGINT) AS b0,
       |    CAST(coalesce(sum(CASE WHEN band = 1 THEN 1 << idx END), 0) AS BIGINT) AS b1,
@@ -292,9 +292,12 @@ object AudioQueries {
             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |  FROM melted x JOIN melted y
             |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-            |vp AS (
+            |vp AS MATERIALIZED (
             |  -- verify BEFORE deduplicating (sf10 OOM lesson): only survivors
-            |  -- enter the DISTINCT; the raw candidate stream stays pipelined
+            |  -- enter the DISTINCT; the raw candidate stream stays pipelined.
+            |  -- MATERIALIZED because the CC chain references the pair set
+            |  -- twice (symmetrizing UNION) — a plain CTE would re-run the
+            |  -- ~1e9-row candidate pipeline once per reference, concurrently
             |  SELECT DISTINCT id_a, id_b
             |  FROM cand JOIN bands a ON cand.id_a = a.doc_id
             |            JOIN bands b ON cand.id_b = b.doc_id
@@ -334,7 +337,7 @@ object AudioQueries {
             coalesce(col("audio_dup"), lit(0L)) === 0 &&
             col("n_tokens") >= 5, lit(1L)).otherwise(lit(0L)).as("kept"))
     },
-    Some(s"""WITH ipairs AS (
+    Some(s"""WITH ipairs AS MATERIALIZED (
             |  SELECT id_b FROM (
             |    WITH ${ImageQueries.lumaCellsSql},
             |    melted AS (
@@ -354,7 +357,7 @@ object AudioQueries {
             |              JOIN bands b ON cand.id_b = b.doc_id
             |    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
             |        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3) t),
-            |apairs AS (
+            |apairs AS MATERIALIZED (
             |  SELECT id_b FROM (
             |    WITH $framesSql,
             |    $bandsSql,

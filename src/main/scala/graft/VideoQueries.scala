@@ -255,7 +255,7 @@ object VideoQueries {
       |  FROM sigs a JOIN sigs b
       |    ON a.doc_id = b.doc_id AND b.f = a.f + 1
       |  WHERE a.f < 64 AND a.sig < b.sig),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT d.doc_id,
       |    CAST(coalesce(sum(CASE WHEN band = 0 THEN 1 << idx END), 0) AS BIGINT) AS b0,
       |    CAST(coalesce(sum(CASE WHEN band = 1 THEN 1 << idx END), 0) AS BIGINT) AS b1,
@@ -345,9 +345,12 @@ object VideoQueries {
             |  SELECT x.doc_id AS id_a, y.doc_id AS id_b
             |  FROM melted x JOIN melted y
             |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-            |vp AS (
+            |vp AS MATERIALIZED (
             |  -- verify BEFORE deduplicating (sf10 OOM lesson): only survivors
-            |  -- enter the DISTINCT; the raw candidate stream stays pipelined
+            |  -- enter the DISTINCT; the raw candidate stream stays pipelined.
+            |  -- MATERIALIZED because the CC chain references the pair set
+            |  -- twice (symmetrizing UNION) — a plain CTE would re-run the
+            |  -- ~1e9-row candidate pipeline once per reference, concurrently
             |  SELECT DISTINCT id_a, id_b
             |  FROM cand JOIN bands a ON cand.id_a = a.doc_id
             |            JOIN bands b ON cand.id_b = b.doc_id
