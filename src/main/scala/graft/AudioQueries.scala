@@ -305,7 +305,17 @@ object AudioQueries {
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
             |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
             |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
-            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin),
+    // Scaled-gate twin: consume the just-verified q_audio_near_dup dump
+    // (survivor pairs) instead of re-deriving the band self-join — the
+    // base oracle passed at sf10 only running SOLO at the 44.7 GiB cap
+    // (r13 retry3); composed over the verified dump it fits the shared
+    // batch with real headroom.
+    scaleOracle = Some(
+      s"""WITH pairs AS (
+         |  SELECT id_a AS doc_a, id_b AS doc_b FROM dump_q_audio_near_dup),
+         |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+         |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** Cross-modal curation capstone: the keep mask a multimodal corpus
     * pipeline applies before packing — a document survives iff it is not
@@ -394,7 +404,33 @@ object AudioQueries {
             |FROM documents d
             |JOIN tok t ON t.doc_id = d.doc_id
             |LEFT JOIN ipairs i ON i.id_b = d.doc_id
-            |LEFT JOIN apairs a ON a.id_b = d.doc_id""".stripMargin))
+            |LEFT JOIN apairs a ON a.id_b = d.doc_id""".stripMargin),
+    // Scaled-gate twin: both modalities' dup sets come from the
+    // just-verified near-dup pair dumps — the base oracle re-derives
+    // BOTH band self-joins inside one SQL and passed at sf10 only solo
+    // at the 44.7 GiB cap (r13 retry3).
+    scaleOracle = Some(
+      """WITH ipairs AS (
+        |  SELECT DISTINCT id_b FROM dump_q_image_near_dup),
+        |apairs AS (
+        |  SELECT DISTINCT id_b FROM dump_q_audio_near_dup),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN i.id_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS img_dup,
+        |  CAST(CASE WHEN a.id_b IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS audio_dup,
+        |  t.n_tokens,
+        |  CAST(CASE WHEN i.id_b IS NULL AND a.id_b IS NULL
+        |        AND t.n_tokens >= 5 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM documents d
+        |JOIN tok t ON t.doc_id = d.doc_id
+        |LEFT JOIN ipairs i ON i.id_b = d.doc_id
+        |LEFT JOIN apairs a ON a.id_b = d.doc_id""".stripMargin))
 
   /** Cross-format PCM normalization: the same content through three
     * container layouts (stereo-16 with L = R, mono-24 with zero low

@@ -424,7 +424,16 @@ object ImageQueries {
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
             |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
             |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
-            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin),
+    // Scaled-gate twin: consume the just-VERIFIED q_image_near_dup dump
+    // (~1e7 survivor pairs) instead of re-deriving the band self-join —
+    // the base oracle's candidate pipeline OOM'd 44.7 GiB DuckDB
+    // sessions at 500k docs (r13); only the CC contraction remains here.
+    scaleOracle = Some(
+      s"""WITH pairs AS (
+         |  SELECT id_a AS doc_a, id_b AS doc_b FROM dump_q_image_near_dup),
+         |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+         |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   /** dHash fingerprints through the full real GIF-LZW decode chain. The
     * oracle is the same closed-form luma arithmetic as `q_image_dhash` —

@@ -1269,7 +1269,20 @@ object MlQueries {
             |  SELECT ida AS ea, idb AS eb FROM vp
             |  UNION SELECT idb, ida FROM vp),
             |${pointerJumpCcSql(64)},
-            |${pointerJumpCcGuardedSelect(64, "vec_id")}""".stripMargin))
+            |${pointerJumpCcGuardedSelect(64, "vec_id")}""".stripMargin),
+    // Scaled-gate twin: consume the just-verified
+    // q_embedding_near_dup_banded dump (the IDENTICAL bandedNearDup pair
+    // set) instead of re-deriving the banded candidate chain — the base
+    // oracle legitimately streams ~90 GB through DuckDB at sf1 (spills
+    // >78 GB under an 80 GB cap), which forces the sf1 gate to run
+    // uncapped and solo; composed over the survivor dump it runs at the
+    // standard capped budget. Same 64-round budget as the base.
+    scaleOracle = Some(
+      s"""WITH pairs AS (
+         |  SELECT ida AS doc_a, idb AS doc_b
+         |  FROM dump_q_embedding_near_dup_banded),
+         |${OracleCc.canonFromPairs(64)}
+         |SELECT doc_id AS vec_id, canonical_id FROM canon""".stripMargin))
 
   // ---------------------------------------------------------------------
   // SimHash near-dup (documents)

@@ -22,10 +22,28 @@ import graft.operators.SummaryAggregator
   */
 object Queries {
 
+  /** One registered operator query.
+    *
+    * `oracle` is the self-contained DuckDB SQL over the base parquet
+    * tables (the driver's sf0.01 gate and the sf1 gate run it as-is).
+    *
+    * `scaleOracle` is an OPTIONAL cheaper twin for the scaled gates
+    * (CHECK_ORACLE_SCALE=1): it may additionally reference views named
+    * `dump_q_<name>` — the engine's OWN dumped result of another
+    * registered query that the SAME gate run has already oracle-verified
+    * (e.g. the groups oracle consumes the verified near-dup pair dump
+    * instead of re-deriving the ~1e9-row band self-join inside DuckDB,
+    * which OOM'd the 44.7 GiB oracle sessions at sf10 in r13). The
+    * composition is sound exactly because the referenced dump is itself
+    * hash-verified against ITS base oracle in the same artifact: a pass
+    * certifies the downstream step GIVEN certified inputs. The gate
+    * records which queries used a composed oracle.
+    */
   final case class Q(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      scaleOracle: Option[String] = None)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

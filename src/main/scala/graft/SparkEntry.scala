@@ -24,4 +24,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Scaled-gate oracle overlay (CHECK_ORACLE_SCALE=1): cheaper DuckDB
+    * twins that may consume `dump_q_<name>` views of already-verified
+    * engine dumps — see [[Queries.Q.scaleOracle]].
+    */
+  def scaleOracleSql: Map[String, String] =
+    Queries.all.flatMap(q => q.scaleOracle.map(o => q.name -> o)).toMap
 }

@@ -29,6 +29,16 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // Fail FAST if the failure took the SparkContext down with it
+          // (driver OOM at the r13 sf10 gate): every later query would
+          // print a meaningless "stopped SparkContext" stack, burying
+          // the one real cause ~60 errors deep in the gate log.
+          if (spark.sparkContext.isStopped) {
+            System.err.println(
+              s"[verify] SparkContext is stopped — aborting the run; " +
+                s"root cause above ($name)")
+            throw e
+          }
         }
       }
     writeOracleJson(outDir)
@@ -49,9 +59,15 @@ object Verify {
 
   def writeOracleJson(outDir: String): Unit = {
     new java.io.File(outDir).mkdirs()
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def dump(m: Map[String, String], file: String): Unit = {
+      val json = m.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/$file"), json)
+    }
+    dump(SparkEntry.oracleSql, "oracle_sql.json")
+    // scaled-gate overlay (may reference dump_q_* views of verified
+    // engine dumps); consumed only when CHECK_ORACLE_SCALE=1
+    dump(SparkEntry.scaleOracleSql, "oracle_sql_scale.json")
   }
 
   def main(args: Array[String]): Unit = {

@@ -358,7 +358,15 @@ object VideoQueries {
             |      + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3),
             |pairs AS (SELECT id_a AS doc_a, id_b AS doc_b FROM vp),
             |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
-            |SELECT doc_id, canonical_id FROM canon""".stripMargin))
+            |SELECT doc_id, canonical_id FROM canon""".stripMargin),
+    // Scaled-gate twin: consume the just-verified q_video_near_dup dump
+    // (survivor pairs) instead of re-deriving the band self-join inside
+    // DuckDB — same composition as the image/audio groups oracles.
+    scaleOracle = Some(
+      s"""WITH pairs AS (
+         |  SELECT id_a AS doc_a, id_b AS doc_b FROM dump_q_video_near_dup),
+         |${OracleCc.canonFromPairs(OracleCc.TextRounds)}
+         |SELECT doc_id, canonical_id FROM canon""".stripMargin))
 
   // ---- cross-tier composition: keyframes ARE real PNGs — MP4 box walk
   // → stsz/stsc/stco sample extraction → PNG decode → luma grid → dHash

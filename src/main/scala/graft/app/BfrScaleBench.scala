@@ -43,7 +43,10 @@ object BfrScaleBench {
     // silently inflate nPoints/outliers and corrupt the heap artifact
     sinkDir.foreach { dir =>
       val p = new java.io.File(dir)
-      require(!p.exists() || Option(p.list()).forall(_.isEmpty),
+      // (File.list() returns null for a regular FILE, which would make
+      // the emptiness check vacuously pass — require a directory)
+      require(!p.exists() ||
+          (p.isDirectory && Option(p.list()).forall(_.isEmpty)),
         s"BFR_SCALE_SINK $dir already exists and is non-empty — " +
           "remove it (or point at a fresh path) before the probe")
     }

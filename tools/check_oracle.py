@@ -9,7 +9,16 @@ import pandas as pd
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
-SPILL_DIR = os.environ.get("CHECK_ORACLE_SPILL_DIR", "/tmp/duckdb_spill")
+# Per-RUN spill subdirectory under the configured root: a fixed shared
+# path meant (a) one run's post-query rmtree deleted a CONCURRENT run's
+# live DuckDB temp files, and (b) pointing CHECK_ORACLE_SPILL_DIR at a
+# non-dedicated path recursively deleted it (r13 ADVICE). Only this
+# run's own subdir is ever cleaned.
+SPILL_ROOT = os.environ.get("CHECK_ORACLE_SPILL_DIR", "/tmp/duckdb_spill")
+os.makedirs(SPILL_ROOT, exist_ok=True)
+import tempfile, atexit, shutil
+SPILL_DIR = tempfile.mkdtemp(prefix="run.", dir=SPILL_ROOT)
+atexit.register(lambda: shutil.rmtree(SPILL_DIR, ignore_errors=True))
 
 
 def fresh_con():
@@ -52,12 +61,27 @@ def fresh_con():
             continue
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+    if scale_mode:
+        # Scaled-gate composition (CHECK_ORACLE_SCALE=1): expose each
+        # engine dump as dump_q_<name> so a scale oracle can consume a
+        # relation the SAME gate run verifies against its base oracle
+        # (e.g. groups := CC over the verified near-dup pair dump)
+        # instead of re-deriving a ~1e9-row intermediate inside DuckDB.
+        for qdir in glob.glob(f"{out_dir}/q_*"):
+            qn = qdir.split("/")[-1]
+            if glob.glob(f"{qdir}/*.parquet"):
+                c.sql(f"CREATE VIEW dump_{qn} AS SELECT * "
+                      f"FROM '{qdir}/*.parquet'")
     return c
 
 
 # CHECK_ORACLE_PER_QUERY=1: fresh session (and clean spill dir) per
 # oracle — the scaled-gate mode. Default: one shared session (fast).
 per_query = os.environ.get("CHECK_ORACLE_PER_QUERY", "") == "1"
+
+# CHECK_ORACLE_SCALE=1: overlay oracle_sql_scale.json (cheaper composed
+# twins) onto the base oracles and register dump_q_* views.
+scale_mode = os.environ.get("CHECK_ORACLE_SCALE", "") == "1"
 
 # Pre-flight disk contract (CHECK_ORACLE_MIN_FREE_GB, default 20 when a
 # memory limit/spill is configured): fail BEFORE the first query if the
@@ -76,6 +100,14 @@ if min_free_gb > 0:
 con = None if per_query else fresh_con()
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+scale_used = []
+if scale_mode:
+    sp = f"{out_dir}/oracle_sql_scale.json"
+    if os.path.exists(sp):
+        overlay = json.load(open(sp))
+        oracles.update(overlay)
+        scale_used = sorted(overlay.keys())
+        print(f"scale-oracle overlay active for: {' '.join(scale_used)}")
 
 def canon(df):
     df = df[sorted(df.columns)].copy()
@@ -90,10 +122,16 @@ verbose = os.environ.get("CHECK_ORACLE_VERBOSE", "") == "1"
 # the dense-vocab corpus and any exact oracle needs an ~3e10-row join);
 # skipped queries are reported, never silently dropped.
 skip = set(filter(None, os.environ.get("CHECK_ORACLE_SKIP", "").split(",")))
+# CHECK_ORACLE_ONLY: comma-separated names — compare ONLY these (the
+# scaled gate's solo-retry path re-checks just the failed queries while
+# every dump is still on disk). Unlisted dumps are ignored, not tallied.
+only = set(filter(None, os.environ.get("CHECK_ORACLE_ONLY", "").split(",")))
 skipped = []
 fails, passes, rows_only = [], [], []
 for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     name = qdir.split("/")[-1]
+    if only and name not in only:
+        continue
     if name in skip:
         skipped.append(name)
         continue
@@ -174,6 +212,11 @@ if json_out:
             "rows_only": {n: r for n, r in rows_only},
             "skipped": sorted(skipped),
             "fail": {n: m for n, m in fails},
+            # queries whose verdict used the composed scale oracle (their
+            # certification is CONDITIONAL on the referenced dump queries
+            # passing their base oracles in the same artifact)
+            "scale_oracle": [n for n in scale_used
+                             if n in passes or any(f[0] == n for f in fails)],
         }, f, indent=1)
     print(f"wrote {json_out}")
 sys.exit(1 if fails else 0)

@@ -6,21 +6,39 @@
 # round(sum(double)) changes with the partial-aggregation tree, i.e.
 # with parallelism, i.e. between any two runs of a real cluster.
 #
-# Usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root]
+# r14 revision: Verify runs as a direct `java -cp` JVM (no sbt lock —
+# safe alongside a running gate) and the compare can write a
+# machine-readable artifact (4th arg), e.g. INVARIANCE_sf10_r14.json.
+#
+# Usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root] [json_out]
 # Exit 0 iff every query's two dumps are row-set identical.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-SF_DIR="${1:?usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root]}"
+SF_DIR="${1:?usage: tools/invariance_check.sh <sf_dir> <queries_csv> [out_root] [json_out]}"
 QUERIES="${2:?query list (comma-separated)}"
 OUT_ROOT="${3:-/tmp/invariance_check}"
+JSON_OUT="${4:-}"
+
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+[ -f target/scala-2.13/classes/graft/Verify.class ] || {
+  echo "pre-flight: target/scala-2.13/classes is missing graft.Verify — run 'sbt compile' first"; exit 1; }
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS+=" --add-opens java.base/$p=ALL-UNNAMED"
+done
+JFLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC"
 
 rm -rf "$OUT_ROOT"
 for CPUS in 32 4; do
-  echo "== Verify at local[$CPUS]"
+  echo "== [$(date +%H:%M:%S)] Verify at local[$CPUS]"
   LOG="$(mktemp /tmp/graft_inv_log.XXXXXX)"
-  SPARK_GRAFT_CPUS=$CPUS SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}" \
-    sbt -batch "runMain graft.Verify $SF_DIR $OUT_ROOT/cpus$CPUS $QUERIES" \
+  # shellcheck disable=SC2086
+  SPARK_GRAFT_CPUS=$CPUS \
+    java -cp "$CP" $ADD_OPENS $JFLAGS -Xmx"${SPARK_DRIVER_MEM:-16g}" \
+      graft.Verify "$SF_DIR" "$OUT_ROOT/cpus$CPUS" "$QUERIES" \
     >"$LOG" 2>&1 \
     || { tail -n 40 "$LOG"; echo "Verify failed at local[$CPUS]"; exit 1; }
   if grep "\[verify\]" "$LOG"; then
@@ -29,14 +47,14 @@ for CPUS in 32 4; do
 done
 
 echo "== comparing local[32] vs local[4] dumps"
-python3 - "$OUT_ROOT" <<'EOF'
-import glob, sys
+python3 - "$OUT_ROOT" "$SF_DIR" "$JSON_OUT" <<'EOF'
+import glob, json, sys
 import pandas as pd
 
-root = sys.argv[1]
+root, sf_dir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
 names = sorted(p.split("/")[-1] for p in glob.glob(f"{root}/cpus32/q_*"))
 assert names, f"no dumps under {root}/cpus32"
-bad = []
+bad, good = [], {}
 for name in names:
     def load(c):
         fs = glob.glob(f"{root}/cpus{c}/{name}/*.parquet")
@@ -60,7 +78,15 @@ for name in names:
                 break
         bad.append((name, neq or "frame mismatch"))
     else:
+        good[name] = len(a)
         print(f"  {name}: IDENTICAL ({len(a)} rows)")
+if json_out:
+    json.dump({"sf_dir": sf_dir, "cpus": [32, 4],
+               "n_invariant": len(good), "n_variant": len(bad),
+               "invariant_rows": good,
+               "variant": {n: m for n, m in bad}},
+              open(json_out, "w"), indent=1)
+    print(f"wrote {json_out}")
 if bad:
     print("PARALLELISM-VARIANT QUERIES:")
     for n, m in bad:
