@@ -35,12 +35,18 @@ rm -rf "$OUT_ROOT"
 for CPUS in 32 4; do
   echo "== [$(date +%H:%M:%S)] Verify at local[$CPUS]"
   LOG="$(mktemp /tmp/graft_inv_log.XXXXXX)"
+  # own spark.local.dir: isolated from any concurrent gate's cleanup
+  LOCAL_DIR="/tmp/inv_check_local_$CPUS"
+  rm -rf "$LOCAL_DIR"; mkdir -p "$LOCAL_DIR"
   # shellcheck disable=SC2086
   SPARK_GRAFT_CPUS=$CPUS \
-    java -cp "$CP" $ADD_OPENS $JFLAGS -Xmx"${SPARK_DRIVER_MEM:-16g}" \
+    java -cp "$CP" $ADD_OPENS $JFLAGS -Dspark.local.dir="$LOCAL_DIR" \
+      -Djava.io.tmpdir="$LOCAL_DIR" \
+      -Xmx"${SPARK_DRIVER_MEM:-16g}" \
       graft.Verify "$SF_DIR" "$OUT_ROOT/cpus$CPUS" "$QUERIES" \
     >"$LOG" 2>&1 \
     || { tail -n 40 "$LOG"; echo "Verify failed at local[$CPUS]"; exit 1; }
+  rm -rf "$LOCAL_DIR"
   if grep "\[verify\]" "$LOG"; then
     echo "Verify reported per-query failures at local[$CPUS]"; exit 1
   fi

@@ -167,15 +167,24 @@ run_phase() {
   local SPEC="$1" LABEL="$2" MEM="${3:-${SPARK_DRIVER_MEM:-24g}}" KEEP="${4:-}"
   echo "== [$(date +%H:%M:%S)] phase $LABEL: Verify (java -Xmx$MEM)"
   VERIFY_LOG="$(mktemp /tmp/graft_verify_log.XXXXXX)"
+  # Per-phase spark.local.dir: shuffle/localCheckpoint data is isolated
+  # so the post-phase cleanup deletes exactly THIS JVM's storage — a
+  # bare `rm -rf /tmp/blockmgr-*` deleted a CONCURRENT Verify's live
+  # shuffle files mid-run (observed live: the r14 sf1 gate died on
+  # FileNotFoundException temp_shuffle while this gate's text phase
+  # cleaned up).
+  local LOCAL_DIR="/tmp/sf10_gate_local_${LABEL}"
+  rm -rf "$LOCAL_DIR"; mkdir -p "$LOCAL_DIR"
   # shellcheck disable=SC2086
   SPARK_GRAFT_CPUS=32 \
-    java -cp "$CP" $ADD_OPENS $JFLAGS -Xmx"$MEM" graft.Verify \
+    java -cp "$CP" $ADD_OPENS $JFLAGS -Dspark.local.dir="$LOCAL_DIR" \
+      -Xmx"$MEM" graft.Verify \
       "$SF10_DIR" "$OUT_DIR" "$SPEC" >"$VERIFY_LOG" 2>&1 \
     || { tail -n 60 "$VERIFY_LOG"; echo "Verify exited non-zero (phase $LABEL)"; exit 1; }
   if grep "\[verify\]" "$VERIFY_LOG"; then
     echo "Verify reported per-query failures (phase $LABEL)"; exit 1
   fi
-  rm -rf /tmp/blockmgr-* /tmp/spark-* 2>/dev/null || true
+  rm -rf "$LOCAL_DIR" 2>/dev/null || true
 
   # Per-query compare under an explicit memory/spill budget; composed
   # scale oracles (CHECK_ORACLE_SCALE) read the dump_q_* views.

@@ -45,11 +45,19 @@ fi
 echo "== Verify full registry at sf1"
 rm -rf "$OUT_DIR"
 VERIFY_LOG="$(mktemp /tmp/graft_verify_log.XXXXXX)"
+# Own spark.local.dir: isolates this JVM's shuffle files from any
+# concurrent gate's cleanup (a shared /tmp blockmgr glob deleted this
+# gate's live temp_shuffle files mid-run in r14).
+LOCAL_DIR="/tmp/sf1_gate_local"
+rm -rf "$LOCAL_DIR"; mkdir -p "$LOCAL_DIR"
 # shellcheck disable=SC2086
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  java -cp "$CP" $ADD_OPENS $JFLAGS -Xmx"${SPARK_DRIVER_MEM:-24g}" \
+  java -cp "$CP" $ADD_OPENS $JFLAGS -Dspark.local.dir="$LOCAL_DIR" \
+    -Djava.io.tmpdir="$LOCAL_DIR" \
+    -Xmx"${SPARK_DRIVER_MEM:-24g}" \
     graft.Verify "$SF1_DIR" "$OUT_DIR" >"$VERIFY_LOG" 2>&1 \
   || { tail -n 60 "$VERIFY_LOG"; echo "Verify exited non-zero"; exit 1; }
+rm -rf "$LOCAL_DIR"
 if grep "\[verify\]" "$VERIFY_LOG"; then
   echo "Verify reported per-query failures"; exit 1
 fi
