@@ -135,8 +135,8 @@ object AudioQueries {
 
   private def audioFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val wav = plantedWav(id)
@@ -444,8 +444,8 @@ object AudioQueries {
   val audioFormats = Q("q_audio_formats",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
+      Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), "doc_id").as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val wav = plantedWavMixedFormat(id)

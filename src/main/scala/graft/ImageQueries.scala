@@ -213,8 +213,8 @@ object ImageQueries {
     */
   private def jpegFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val jpg = plantedJpeg(id)
@@ -242,8 +242,8 @@ object ImageQueries {
     */
   private def gifFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val gif = plantedGif(id)
@@ -261,8 +261,8 @@ object ImageQueries {
 
   private def dhashFeaturesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val png = plantedPng(id)
@@ -532,8 +532,8 @@ object ImageQueries {
   val jpegQuarantine = Q("q_jpeg_quarantine",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
+      Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), "doc_id").as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val raw =
@@ -571,8 +571,8 @@ object ImageQueries {
   val jpegProgressiveDhash = Q("q_jpeg_progressive_dhash",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
+      Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), "doc_id").as[Long]
         .mapPartitions { ids =>
           ids.map { id =>
             val jpg = plantedJpegProgressive(id)

@@ -1321,7 +1321,8 @@ object MlQueries {
                                widthOverride: Option[Int] = None): DataFrame = {
     val w = widthOverride.getOrElse(simhashBitsFor(docCount(s, dir)))
     val words = split(trim(col("text")), "\\s+")
-    val hashed = s.read.parquet(s"$dir/documents.parquet")
+    val hashed = Queries.fanOut(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id")
       .select(col("doc_id"), explode(words).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("hlo"),

@@ -48,6 +48,34 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a narrow scan across the session's cores before a CPU-heavy
+    * map kernel (opt §2.5/§2.6: stragglers and idle capacity).
+    *
+    * The driver testdata ships every table as ONE parquet row group, so a
+    * scan — and every map-side kernel Catalyst fuses into the scan stage
+    * (codec decodes, shingle/MinHash passes, per-doc native expressions) —
+    * runs as a SINGLE task no matter the core count: the sf0.1 image tier
+    * burned ~5 s/query on one of 32 cores. Hash-repartitioning the
+    * projected key column moves a few hundred KB once and buys full-width
+    * parallelism for the kernel.
+    *
+    * Scale posture: the width is `defaultParallelism` (tracks
+    * SPARK_GRAFT_CPUS locally, total executor cores on a cluster), never
+    * a constant; and when the input already carries at least that many
+    * partitions — any real multi-row-group table at 100 TB — the
+    * repartition is SKIPPED, so production plans keep their native scan
+    * parallelism with zero added exchange. Hash partitioning on the
+    * deterministic key (never round-robin over `rand()`) keeps the
+    * row→partition map reproducible under task retries (SPARK-38388).
+    */
+  private[graft] def fanOut(df: DataFrame, key: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val have =
+      try df.queryExecution.toRdd.getNumPartitions
+      catch { case _: Throwable => 0 }
+    if (have >= want) df else df.repartition(want, col(key))
+  }
+
   /** The driver testdata has shipped `events.ts` as both TIMESTAMP(NANOS)
     * parquet (rounds ≤7 — Spark's vectorized reader rejects it, so nanos
     * are read as long and integer-DIV'd to micros) and plain
@@ -65,7 +93,11 @@ object Queries {
     }
   }
 
-  /** embeddings with the float vector cast to array<double>. */
+  /** embeddings with the float vector cast to array<double>. NOT fanned
+    * out ([[fanOut]]): the 2k-vector kernels are latency-bound, not
+    * CPU-bound — measured +0.2-5 s per consumer from the extra exchange
+    * and task count, no compute win.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("e"), col("label"))

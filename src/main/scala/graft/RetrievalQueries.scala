@@ -26,11 +26,14 @@ import graft.functions.{TextOps, VectorFunctions}
   */
 object RetrievalQueries {
 
+  // fanned out across cores: the single-row-group testdata scan otherwise
+  // serializes the per-doc tokenize/posting kernels on one task — see
+  // [[Queries.fanOut]]
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Queries.fanOut(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
       .select(col("vec_id"), col("embedding"))
 
   private def wordsCol: Column = TextOps.words(col("text"))

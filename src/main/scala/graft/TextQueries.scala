@@ -21,8 +21,14 @@ import graft.functions.{NativeTextFunctions, TextOps}
   */
 object TextQueries {
 
+  /** documents, fanned out across cores: the single-row-group testdata
+    * scan otherwise serializes every per-doc text kernel on one task —
+    * see [[Queries.fanOut]]. Row set identical; no consumer below
+    * depends on scan order (every query groups, joins, or sorts
+    * explicitly).
+    */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
 
   /** Materialized stages of the shingle pipeline, shared by every
     * consumer in this session: exploded distinct shingles → MinHash

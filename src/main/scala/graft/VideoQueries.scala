@@ -51,8 +51,8 @@ object VideoQueries {
     */
   private def videoMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val mp4 = plantedMp4(id)
@@ -90,8 +90,8 @@ object VideoQueries {
   val videoKeyframes = Q("q_video_keyframes",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
+      Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), "doc_id").as[Long]
         .mapPartitions { ids =>
           ids.flatMap { id =>
             val d = Mp4Codec.decodeMp4(plantedMp4(id)).get
@@ -208,8 +208,8 @@ object VideoQueries {
 
   private def videoFingerprintsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val mp4 = plantedContentMp4(id)
@@ -420,8 +420,8 @@ object VideoQueries {
     */
   private def keyframeDhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")), "doc_id").as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val mp4 = plantedScenesMp4(id)
@@ -498,8 +498,8 @@ object VideoQueries {
   val videoSceneCuts = Q("q_video_scene_cuts",
     (s, dir) => {
       import s.implicits._
-      s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id")).as[Long]
+      Queries.fanOut(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")), "doc_id").as[Long]
         .mapPartitions { ids =>
           ids.flatMap { id =>
             val mp4 = plantedScenesMp4(id)

@@ -617,8 +617,27 @@ object JpegCodec {
     * uses.
     */
   private def idct8x8(coef: Array[Int], outBlock: Array[Int]): Unit = {
+    // DC-only fast path (the standard libjpeg-style shortcut): when every
+    // AC coefficient is zero the block is flat, and the value below
+    // replays the general path's EXACT double operations for that case —
+    // row pass: s = 0.0 + (C·dc)·cos0, tmp = s/2; column pass:
+    // s = 0.0 + C·tmp·cos0, p = round(s/2 + 128) — so the output is
+    // bit-identical, never approximated. Real-world JPEGs hit this on
+    // smooth regions; the planted DC-only fixtures hit it on every block.
+    var k = 1
+    while (k < 64 && coef(k) == 0) k += 1
+    if (k == 64) {
+      val c = 0.70710678118654752440
+      val tmp0 = (c * coef(0) * 1.0) / 2.0
+      val p = math.round((c * tmp0 * 1.0) / 2.0 + 128.0).toInt
+      java.util.Arrays.fill(outBlock, math.max(0, math.min(255, p)))
+      return
+    }
     val tmp = new Array[Double](64)
-    // rows: for each row y of the coefficient block, 1D IDCT over u
+    // rows: for each row y of the coefficient block, 1D IDCT over u.
+    // Zero coefficients are skipped: a `s += cu·0·cos` term adds ±0.0,
+    // which cannot change the accumulated double (0.0 + ±0.0 = 0.0 and
+    // x + ±0.0 = x for finite x), so the skip is bit-exact too.
     var v = 0
     while (v < 8) {
       var x = 0
@@ -626,8 +645,11 @@ object JpegCodec {
         var s = 0.0
         var u = 0
         while (u < 8) {
-          val cu = if (u == 0) 0.70710678118654752440 else 1.0
-          s += cu * coef(v * 8 + u) * idctCos(u * 8 + x)
+          val cf = coef(v * 8 + u)
+          if (cf != 0) {
+            val cu = if (u == 0) 0.70710678118654752440 else 1.0
+            s += cu * cf * idctCos(u * 8 + x)
+          }
           u += 1
         }
         tmp(v * 8 + x) = s / 2.0
@@ -642,8 +664,11 @@ object JpegCodec {
         var s = 0.0
         var vv = 0
         while (vv < 8) {
-          val cv = if (vv == 0) 0.70710678118654752440 else 1.0
-          s += cv * tmp(vv * 8 + x) * idctCos(vv * 8 + y)
+          val t = tmp(vv * 8 + x)
+          if (t != 0.0) {
+            val cv = if (vv == 0) 0.70710678118654752440 else 1.0
+            s += cv * t * idctCos(vv * 8 + y)
+          }
           vv += 1
         }
         val p = math.round(s / 2.0 + 128.0).toInt
