@@ -223,9 +223,9 @@ object AudioQueries {
   val audioNearDup = Q("q_audio_near_dup",
     (s, dir) => {
       val f = audioFeatures(s, dir).select("doc_id", "b0", "b1", "b2", "b3")
-      val bands = (0 to 3).map(b =>
-        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
-        .reduce(_ unionByName _)
+      // single melt pass — see TextOps.meltBands
+      val bands = graft.functions.TextOps.meltBands(f, "doc_id",
+        (0 to 3).map(b => col(s"b$b")))
       // skew-guarded candidate generation in SALTED-COMPLETE mode:
       // the 16-bit band space saturates combinatorially as the corpus
       // grows (bucket-mates are then not near-dup families), so hot

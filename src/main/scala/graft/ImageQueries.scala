@@ -345,9 +345,11 @@ object ImageQueries {
   val imageNearDup = Q("q_image_near_dup",
     (s, dir) => {
       val f = dhashFeatures(s, dir)
-      val bands = (0 to 3).map(b =>
-        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
-        .reduce(_ unionByName _)
+      // single melt pass over the checkpointed features (TextOps
+      // .meltBands) — the 4-branch union scanned them 4× with 4× the
+      // shuffle-writing map tasks
+      val bands = graft.functions.TextOps.meltBands(f, "doc_id",
+        (0 to 3).map(b => col(s"b$b")))
       // skew-guarded candidate generation in SALTED-COMPLETE mode:
       // fixed-width dHash bands saturate combinatorially as the corpus
       // grows (bucket-mates are then not near-dup families), so hot

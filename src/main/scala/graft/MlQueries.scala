@@ -1153,9 +1153,10 @@ object MlQueries {
         norm2(col("features")).as("nrm")) ++
         (0 until nBands).map(b => bandedBits(b, w).as(s"bk$b")): _*)
       .localCheckpoint(true)
-    val bands = (0 until nBands).map(b =>
-      bucketed.select(col("id"), lit(b).as("band"), col(s"bk$b").as("bucket")))
-      .reduce(_ union _)
+    // single melt pass over the checkpointed bucket columns — see
+    // TextOps.meltBands
+    val bands = TextOps.meltBands(bucketed, "id",
+      (0 until nBands).map(b => col(s"bk$b")))
     val cand = TextOps.candidatePairs(bands, "id", hotComplete = true)
     val l = bucketed.select(col("id").as("doc_a"), col("features").as("fa"), col("nrm").as("na"))
     val r = bucketed.select(col("id").as("doc_b"), col("features").as("fb"), col("nrm").as("nb"))
@@ -1402,10 +1403,9 @@ object MlQueries {
       val half = simhashBitsFor(docCount(s, dir)) / 2
       val mask = (1L << half) - 1L
       val sig = simhashDf(s, dir).localCheckpoint(true)
-      val bands = Seq(0, 1).map(b =>
-        sig.select(col("doc_id"), lit(b).as("band"),
-          shiftright(col("simhash"), b * half).bitwiseAND(mask).as("bucket")))
-        .reduce(_ union _)
+      // single melt pass — see TextOps.meltBands
+      val bands = TextOps.meltBands(sig, "doc_id", Seq(0, 1).map(b =>
+        shiftright(col("simhash"), b * half).bitwiseAND(mask)))
       val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
         hotThreshold = 1024, hotComplete = true)
       val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))

@@ -282,9 +282,9 @@ object VideoQueries {
   val videoNearDup = Q("q_video_near_dup",
     (s, dir) => {
       val f = videoFingerprints(s, dir).select("doc_id", "b0", "b1", "b2", "b3")
-      val bands = (0 to 3).map(b =>
-        f.select(col("doc_id"), lit(b).as("band"), col(s"b$b").as("bucket")))
-        .reduce(_ unionByName _)
+      // single melt pass — see TextOps.meltBands
+      val bands = graft.functions.TextOps.meltBands(f, "doc_id",
+        (0 to 3).map(b => col(s"b$b")))
       val cand = graft.functions.TextOps.candidatePairs(bands, "doc_id",
           hotComplete = true)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))

@@ -191,16 +191,26 @@ object TextOps {
         ((0 until minhashPerms).map(i => col(s"__sig.mh$i").as(s"mh$i")) :+
           col("__sig.fp").as("fp")): _*)
 
+  /** Melt B per-band bucket expressions into (idCol, band, bucket) rows
+    * in ONE pass over the input. The previous B-branch `union` form
+    * scanned the feature table B times and emitted B× the map tasks —
+    * each writing its own shuffle files, pure fixed overhead (measured
+    * ~0.3-1.2 s of shuffle-write time per tiny map task on the bench
+    * box); at corpus scale the B redundant scans are the bigger cost.
+    * posexplode's pos is the band index — same rows, same types.
+    */
+  def meltBands(df: DataFrame, idCol: String, buckets: Seq[Column]): DataFrame =
+    df.select(col(idCol), posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+
   /** LSH bands (4 × 2 rows): (idCol, band, bucket); the bucket key is
     * the concatenation of the band's signature components. concat_ws
     * (NULL-skipping, like DuckDB's concat) keeps a NULL component from
-    * nulling the whole bucket key on either engine.
+    * nulling the whole bucket key on either engine. Single melt pass —
+    * see [[meltBands]].
     */
   def lshBands(sig: DataFrame, idCol: String): DataFrame =
-    (0 until lshBandCount).map { b =>
-      sig.select(col(idCol), lit(b).as("band"),
-        concat_ws("", col(s"mh${b * lshRows}"), col(s"mh${b * lshRows + 1}")).as("bucket"))
-    }.reduce(_ union _)
+    meltBands(sig, idCol, (0 until lshBandCount).map(b =>
+      concat_ws("", col(s"mh${b * lshRows}"), col(s"mh${b * lshRows + 1}"))))
 
   /** Buckets holding more docs than this emit a hub star instead of the
     * quadratic pair self-join (see [[candidatePairs]]). Chosen above any

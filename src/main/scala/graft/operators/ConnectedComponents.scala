@@ -40,20 +40,38 @@ object ConnectedComponents {
   /** @param edges (src, dst) undirected pairs
     * @return (id, component) — component = min id reachable
     */
+  /** Edge count below which the loop certifies EVERY round instead of
+    * waiting for the label-sum quiescence heuristic. On bounded graphs
+    * the round cost is pure job latency, and the heuristic needs two
+    * extra rounds (one to repeat the sum, one certify) after convergence
+    * — certify-per-round exits the planted bench graphs after round 1.
+    * On corpus-scale graphs the certify join (2 × edges⋈labels) per
+    * round would dominate, so past this bound the cheap sum heuristic
+    * keeps gating it. Either mode exits ONLY through certify(), so the
+    * result is identical — this is a latency/throughput switch, not a
+    * semantics switch.
+    */
+  private val EagerCertifyEdges = 4L << 20
+
   def run(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before
     // symmetrizing — union's two branches would otherwise each re-run it
     val e = edges.toDF("src", "dst")
       .select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true)
-    // symmetrize once; self-loops are harmless
+    // symmetrize map-side from the checkpointed edge list; self-loops are
+    // harmless. No second checkpoint: re-deriving the union per consumer
+    // is two scans of a checkpointed RDD (no shuffle), cheaper than the
+    // extra eager-checkpoint job it replaced.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
 
     // a clean corpus produces zero candidate pairs — short-circuit before
-    // the loop (labelSum's global sum() is NULL on an empty label table)
-    if (sym.isEmpty)
+    // the loop (labelSum's global sum() is NULL on an empty label table);
+    // the count doubles as the eager-certify census
+    val nEdges = e.count()
+    if (nEdges == 0)
       return sym.select(col("src").as("id"), col("dst").as("component"))
+    val eagerCertify = nEdges <= EagerCertifyEdges
 
     // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v)
     var c = sym.select(col("src").as("v"), col("dst").as("u"))
@@ -92,9 +110,12 @@ object ConnectedComponents {
         .union(withMin.select(col("m").as("v"), col("u")))
         .distinct()
         .localCheckpoint(true)
-      val s = labelSum(c)
-      if (prevSum.contains(s)) certified = certify(labelsOf(c))
-      prevSum = Some(s)
+      if (eagerCertify) certified = certify(labelsOf(c))
+      else {
+        val s = labelSum(c)
+        if (prevSum.contains(s)) certified = certify(labelsOf(c))
+        prevSum = Some(s)
+      }
       iter += 1
     }
     require(certified,
