@@ -26,14 +26,15 @@ import graft.functions.{TextOps, VectorFunctions}
   */
 object RetrievalQueries {
 
-  // fanned out across cores: the single-row-group testdata scan otherwise
-  // serializes the per-doc tokenize/posting kernels on one task — see
-  // [[Queries.fanOut]]
+  // NOT fanned out ([[Queries.fanOut]]): the retrieval kernels are
+  // term-filtered probes and bounded rank windows — light enough that
+  // the fan-out exchange measured a consistent +0.3-0.6 s per query
+  // (min-of-two full benches) with no compute win
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+    s.read.parquet(s"$dir/documents.parquet")
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    Queries.fanOut(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id")
+    s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
 
   private def wordsCol: Column = TextOps.words(col("text"))
