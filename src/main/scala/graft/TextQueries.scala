@@ -21,14 +21,26 @@ import graft.functions.{NativeTextFunctions, TextOps}
   */
 object TextQueries {
 
-  /** documents, fanned out across cores: the single-row-group testdata
-    * scan otherwise serializes every per-doc text kernel on one task —
-    * see [[Queries.fanOut]]. Row set identical; no consumer below
-    * depends on scan order (every query groups, joins, or sorts
-    * explicitly).
+  /** documents, plain scan. Round 14 fanned this out for EVERY text
+    * consumer; measured per-query, the extra exchange + 32-task stage
+    * costs light-kernel queries +0.3-0.8 s each (q_tfidf, q_pmi_*,
+    * q_ngram_jaccard, q_bigram_*, q_bpe_merge_*) while only the
+    * CPU-heavy per-doc kernels earn it back — so the fan-out now lives
+    * in [[docsFanned]] and is applied per consumer, exactly like the
+    * round-14 retrieval revert.
     */
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Queries.fanOut(s.read.parquet(s"$dir/documents.parquet"), "doc_id")
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** documents fanned out across cores — ONLY ahead of proven CPU-heavy
+    * per-doc kernels (shingle/MinHash builders, per-gram md5 explodes,
+    * the staged 7-language filter cascade): the single-row-group
+    * testdata scan otherwise serializes the kernel on one task — see
+    * [[Queries.fanOut]]. Row set identical; no consumer depends on scan
+    * order (every consumer groups, joins, or sorts explicitly).
+    */
+  private def docsFanned(s: SparkSession, dir: String): DataFrame =
+    Queries.fanOut(docs(s, dir), "doc_id")
 
   /** Materialized stages of the shingle pipeline, shared by every
     * consumer in this session: exploded distinct shingles → MinHash
@@ -46,9 +58,9 @@ object TextQueries {
 
   private def artifacts(s: SparkSession, dir: String): ShingleArtifacts =
     shingleCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val sh = TextOps.explodedShingles(docs(s, dir), "doc_id", col("text"))
+      val sh = TextOps.explodedShingles(docsFanned(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
-      val sig = TextOps.signatureFromText(docs(s, dir), "doc_id", col("text"))
+      val sig = TextOps.signatureFromText(docsFanned(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
       // hotComplete: the pair-level consumers (q_minhash_lsh_pairs and
       // the Jaccard-verify family) DECLARE the complete candidate
@@ -204,7 +216,9 @@ object TextQueries {
     * sorts globally.
     */
   val bpeMergeStats = Q("q_bpe_merge_stats",
-    (s, dir) => docs(s, dir)
+    // fanned: the per-position pair explode is a CPU-heavy map kernel
+    // (measured 0.36 s fanned vs 0.59 s on the single-task scan)
+    (s, dir) => docsFanned(s, dir)
       .select(explode(wordsCol).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(transform(
@@ -395,7 +409,7 @@ object TextQueries {
       // native single-pass kernel (≡ bpeApplyHofCols, equality-tested):
       // BpeRounds nested interpreted folds collapse into one tight loop
       val st = NativeTextFunctions.bpeApplyStatsNative(col("text"), merges)
-      docs(s, dir)
+      docsFanned(s, dir)
         .select(col("doc_id"), st.getField("n_chars_safe").as("n_chars_safe"),
           st.getField("n_bpe_tokens").as("n_bpe_tokens"))
         .select(col("doc_id"), col("n_chars_safe"), col("n_bpe_tokens"),
@@ -680,7 +694,7 @@ object TextQueries {
   private def langMarkers = TextOps.langMarkers
 
   val langId = Q("q_lang_id",
-    (s, dir) => TextOps.withLangId(docs(s, dir), col("text"), "pred_lang")
+    (s, dir) => TextOps.withLangId(docsFanned(s, dir), col("text"), "pred_lang")
       .select(col("doc_id"), col("lang"), col("pred_lang")), {
       def hitsSql(ms: Seq[String]): String =
         s"len(list_filter($wordsSql, w -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], w)))"
@@ -704,7 +718,7 @@ object TextQueries {
     */
   val cohensKappa = Q("q_cohens_kappa",
     (s, dir) => {
-      val pred = TextOps.withLangId(docs(s, dir), col("text"), "pred_lang")
+      val pred = TextOps.withLangId(docsFanned(s, dir), col("text"), "pred_lang")
         .select(col("lang"), col("pred_lang"))
       val cm = pred.groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("c")).localCheckpoint(true)
@@ -828,7 +842,7 @@ object TextQueries {
       val mixed = when(col("doc_id") % 3 === 0, concat(lit(zhPrefix), col("text")))
         .when(col("doc_id") % 3 === 1, concat(lit(ruPrefix), col("text")))
         .otherwise(col("text"))
-      val staged = docs(s, dir)
+      val staged = docsFanned(s, dir)
         .withColumn("__mixed", mixed)
         .withColumn("__norm", TextOps.normalize(col("__mixed")))
       TextOps.withLangId(staged, col("__mixed"), "pred_lang")
@@ -1941,7 +1955,7 @@ object TextQueries {
   }
 
   val substringDedup = Q("q_substring_dedup",
-    (s, dir) => substringDedupOver(docs(s, dir), SubL),
+    (s, dir) => substringDedupOver(docsFanned(s, dir), SubL),
     Some(s"""WITH base AS (
             |  SELECT doc_id, $wordsSql AS ws, len($wordsSql) AS n_tokens
             |  FROM documents),
@@ -2945,7 +2959,7 @@ object TextQueries {
     */
   val cdcChunks = Q("q_cdc_chunks",
     (s, dir) => {
-      val perDoc = TextOps.cdcChunkFingerprints(docs(s, dir), "doc_id", col("text"))
+      val perDoc = TextOps.cdcChunkFingerprints(docsFanned(s, dir), "doc_id", col("text"))
         .localCheckpoint(true)
       val census = perDoc.select(col("fp"), col("doc_id")).distinct()
         .groupBy(col("fp")).agg(count(lit(1)).as("n_docs_with"))
@@ -3146,7 +3160,9 @@ object TextQueries {
     */
   val charEntropy = Q("q_char_entropy",
     (s, dir) => {
-      val chars = docs(s, dir)
+      // fanned: per-character explode + partial agg is CPU-heavy
+      // (measured 0.25 s fanned vs 0.46 s on the single-task scan)
+      val chars = docsFanned(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
         .filter(col("ch") =!= "")
       chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))

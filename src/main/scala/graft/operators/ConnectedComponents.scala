@@ -53,6 +53,17 @@ object ConnectedComponents {
     */
   private val EagerCertifyEdges = 4L << 20
 
+  /** Target rows per shuffle partition inside the CC loop (guide §2.2:
+    * fewer, larger reduce partitions). Every round runs 3-4 shuffles
+    * over O(Σ|component| + edges) rows; sizing the loop's shuffle width
+    * from the EDGE count instead of the session default turns the
+    * dozens of 32-partition micro-stages a bounded bench graph produces
+    * (measured: the fixed per-stage cost made q_audio/video_dedup_groups
+    * SLOWER at 32 cores than at 8 in round 14) into single-task stages,
+    * while a corpus-scale graph still gets full cluster width.
+    */
+  private val RowsPerPartition = 64L << 10
+
   def run(edges: DataFrame, maxIter: Int = 100): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before
     // symmetrizing — union's two branches would otherwise each re-run it
@@ -67,17 +78,18 @@ object ConnectedComponents {
 
     // a clean corpus produces zero candidate pairs — short-circuit before
     // the loop (labelSum's global sum() is NULL on an empty label table);
-    // the count doubles as the eager-certify census
+    // the count doubles as the eager-certify census and the loop's
+    // shuffle-width census
     val nEdges = e.count()
     if (nEdges == 0)
       return sym.select(col("src").as("id"), col("dst").as("component"))
     val eagerCertify = nEdges <= EagerCertifyEdges
 
-    // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v)
-    var c = sym.select(col("src").as("v"), col("dst").as("u"))
-      .union(sym.select(col("src").as("v"), col("src").as("u")))
-      .distinct()
-      .localCheckpoint(true)
+    val spark = e.sparkSession
+    val defaultPar = spark.sparkContext.defaultParallelism.toLong
+    val loopPartitions =
+      math.max(1L, math.min(defaultPar, nEdges / RowsPerPartition + 1)).toInt
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
 
     def labelsOf(state: DataFrame): DataFrame =
       state.groupBy(col("v")).agg(min(col("u")).as("component"))
@@ -101,26 +113,45 @@ object ConnectedComponents {
       .filter(col("la") =!= col("lb"))
       .isEmpty
 
-    var prevSum = Option.empty[Long]
-    var iter = 0
-    var certified = false
-    while (!certified && iter < maxIter) {
-      val withMin = c.join(labelsOf(c).withColumnRenamed("component", "m"), Seq("v"))
-      c = withMin.select(col("u").as("v"), col("m").as("u"))
-        .union(withMin.select(col("m").as("v"), col("u")))
+    // the width bound and the loop run under one try/finally so the
+    // session conf is restored on every exit path; plans built inside
+    // capture the bounded width at their own execution
+    spark.conf.set("spark.sql.shuffle.partitions", loopPartitions)
+    try {
+      // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v).
+      // Loop checkpoints are LAZY: the round's certify / labelSum action
+      // materializes the round's state and cuts lineage in the same job —
+      // the eager form paid one extra job per round just to checkpoint.
+      var c = sym.select(col("src").as("v"), col("dst").as("u"))
+        .union(sym.select(col("src").as("v"), col("src").as("u")))
         .distinct()
-        .localCheckpoint(true)
-      if (eagerCertify) certified = certify(labelsOf(c))
-      else {
-        val s = labelSum(c)
-        if (prevSum.contains(s)) certified = certify(labelsOf(c))
-        prevSum = Some(s)
+        .localCheckpoint(false)
+
+      var prevSum = Option.empty[Long]
+      var iter = 0
+      var certified = false
+      while (!certified && iter < maxIter) {
+        val withMin = c.join(labelsOf(c).withColumnRenamed("component", "m"), Seq("v"))
+        c = withMin.select(col("u").as("v"), col("m").as("u"))
+          .union(withMin.select(col("m").as("v"), col("u")))
+          .distinct()
+          .localCheckpoint(false)
+        if (eagerCertify) certified = certify(labelsOf(c))
+        else {
+          val s = labelSum(c)
+          if (prevSum.contains(s)) certified = certify(labelsOf(c))
+          prevSum = Some(s)
+        }
+        iter += 1
       }
-      iter += 1
-    }
-    require(certified,
-      s"connected components did not converge in $maxIter iterations")
-    labelsOf(c).select(col("v").as("id"), col("component"))
+      require(certified,
+        s"connected components did not converge in $maxIter iterations")
+      // materialize the certified labels BEFORE the width is restored, so
+      // the consumer reads a checkpointed single-shuffle result instead of
+      // re-running the final aggregation at session width
+      labelsOf(c).select(col("v").as("id"), col("component"))
+        .localCheckpoint(true)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
   }
 
   /** Dedup grouping: pairs → (id, canonical_id); singletons (docs in no
