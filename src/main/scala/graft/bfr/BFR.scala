@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.core.{ClusterSummary, RoundStats}
-import graft.functions.NativeVectorFunctions.mahalanobisNative
 import graft.kmeans.KMeans
 import graft.operators.SummaryAggregator
 
@@ -66,23 +65,24 @@ object BFR {
       ds: IndexedSeq[ClusterSummary]
   )
 
-  /** Mahalanobis distance of `features` to each summary, as array<double>
-    * in summary order. Summaries are broadcast-small (K..5K × d) and folded
-    * in as literals — assignment is purely map-side.
-    */
-  private def mahaDistances(features: Column, summaries: IndexedSeq[ClusterSummary]): Column =
-    array(summaries.map(s => mahalanobisNative(features, lit(s.center), lit(s.std))): _*)
-
   /** Nearest summary under `dist < alpha * sqrt(d)`: returns (labelCol,
     * keepCol). First minimum wins on ties (code/bfr.py:367-374 strict <).
+    *
+    * One fused kernel ([[graft.functions.NativeVectorExpressions
+    * .NearestMahaExpr]]) with the summary matrices as reference objects:
+    * bit-identical to the previous `array_min`/`array_position` over k
+    * per-summary Mahalanobis literals, but O(1) plan size — the literal
+    * form put ~k·2·d leaf nodes into every per-round plan, and Catalyst
+    * re-analysis of those trees (2-3 fresh plans × ~6 actions per round)
+    * was the BFR loop's dominant wall cost at bench scale.
     */
   private def nearestUnder(features: Column, summaries: IndexedSeq[ClusterSummary],
                            alpha: Double): (Column, Column) = {
     val d = summaries.head.d
-    val dists = mahaDistances(features, summaries)
-    val best = array_min(dists)
-    val label = (array_position(dists, best) - 1).cast("int")
-    (label, best < lit(alpha * math.sqrt(d.toDouble)))
+    val packed = graft.functions.NativeVectorFunctions.nearestMahaNative(
+      features, summaries.map(_.center).toArray, summaries.map(_.std).toArray,
+      alpha * math.sqrt(d.toDouble))
+    ((shiftright(packed, 1)).cast("int"), packed.bitwiseAND(1) === 1)
   }
 
   private[graft] def summariesByLabel(assigned: DataFrame, featCol: String): Map[Int, ClusterSummary] =
@@ -167,15 +167,55 @@ object BFR {
     var assigned: DataFrame = emptyAssignments(spark, "cluster")
     val stats = scala.collection.mutable.ArrayBuffer[RoundStats]()
     var discardedSoFar = 0L
+    // tagged per-round assignment frames, unpersisted once the round's
+    // checkpoints have materialized from them (see tagAssign)
+    val roundTags = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+    // Loop shuffle width from the first chunk's census (opt guide §2.2 —
+    // fewer, larger partitions): every per-round aggregation/checkpoint
+    // here is over O(chunk) rows, and at the bench scale the session's
+    // 32-partition shuffles turned each of the ~6 actions/round into a
+    // fixed-cost micro-stage storm. Width tracks the data (64k rows per
+    // partition, capped at defaultParallelism), restored in the finally.
+    val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    var widthSet = false
+    var prevAqe: Option[String] = None
 
     val nRounds = chunks.size
+    // label every action (opt guide §1.5) so job-level profiles attribute
+    // the loop's cost to its steps
+    def step(round: Int, name: String): Unit =
+      spark.sparkContext.setJobDescription(s"bfr r$round $name")
+    try {
     for ((chunkRaw, idx) <- chunks.zipWithIndex) {
       val round = idx + 1
+      step(round, "chunk")
       val chunk = chunkRaw.select(col("id").cast("long").as("id"), col("features"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val chunkN = chunk.count()
+      // round 1 needs the count for the init-sample sizing (and sets the
+      // loop width); later rounds skip the job — their first action over
+      // the persisted chunk materializes the cache just the same
+      val chunkN = if (round == 1) chunk.count() else -1L
 
       if (round == 1) {
+        val width = math.max(1L, math.min(
+          spark.sparkContext.defaultParallelism.toLong, chunkN / 65536 + 1)).toInt
+        spark.conf.set("spark.sql.shuffle.partitions", width)
+        widthSet = true
+        // On a bounded chunk the loop's shuffles are single-digit-task
+        // stages; AQE's per-shuffle re-planning then splits every action
+        // into 2-3 driver-latency-priced jobs for zero benefit (the loop
+        // has no skewed or size-misestimated join — label aggregations
+        // and explicit broadcasts only). Data-adaptive: corpus-scale
+        // chunks keep the session's AQE.
+        if (chunkN <= (1L << 20)) {
+          prevAqe = Some(spark.conf.get("spark.sql.adaptive.enabled"))
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+        }
+      }
+
+      if (round == 1) {
+        step(round, "init")
         // --- init (M4, code/bfr.py:393-429) ---
         val n = chunkN
         val sampleN = math.ceil(cfg.initSampleFraction * n).toInt
@@ -186,23 +226,36 @@ object BFR {
           cfg.kmeansIters, firstSeedRank = cfg.seedRank)
         val coarseAssigned = coarse.assign(sample, "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val singletons = coarseAssigned.groupBy(col("label")).count()
-          .filter(col("count") === 1).select("label")
-        val rsInit0 = coarseAssigned.join(broadcast(singletons), Seq("label"), "left_semi")
+        // ONE label-histogram collect replaces the previous singleton
+        // subquery + two broadcast joins + a separate inlier count: the
+        // histogram is ≤ 3K rows by construction (labels of a 3K-means),
+        // so the singleton-label list rides back as a map-side isin()
+        // literal and the inlier count is its complement sum — same row
+        // sets, three fewer jobs in the init stage
+        val labelHist = coarseAssigned.groupBy(col("label")).count().collect()
+        val singletonLabels = labelHist.filter(_.getLong(1) == 1L).map(_.getInt(0))
+        val nInliers0 = labelHist.filter(_.getLong(1) > 1L).map(_.getLong(1)).sum
+        val isSingleton: Column =
+          if (singletonLabels.isEmpty) lit(false)
+          else col("label").isin(singletonLabels.toIndexedSeq: _*)
+        val rsInit0 = coarseAssigned.filter(isSingleton)
           .select("id", "features")
-        val inliers0 = coarseAssigned.join(broadcast(singletons), Seq("label"), "left_anti")
+        val inliers0 = coarseAssigned.filter(!isSingleton)
           .select("id", "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
         // degenerate guard: if outlier removal left fewer than K points
         // (tiny samples), keep the whole sample as inliers
-        val (inliers, rsInit) =
-          if (inliers0.count() < cfg.k)
+        val (inliers, rsInit, nInliers) =
+          if (nInliers0 < cfg.k)
             (sample.select("id", "features").persist(StorageLevel.MEMORY_AND_DISK),
-              sample.select("id", "features").limit(0))
-          else (inliers0, rsInit0)
-        // re-cluster inliers into K -> DS
+              sample.select("id", "features").limit(0), sampleN.toLong)
+          else (inliers0, rsInit0, nInliers0)
+        // re-cluster inliers into K -> DS; the shape is already known
+        // (inlier count from the histogram, d from the coarse model), so
+        // the fit's probe job is skipped
         val fine = KMeans.fit(inliers, cfg.k, cfg.kmeansIters,
-          firstSeedRank = cfg.seedRank)
+          firstSeedRank = cfg.seedRank,
+          knownShape = Some((nInliers, coarse.d)))
         val fineAssigned = fine.assign(inliers, "features")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val byLabel = summariesByLabel(fineAssigned, "features")
@@ -224,11 +277,13 @@ object BFR {
         // the exact complement of the `id <= kth` sample, as a map-side
         // filter — not an anti-join, which would shuffle the whole chunk
         val rest = chunk.filter(col("id") > kth)
-        val (a2, r2) = assignToDsWithFeatures(rest, ds, cfg.alphaAssign)
+        val (tg2, a2, r2) = tagAssign(rest, ds, cfg.alphaAssign)
+        if (tg2 != null) roundTags += tg2
         assigned = appendAssign(assigned, a2.select("id", "cluster"))
         // A4: assigned points fold into their DS summaries (the reference
         // updates per point at code/bfr.py:389; we fold the chunk's delta);
         // the same aggregation yields the discarded-count delta
+        step(round, "absorb-rest")
         val (ds2, n2) = absorbCounted(ds,
           a2.select(col("cluster").as("label"), col("features")))
         ds = ds2; discardedSoFar += n2
@@ -237,22 +292,30 @@ object BFR {
         inliers0.unpersist(false); inliers.unpersist(false); fineAssigned.unpersist(false)
       } else {
         // --- per-chunk step (M5, code/bfr.py:382-391) ---
-        val (a, r) = assignToDsWithFeatures(chunk, ds, cfg.alphaAssign)
+        val (tg, a, r) = tagAssign(chunk, ds, cfg.alphaAssign)
+        if (tg != null) roundTags += tg
         assigned = appendAssign(assigned, a.select("id", "cluster"))
+        step(round, "absorb")
         val (dsN, nA) = absorbCounted(ds,
           a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
         rs = rs.union(r)
       }
 
-      // eager localCheckpoint truncates the round-over-round lineage —
-      // the plan otherwise compounds each round (embedded center literals
-      // included) until even stringifying it OOMs the driver
-      rs = rs.localCheckpoint(true)
+      // localCheckpoint truncates the round-over-round lineage — the plan
+      // otherwise compounds each round (embedded center literals included)
+      // until even stringifying it OOMs the driver. LAZY + count(): one
+      // job materializes the checkpoint AND yields the census the
+      // RS-management steps below need (the eager form paid a separate
+      // job, and the RS side of the tagged pass re-ran the distance
+      // kernel before tagAssign cached it)
+      step(round, "rs-checkpoint")
+      rs = rs.localCheckpoint(false)
       var rsCount = rs.count()
 
       // --- RS -> CS re-clustering (M6, code/bfr.py:259-288) ---
       if (rsCount > cfg.rsClusterThreshold) {
+        step(round, "rs-recluster")
         val kCs = math.min(cfg.csKMult * cfg.k, (rsCount / 2).toInt max 1)
         val model = KMeans.fit(rs, kCs, cfg.kmeansIters)
         val rsAssigned = model.assign(rs, "features").persist(StorageLevel.MEMORY_AND_DISK)
@@ -302,21 +365,24 @@ object BFR {
 
       // --- mid-stream RS -> DS spill (M8, code/bfr.py:322-334), not last round ---
       if (round < nRounds && rsCount > 0) {
-        val (a, r) = assignToDsWithFeatures(rs, ds, cfg.alphaRs)
+        step(round, "rs-spill")
+        val (tg, a, r) = tagAssign(rs, ds, cfg.alphaRs)
+        if (tg != null) roundTags += tg
         // α=4 spill merges matched points into DS summaries (code/bfr.py:331-333)
         val (dsN, nA) = absorbCounted(ds,
           a.select(col("cluster").as("label"), col("features")))
         ds = dsN; discardedSoFar += nA
         assigned = appendAssign(assigned, a.select("id", "cluster"))
-        rs = r.localCheckpoint(true)
-        rsCount = rsCount - nA
+        rs = r.localCheckpoint(false)
+        rsCount = rs.count() // == rsCount - nA; materializes the checkpoint
       }
 
       // --- finalize on the last round (M9, code/bfr.py:336-355) ---
       var retained = 0L
-      if (round == nRounds) {
+      if (round == nRounds) { step(round, "finalize")
         if (rsCount > 0) {
-          val (a, r) = assignToDsWithFeatures(rs, ds, cfg.alphaRs)
+          val (tg, a, r) = tagAssign(rs, ds, cfg.alphaRs)
+          if (tg != null) roundTags += tg
           val (dsN, aCount) = absorbCounted(ds,
             a.select(col("cluster").as("label"), col("features")))
           ds = dsN
@@ -348,6 +414,7 @@ object BFR {
 
       // incremental accounting: each round counts only its delta batches,
       // never the accumulated assignments (an O(rounds^2) rescan at scale)
+      step(round, "assigned-checkpoint")
       if (assignSink.isEmpty) assigned = assigned.localCheckpoint(true)
       // checkpoint+count the CS membership only when CS state exists —
       // on clean data this skips two jobs per round
@@ -359,10 +426,46 @@ object BFR {
       stats += RoundStats(round, ds.size, discardedSoFar, cs.size, csPoints,
         if (round == nRounds) retained else rsCount)
       chunk.unpersist(false)
+      // every checkpoint/sink that reads the round's tagged frames has
+      // materialized above; drop the caches before the next chunk
+      roundTags.foreach(_.unpersist(false))
+      roundTags.clear()
       onRound(round) // instrumentation hook (scale probes time/heap here)
+    }
+    } finally {
+      if (widthSet)
+        spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+      prevAqe.foreach(spark.conf.set("spark.sql.adaptive.enabled", _))
     }
 
     Result(assigned, stats.toSeq, ds)
+  }
+
+  /** One persisted distance pass per assignment step: tag every point
+    * with (cluster, keep) and derive the assigned / leftover sides as
+    * filters over the SAME cached frame, so the absorb aggregation, the
+    * RS checkpoint and the assignment delta all read one cache instead
+    * of each re-running the Mahalanobis kernel (previously two full
+    * kernel passes per chunk per round). The caller owns the cache:
+    * unpersist after the round's checkpoints materialize (roundTags).
+    * Returns (tagged-or-null, assigned(id,cluster,features),
+    * leftover(id,features)).
+    */
+  private def tagAssign(points: DataFrame, ds: IndexedSeq[ClusterSummary],
+                        alpha: Double): (DataFrame, DataFrame, DataFrame) = {
+    if (ds.isEmpty)
+      return (null,
+        emptyAssignments(points.sparkSession, "cluster")
+          .withColumn("features", lit(null).cast("array<double>")),
+        points.select("id", "features"))
+    val (label, keep) = nearestUnder(col("features"), ds, alpha)
+    val tagged = points
+      .select(col("id"), label.cast("int").as("cluster"),
+        coalesce(keep, lit(false)).as("__keep"), col("features"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (tagged,
+      tagged.filter(col("__keep")).select(col("id"), col("cluster"), col("features")),
+      tagged.filter(!col("__keep")).select("id", "features"))
   }
 
   /** J2/M5: nearest DS summary under α√d; returns (assigned(id,cluster),

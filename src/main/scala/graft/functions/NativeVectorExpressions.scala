@@ -320,6 +320,131 @@ case class MinSqDistExpr(child: Expression, centers: Array[Array[Double]])
   override def prettyName: String = "min_sqdist_native"
 }
 
+/** Fused BFR assignment kernel: nearest summary under the diagonal-σ
+  * Mahalanobis distance against LITERAL (center, std) matrices, packed as
+  * `(bestIndex << 1) | keepBit` in one codegen loop. Exactly replicates
+  * the previous composition `array_min(array(maha_0..maha_{k-1}))` +
+  * `array_position` + `best < threshold`:
+  *
+  *  - per-summary distance accumulates dimensions in order, skipping
+  *    zero-σ dims, sqrt at the end — the same double ops in the same
+  *    order as [[MahalanobisExpr]], so distances are bit-identical;
+  *  - the min scan uses Double.compare (first strict minimum wins; NaN
+  *    orders greatest) — `array_min`/`array_position` semantics; the
+  *    distances are sqrt-nonnegative so the -0.0 corner cannot arise;
+  *  - NULL iff the feature array is NULL, mis-dimensioned, or carries a
+  *    NULL element — when any per-summary distance would have been NULL,
+  *    ALL of them were (one shared feature input), so the composed
+  *    label/keep were NULL too.
+  *
+  * Exists because the composed form embedded k·2·d literal leaves in the
+  * plan (k=10, d=64 → ~1,300 nodes) and BFR builds 2-3 fresh such plans
+  * per round — Catalyst analysis/optimization of those trees, re-run per
+  * action, dominated the bench's BFR wall time. Here the matrices ride
+  * along as reference objects: O(1) plan size and generated code for any
+  * k, like [[ArgMinSqDistExpr]].
+  */
+case class NearestMahaExpr(child: Expression,
+                           centers: Array[Array[Double]],
+                           stds: Array[Array[Double]],
+                           threshold: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  private val k = centers.length
+  private val d = centers.headOption.map(_.length).getOrElse(0)
+  require(stds.length == k && stds.forall(_.length == d),
+    "centers/stds shape mismatch")
+  @transient private lazy val ctrFlat: Array[Double] = centers.flatten
+  @transient private lazy val stdFlat: Array[Double] = stds.flatten
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != d) return null
+    val xv = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      xv(i) = x.getDouble(i)
+      i += 1
+    }
+    var best = -1
+    var bestD = 0.0
+    var j = 0
+    while (j < k) {
+      var acc = 0.0
+      val off = j * d
+      var t = 0
+      while (t < d) {
+        val s = stdFlat(off + t)
+        if (s != 0.0) { val z = (xv(t) - ctrFlat(off + t)) / s; acc += z * z }
+        t += 1
+      }
+      val dist = math.sqrt(acc)
+      if (best < 0 || java.lang.Double.compare(dist, bestD) < 0) {
+        bestD = dist; best = j
+      }
+      j += 1
+    }
+    val keep = java.lang.Double.compare(bestD, threshold) < 0
+    ((best.toLong << 1) | (if (keep) 1L else 0L)).asInstanceOf[Any]
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ctrRef = ctx.addReferenceObj("nmCenters", ctrFlat, "double[]")
+      val stdRef = ctx.addReferenceObj("nmStds", stdFlat, "double[]")
+      val xv = ctx.freshName("xv")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val sv = ctx.freshName("sv")
+      val z = ctx.freshName("z")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($a.numElements() != $d) { ${ev.isNull} = true; }
+         |else {
+         |  double[] $xv = new double[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $xv[$i] = $a.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int $best = -1; double $bestD = 0.0;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      double $acc = 0.0;
+         |      int $off = $j * $d;
+         |      for (int $t = 0; $t < $d; $t++) {
+         |        double $sv = $stdRef[$off + $t];
+         |        if ($sv != 0.0) {
+         |          double $z = ($xv[$t] - $ctrRef[$off + $t]) / $sv;
+         |          $acc += $z * $z;
+         |        }
+         |      }
+         |      double $dist = java.lang.Math.sqrt($acc);
+         |      if ($best < 0 || java.lang.Double.compare($dist, $bestD) < 0) {
+         |        $bestD = $dist; $best = $j;
+         |      }
+         |    }
+         |    ${ev.value} =
+         |      (((long) $best) << 1) |
+         |      (java.lang.Double.compare($bestD, $threshold) < 0 ? 1L : 0L);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_maha_native"
+}
+
 object NativeVectorFunctions {
   private def toCol(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
@@ -347,4 +472,11 @@ object NativeVectorFunctions {
     */
   def minSqDistNative(features: Column, centers: Array[Array[Double]]): Column =
     toCol(MinSqDistExpr(expr(features), centers))
+
+  /** Fused BFR nearest-summary kernel: `(bestIndex << 1) | keepBit`
+    * against literal (center, std) matrices — see [[NearestMahaExpr]].
+    */
+  def nearestMahaNative(features: Column, centers: Array[Array[Double]],
+                        stds: Array[Array[Double]], threshold: Double): Column =
+    toCol(NearestMahaExpr(expr(features), centers, stds, threshold))
 }

@@ -275,6 +275,27 @@ object TextOps {
                      hotThreshold: Int = hotBucketThreshold,
                      hotComplete: Boolean = false): DataFrame = {
     val sizes = bucketCensus(bands, idCol)
+    // Census-gated fast path (opt guide §2.4 — remove shuffles outright):
+    // ONE scalar aggregate (bands → partial max → 1 row, scale-free)
+    // decides whether any bucket is hot. On a healthy corpus none is,
+    // and the whole guard apparatus — the bands⋈census sized join, the
+    // hot-branch block grid, the union — vanishes from the plan: what
+    // remains is the bucket self-join both of whose sides REUSE one
+    // exchange. With no hot bucket the guarded and unguarded plans are
+    // row-identical by construction (both modes reduce to the plain
+    // self-join — see the mode scaladoc above), so only latency changes.
+    // When a bucket IS hot the probe costs one extra aggregation pass
+    // and the guarded path runs exactly as before.
+    val maxBucket = Option(sizes.agg(max(col("__n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (maxBucket <= hotThreshold) {
+      val l = bands.as("l"); val r = bands.hint("shuffle_merge").as("r")
+      return l.join(r,
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket")
+            && col(s"l.$idCol") < col(s"r.$idCol"))
+        .select(col(s"l.$idCol").as("doc_a"), col(s"r.$idCol").as("doc_b"))
+        .distinct()
+    }
     // corpus-scale × corpus-scale: pin the shuffled merge join (see
     // [[pairOverlap]] — static broadcast here killed the 100× probe)
     val sized = bands.join(sizes.hint("shuffle_merge"), Seq("band", "bucket"))

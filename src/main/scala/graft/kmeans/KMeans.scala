@@ -152,17 +152,24 @@ object KMeans {
     */
   def fit(points: DataFrame, k: Int, iters: Int = 5,
           featCol: String = "features", idCol: String = "id",
-          firstSeedRank: Int = 0, forceDistributed: Boolean = false): Model = {
+          firstSeedRank: Int = 0, forceDistributed: Boolean = false,
+          knownShape: Option[(Long, Int)] = None): Model = {
     val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // one job probes both the row count and the dimensionality
-      val probe = cached.agg(
-        count(lit(1)).as("n"),
-        first(org.apache.spark.sql.functions.size(col(featCol))).as("d")).head()
-      val n = probe.getLong(0)
+      // one job probes both the row count and the dimensionality — unless
+      // the caller already holds them (BFR's init knows the inlier count
+      // from its label histogram and d from the coarse model), in which
+      // case the probe job is skipped
+      val probe = knownShape.getOrElse {
+        val r = cached.agg(
+          count(lit(1)).as("n"),
+          first(org.apache.spark.sql.functions.size(col(featCol))).as("d")).head()
+        (r.getLong(0), r.getInt(1))
+      }
+      val n = probe._1
       require(n > 0, "KMeans.fit on empty input")
       val kEff = math.min(k.toLong, n).toInt
-      val d = probe.getInt(1)
+      val d = probe._2
       if (!forceDistributed && n * d <= LocalFitCells) {
         val rows = cached
           .select(col(idCol).cast("long").as("__id"), col(featCol).as("__f"))

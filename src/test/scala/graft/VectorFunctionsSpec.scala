@@ -134,4 +134,39 @@ class VectorFunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fused nearest-maha kernel matches the composed literal form exactly") {
+    import graft.functions.NativeVectorFunctions._
+    val rnd2 = new scala.util.Random(23L)
+    for (k <- Seq(1, 3, 10)) {
+      val centers = Array.fill(k)(Array.fill(dim)(rnd2.nextDouble() * 10 - 5))
+      // include zero-std dims (the skip branch) and exact ties: center 0
+      // duplicated as center k-1 when k > 1 forces equal distances — the
+      // first minimum must win in both forms
+      if (k > 1) centers(k - 1) = centers(0).clone()
+      val stds = Array.fill(k)(Array.tabulate(dim)(i =>
+        if (i % 3 == 0) 0.0 else rnd2.nextDouble() * 2 + 0.1))
+      val alpha = 3.0
+      val thr = alpha * math.sqrt(dim.toDouble)
+      val pts = (0 until 200).map(i => (i.toLong, Array.fill(dim)(rnd2.nextDouble() * 12 - 6)))
+      val df = pts.toDF("id", "e")
+      val dists = array(centers.indices.map(j =>
+        mahalanobisNative(col("e"), lit(centers(j)), lit(stds(j)))): _*)
+      val best = array_min(dists)
+      val rows = df.select(col("id"),
+        nearestMahaNative(col("e"), centers, stds, thr).as("pk"),
+        (array_position(dists, best) - 1).cast("int").as("lbl"),
+        (best < lit(thr)).as("keep")).collect()
+      rows.foreach { r =>
+        val pk = r.getLong(1)
+        assert((pk >> 1).toInt == r.getInt(2),
+          s"k=$k id=${r.getLong(0)}: fused label ${(pk >> 1).toInt} != ${r.getInt(2)}")
+        assert(((pk & 1L) == 1L) == r.getBoolean(3),
+          s"k=$k id=${r.getLong(0)}: fused keep != composed keep")
+      }
+      // malformed vectors (wrong dim / null element) are NULL in both forms
+      val bad = Seq((0L, Array(1.0, 2.0))).toDF("id", "e")
+      assert(bad.select(nearestMahaNative(col("e"), centers, stds, thr)).head().isNullAt(0))
+    }
+  }
 }
