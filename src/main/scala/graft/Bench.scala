@@ -165,10 +165,42 @@ object Bench {
     }
     val warmupTotal = warmupResults.map(_._2).sum
 
+    // Per-query attribution listener (round-15 reporting, additive): job
+    // count, summed task GC ms and max stage wall ms per query, so a
+    // stalled run can be attributed (GC vs one straggler stage vs many
+    // tiny jobs) instead of guessed at. Stages are mapped to the query
+    // via the job that planned them; the listener bus is async, so
+    // late-arriving stage events can attribute to the next query — noise
+    // of that size does not matter for stall forensics.
+    val detail = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference[String]("warmup")
+    val stageOwner = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private def cell(q: String) = detail.computeIfAbsent(q, _ => new Array[Long](3))
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val q = currentQuery.get()
+        cell(q)(0) += 1
+        j.stageInfos.foreach(si => stageOwner.put(si.stageId, q))
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val q = stageOwner.getOrDefault(s.stageInfo.stageId, currentQuery.get())
+        val c = cell(q)
+        c(1) += s.stageInfo.taskMetrics.jvmGCTime
+        val wall = (for {
+          sub <- s.stageInfo.submissionTime
+          done <- s.stageInfo.completionTime
+        } yield done - sub).getOrElse(0L)
+        if (wall > c(2)) c(2) = wall
+      }
+    })
+
     // optional args = query-name subset for local perf iteration;
     // the driver passes none and gets the full inventory
     val selected = select(args)
     val results = selected.map { q =>
+      currentQuery.set(q.name)
+      spark.sparkContext.setJobDescription(q.name)
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -191,6 +223,20 @@ object Bench {
     val fullLine = line(results, 0)
     val out = new java.io.PrintWriter("bench_full.json")
     try out.println(fullLine) finally out.close()
+
+    // per-core-count artifact (round-15 reporting, additive): the 8-core
+    // scaling run used to CLOBBER the 32-core bench_full.json; and the
+    // per-query breakdown (jobs / GC ms / max stage wall ms) makes a
+    // stalled query attributable after the fact. bench_full.json keeps
+    // its exact historical format; consumers of this file opt in.
+    val detailJson = results.map { case (k, _) =>
+      val c = detail.getOrDefault(k, new Array[Long](3))
+      s""""$k":{"jobs":${c(0)},"gc_ms":${c(1)},"max_stage_ms":${c(2)}}"""
+    }.mkString("{", ",", "}")
+    val outCpu = new java.io.PrintWriter(s"bench_full_c$cpus.json")
+    try outCpu.println(
+      s"""{"cpus":$cpus,"bench":$fullLine,"detail":$detailJson}""")
+    finally outCpu.close()
 
     // final stdout line: slowest-first, trimmed to the tail budget
     val bySlowest = results.sortBy(-_._2)

@@ -90,6 +90,12 @@ object ConnectedComponents {
     val loopPartitions =
       math.max(1L, math.min(defaultPar, nEdges / RowsPerPartition + 1)).toInt
     val prevShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    // On a bounded graph, AQE's per-shuffle re-planning splits every
+    // round's action into several driver-latency-priced jobs for zero
+    // benefit (single-digit-task stages, no size-misestimated join).
+    // Data-adaptive like the width: corpus-scale graphs keep session AQE.
+    val pauseAqe = nEdges <= (1L << 20)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
 
     def labelsOf(state: DataFrame): DataFrame =
       state.groupBy(col("v")).agg(min(col("u")).as("component"))
@@ -117,6 +123,7 @@ object ConnectedComponents {
     // session conf is restored on every exit path; plans built inside
     // capture the bounded width at their own execution
     spark.conf.set("spark.sql.shuffle.partitions", loopPartitions)
+    if (pauseAqe) spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // cluster membership (v, u): u ∈ C(v); init C(v) = {v} ∪ N(v).
       // Loop checkpoints are LAZY: the round's certify / labelSum action
@@ -151,7 +158,10 @@ object ConnectedComponents {
       // re-running the final aggregation at session width
       labelsOf(c).select(col("v").as("id"), col("component"))
         .localCheckpoint(true)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShufflePartitions)
+      if (pauseAqe) spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Dedup grouping: pairs → (id, canonical_id); singletons (docs in no
